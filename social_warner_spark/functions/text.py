@@ -1,0 +1,92 @@
+"""Text-analysis expression helpers (north-star C4; SURVEY.md §2.c).
+
+Everything is a Catalyst expression (JVM-side, codegen) — language ID,
+quality scoring, token counting, and fingerprinting all run as narrow map
+stages at 100 TB with no shuffle and no Python.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+#: Tiny high-frequency marker lists per language for the n-gram/stopword
+#: language-ID heuristic.  Deterministic and SQL-oracle-able.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein"),
+}
+
+#: A BPE-ish word/number/punctuation splitter: runs of letters, runs of
+#: digits, or single non-space symbols — a public-domain approximation of
+#: byte-pair pretokenization.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization → array<string>."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles → array<string> (empty if < n tokens).
+
+    Built with sequence+transform — no UDF, no explode until the caller
+    needs one, so shingling itself is a pure map.
+    """
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(t) - n)
+    make = lambda i: F.concat_ws(
+        " ", *[F.element_at(t, (i + j + 1).cast("int")) for j in range(n)]
+    )
+    return F.when(F.size(t) >= n, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def token_count_bpe(text: Column) -> Column:
+    """BPE-ish regex token count (see BPE_TOKEN_RE)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are high-frequency markers of `lang`."""
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*LANG_MARKERS[lang])))
+    return hits / F.greatest(F.size(t), F.lit(1))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lg: stopword_ratio(text, lg) for lg in LANG_MARKERS}
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document-quality heuristic in [0,1]:
+    length component (saturating at 200 tokens), mean-token-length component
+    (peaking near 5 chars), and symbol-ratio penalty.
+    """
+    n = token_count_ws(text).cast("double")
+    len_c = F.least(n / F.lit(200.0), F.lit(1.0))
+    mean_tok = F.length(F.regexp_replace(text, r"\s+", "")) / F.greatest(n, F.lit(1.0))
+    shape_c = F.lit(1.0) - F.least(F.abs(mean_tok - F.lit(5.0)) / F.lit(5.0), F.lit(1.0))
+    sym = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")) / F.greatest(
+        F.length(text).cast("double"), F.lit(1.0)
+    )
+    return F.round(F.lit(0.5) * len_c + F.lit(0.3) * shape_c + F.lit(0.2) * (1 - sym), 6)
+
+
+def fingerprint(text: Column, bits: int = 64) -> Column:
+    """Deterministic document fingerprint: hex digest prefix of the
+    normalized text (whitespace-collapsed, lowercased).  16 hex chars = 64
+    bits.  Hash-based rather than a hand-rolled rolling hash so the exact
+    same value is computable by any engine with md5().
+    """
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.substring(F.md5(norm), 1, bits // 4)

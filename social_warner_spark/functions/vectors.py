@@ -1,0 +1,40 @@
+"""Vector math over array<float|double> columns — pure Catalyst expressions.
+
+All helpers promote elements to double and reduce sequentially
+(left-to-right), which is bit-deterministic and matches a sequential
+reference implementation.  Staying in `F.aggregate`/`F.zip_with` keeps the
+whole computation JVM-side (whole-stage codegen) — no Python, no Arrow hop —
+so brute-force scoring scales with the cluster, not the driver.
+
+For very wide vectors (≫1k dims) a vectorized pandas UDF over Arrow batches
+becomes competitive; see operators/similarity.py:cosine_topk_pandas.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _as_double(v: Column) -> Column:
+    return v.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential dot product of two equal-length arrays."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity; NULL if either norm is zero."""
+    d = dot(a, b)
+    na, nb = l2_norm(a), l2_norm(b)
+    return F.when((na > 0) & (nb > 0), d / (na * nb))

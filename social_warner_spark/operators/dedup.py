@@ -1,0 +1,229 @@
+"""Deduplication operators for training-data pipelines (north-star C1/C2).
+
+Five families, each designed for 100 TB:
+
+- exact_dedup: hash-groupBy on a normalized content hash.  One shuffle on
+  the hash key; survivor = min(id) so the result is deterministic
+  (dropDuplicates alone keeps an arbitrary row).
+- exact_jaccard_pairs: shingle→explode→self-join on shingle→group pair.
+  Exact but quadratic in the worst case — the correctness oracle for the
+  approximate variants, run on samples / small SF.
+- minhash signatures + LSH banding: the scale path.  Signatures are
+  md5-based lexicographic minima (engine-portable, fully deterministic —
+  no RNG), banded so candidate generation is an equi-join on
+  (band, bucket): shuffle is proportional to candidates, not pairs.
+- simhash: 16-bit deterministic simhash from per-token md5 bits; equal
+  fingerprints → near-dup bucket.  A single groupBy.
+- embedding near-dup: cosine ≥ τ pairs via block self-join; at scale,
+  pre-bucket with sign-bit LSH (operators/similarity.py) to avoid n².
+
+Every variant is expressible in ANSI SQL (see queries/l_series.py oracles).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from social_warner_spark.functions.text import tokens, word_shingles
+from social_warner_spark.functions.vectors import cosine
+
+
+def content_hash(text: Column) -> Column:
+    """sha256 of lower(trim(text)) — the exact-dedup key (SURVEY.md L1)."""
+    return F.sha2(F.lower(F.trim(text)), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic exact dedup: one row per content hash, min(id) wins.
+
+    Single hash-shuffle on the content hash; partial aggregation (min) is
+    map-side combined, so skew on popular duplicates is absorbed before the
+    shuffle.
+    """
+    return (
+        df.select(content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col))
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the input to Jaccard and MinHash."""
+    return (
+        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(
+    df: DataFrame,
+    threshold: float,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-Jaccard ≥ threshold, exactly.
+
+    Plan: distinct (id, shingle) → self equi-join on shingle (shuffle on
+    shingle; hot shingles are the skew risk — at scale drop ultra-frequent
+    shingles first, a standard trick) → count shared per pair → join per-doc
+    sizes (broadcastable) → J = shared / (|A|+|B|-shared).
+    """
+    sh = doc_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.toDF("a", "shingle")
+    b = sh.toDF("b", "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = (
+        shared.join(F.broadcast(sizes.toDF("a", "sz_a")), "a")
+        .join(F.broadcast(sizes.toDF("b", "sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"), "jaccard"
+        )
+    )
+    return out
+
+
+def minhash_signature_cols(num_hashes: int) -> list[Column]:
+    """Deterministic MinHash: for seed i, min over shingles of
+    md5(i || '|' || shingle), compared lexicographically.
+
+    A lexicographic min over an (approximately) uniform hash image is a
+    valid min-wise permutation; md5 makes the exact signature reproducible
+    in any engine (no RNG, no platform-dependent hash()).
+    """
+    return [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 12,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """One row per doc: id + mh_0..mh_{k-1}.  Single shuffle on id; the k
+    mins are partial-aggregated map-side."""
+    sh = doc_shingles(df, text_col, id_col, n)
+    return sh.groupBy(id_col).agg(*minhash_signature_cols(num_hashes))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int, rows_per_band: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Band the signature into `bands` buckets of `rows_per_band` hashes;
+    docs sharing any band bucket are candidates.
+
+    Candidate generation = union of `bands` equi-self-joins on the band
+    key — shuffle cost scales with matches, never with n².
+    """
+    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    assert len(mh_cols) >= bands * rows_per_band
+    banded = signatures.select(
+        F.col(id_col),
+        *[
+            F.concat_ws("#", *mh_cols[b * rows_per_band : (b + 1) * rows_per_band]).alias(
+                f"band_{b}"
+            )
+            for b in range(bands)
+        ],
+    )
+    pairs = None
+    for b in range(bands):
+        l = banded.select(F.col(id_col).alias("a"), F.col(f"band_{b}").alias("bk"))
+        r = banded.select(F.col(id_col).alias("b"), F.col(f"band_{b}").alias("bk"))
+        p = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct().select(
+        F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b")
+    )
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    num_hashes: int = 12,
+    bands: int = 4,
+    rows_per_band: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH candidates, verified with exact Jaccard (so output is
+    exact-precision; recall is the approximate part, tested by tolerance)."""
+    cands = lsh_candidate_pairs(
+        minhash_signatures(df, num_hashes, text_col, id_col, n), bands, rows_per_band, id_col
+    )
+    exact = exact_jaccard_pairs(df, threshold, text_col, id_col, n)
+    return cands.join(exact, ["doc_id_a", "doc_id_b"]).select(
+        "doc_id_a", "doc_id_b", "jaccard"
+    )
+
+
+def simhash_bits(text: Column, bits: int = 16) -> Column:
+    """Deterministic simhash fingerprint as a `bits`-char '0'/'1' string.
+
+    Bit j's token contribution = +1 if hex digit j of md5(token) ≥ '8'
+    else -1 (i.e. the top bit of that hex nibble); fingerprint bit j = 1 if
+    the sum over distinct tokens is positive.  Engine-portable: only md5,
+    substring and sums.
+    """
+    assert bits <= 32  # one hex digit per bit
+    toks = F.array_distinct(tokens(text))
+    def bit_folder(j: int):
+        def fold(acc, t):
+            return acc + F.when(
+                F.substring(F.md5(t), j + 1, 1) >= "8", F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return fold
+
+    bit_terms = []
+    for j in range(bits):
+        contrib = F.aggregate(toks, F.lit(0), bit_folder(j))
+        bit_terms.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bit_terms)
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 16
+) -> DataFrame:
+    return df.select(F.col(id_col), simhash_bits(F.col(text_col), bits).alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Pairs (a < b) with cosine ≥ threshold.
+
+    Local/small-SF: broadcast self-join (n² scored JVM-side).  At 100 TB,
+    bucket by sign-bit LSH first (similarity.sign_bucket) and join on the
+    bucket to keep the cross product banded.
+    """
+    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .where(F.col("cos") >= threshold)
+        .select(F.col("a").alias("vec_id_a"), F.col("b").alias("vec_id_b"), "cos")
+    )

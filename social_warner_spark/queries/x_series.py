@@ -1,0 +1,252 @@
+"""X-series — training-data pipeline extensions beyond SURVEY §2.d's core.
+
+Every query here is still deterministic and DuckDB-oracle-able: the MinHash
+signatures use lexicographic md5 minima (no RNG), simhash uses md5 nibble
+bits, the bucketed ANN uses axis-hyperplane sign buckets.  The genuinely
+approximate properties (LSH recall) are tolerance-tested in
+tests/test_extensions.py against the exact L-series anchors.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from social_warner_spark.functions.text import (
+    BPE_TOKEN_RE,
+    LANG_MARKERS,
+    fingerprint,
+    quality_score,
+    token_count_bpe,
+    token_count_ws,
+    tokens,
+)
+from social_warner_spark.operators.dedup import (
+    minhash_signatures,
+    simhash_fingerprints,
+    embedding_neardup_pairs,
+)
+from social_warner_spark.operators.similarity import cosine_topk_bucketed
+from social_warner_spark.queries.common import T, r6
+
+MINHASHES = 8
+EMBED_NEARDUP_TAU = 0.9
+ANN_PLANES = 4
+ANN_PROBES = 10
+ANN_K = 5
+
+
+def x1_minhash_signatures(spark, sf_dir):
+    """Deterministic MinHash signatures (first 8 hash slots) per doc."""
+    return minhash_signatures(T(spark, sf_dir, "documents"), num_hashes=MINHASHES)
+
+
+def x2_simhash(spark, sf_dir):
+    """16-bit deterministic simhash fingerprint per doc."""
+    return simhash_fingerprints(T(spark, sf_dir, "documents"))
+
+
+def x3_lang_id(spark, sf_dir):
+    """Stopword-marker language ID: argmax marker-hit ratio, 'und' if no
+    marker seen.  Ties broken by language code order (deterministic)."""
+    d = T(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.greatest(F.size(t), F.lit(1))
+    scores = {
+        lg: F.size(F.filter(t, lambda x: x.isin(*LANG_MARKERS[lg]))) / n
+        for lg in sorted(LANG_MARKERS)
+    }
+    best = None
+    for lg in sorted(LANG_MARKERS):  # left fold → first max wins (lexic. tie-break)
+        cur = F.struct(scores[lg].alias("score"), F.lit(lg).alias("lg"))
+        best = cur if best is None else F.when(cur["score"] > best["score"], cur).otherwise(best)
+    return d.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lg"]).otherwise(F.lit("und")).alias("pred_lang"),
+        r6(best["score"]).alias("marker_ratio"),
+    )
+
+
+def x4_quality(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def x5_token_counts(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws_tokens"),
+        token_count_bpe(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+def x6_fingerprint(spark, sf_dir):
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp64"))
+
+
+def x7_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ 0.9)."""
+    return embedding_neardup_pairs(T(spark, sf_dir, "embeddings"), EMBED_NEARDUP_TAU)
+
+
+def x8_ann_bucketed(spark, sf_dir):
+    """Sign-bit LSH bucketed ANN for probes vec_id < 10 (scale path of l3)."""
+    emb = T(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < ANN_PROBES)
+    return cosine_topk_bucketed(emb, probes, k=ANN_K, planes=ANN_PLANES)
+
+
+def x9_multimodal_binary(spark, sf_dir):
+    """Opaque-binary column plumbing: treat text payload as bytes; compute
+    byte length + content digest.  (Real image/audio decode is stubbed —
+    see operators/multimodal.py — but the schema/UDF path is identical.)"""
+    d = T(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+    )
+
+
+QUERIES = {
+    "x1_minhash_signatures": x1_minhash_signatures,
+    "x2_simhash": x2_simhash,
+    "x3_lang_id": x3_lang_id,
+    "x4_quality": x4_quality,
+    "x5_token_counts": x5_token_counts,
+    "x6_fingerprint": x6_fingerprint,
+    "x7_embed_neardup": x7_embed_neardup,
+    "x8_ann_bucketed": x8_ann_bucketed,
+    "x9_multimodal_binary": x9_multimodal_binary,
+}
+
+_SHINGLES = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    )
+"""
+
+_MH_COLS = ",\n               ".join(
+    f"MIN(md5('{i}|' || shingle)) AS mh_{i}" for i in range(MINHASHES)
+)
+
+_LANGS = sorted(LANG_MARKERS)
+
+
+def _lang_score_sql(lg: str) -> str:
+    in_list = ", ".join(f"'{w}'" for w in LANG_MARKERS[lg])
+    return (
+        f"len(list_filter(string_split(text, ' '), x -> x IN ({in_list})))"
+        f" / GREATEST(len(string_split(text, ' ')), 1)"
+    )
+
+
+_BEST_EXPR = "s_" + _LANGS[0]
+_BEST_LG = f"'{_LANGS[0]}'"
+for _lg in _LANGS[1:]:
+    _BEST_LG = f"CASE WHEN s_{_lg} > {_BEST_EXPR} THEN '{_lg}' ELSE {_BEST_LG} END"
+    _BEST_EXPR = f"GREATEST({_BEST_EXPR}, s_{_lg})"
+
+ORACLES = {
+    "x1_minhash_signatures": _SHINGLES
+    + f"""
+        SELECT doc_id,
+               {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    """,
+    "x2_simhash": """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS t
+            FROM documents
+        ), bits AS (
+            SELECT doc_id, j,
+                   SUM(CASE WHEN substr(md5(t), j + 1, 1) >= '8' THEN 1 ELSE -1 END) AS s
+            FROM tok, UNNEST(range(0, 16)) AS u(j)
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+        FROM bits GROUP BY doc_id
+    """,
+    "x3_lang_id": (
+        "WITH scored AS (SELECT doc_id, "
+        + ", ".join(f"{_lang_score_sql(lg)} AS s_{lg}" for lg in _LANGS)
+        + " FROM documents) SELECT doc_id, "
+        + f"CASE WHEN {_BEST_EXPR} > 0 THEN {_BEST_LG} ELSE 'und' END AS pred_lang, "
+        + f"ROUND({_BEST_EXPR}, 6) AS marker_ratio FROM scored"
+    ),
+    "x4_quality": """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS n,
+                   text
+            FROM documents
+        )
+        SELECT doc_id,
+               ROUND(
+                 0.5 * LEAST(n / 200.0, 1.0)
+               + 0.3 * (1.0 - LEAST(ABS(length(regexp_replace(text, '\\s+', '', 'g')) / GREATEST(n, 1.0) - 5.0) / 5.0, 1.0))
+               + 0.2 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                              / GREATEST(CAST(length(text) AS DOUBLE), 1.0)),
+               6) AS quality
+        FROM base
+    """,
+    "x5_token_counts": f"""
+        SELECT doc_id,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS INT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "x6_fingerprint": """
+        SELECT doc_id,
+               substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fp64
+        FROM documents
+    """,
+    "x7_embed_neardup": f"""
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+               ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+                     6) >= {EMBED_NEARDUP_TAU}
+    """,
+    "x8_ann_bucketed": f"""
+        WITH bucketed AS (
+            SELECT vec_id, embedding,
+                   (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END
+                 || CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END
+                 || CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END
+                 || CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bk
+            FROM embeddings
+        ), scored AS (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   ROUND(list_dot_product(p.embedding::DOUBLE[], c.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+                         6) AS cos
+            FROM bucketed p JOIN bucketed c ON p.bk = c.bk AND p.vec_id != c.vec_id
+            WHERE p.vec_id < {ANN_PROBES}
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                              ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+            FROM scored
+        )
+        SELECT probe_id, neighbor_id, cos, rk FROM ranked WHERE rk <= {ANN_K}
+    """,
+    "x9_multimodal_binary": """
+        SELECT doc_id,
+               CAST(strlen(text) AS INT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents
+    """,
+}
