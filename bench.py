@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is executed to completion with a count() action (forces full
+evaluation without driver-side result materialization costs dominating).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from social_warner_spark.session import get_spark  # noqa: E402
+from social_warner_spark.queries import all_queries  # noqa: E402
+
+#: Headline set: one per operator family, weighted toward scale-sensitive
+#: plans (joins, aggs, windows, shuffles, dedup, similarity).
+HEADLINE = [
+    "r6_in_between_agg",     # filtered grouped agg (pushdown + partial agg)
+    "c1_scan_filter",        # scan + pushed predicate
+    "c2_inner_join",         # broadcast hash join
+    "c3_star_join",          # multi-way star join + agg
+    "c7_range_join",         # non-equi self join
+    "c8_hash_agg",           # TPC-H Q1 shape
+    "c13_ranking_windows",   # window ranking (shuffle + sort)
+    "c23_explode_wordcount", # generator + agg + top-k
+    "s1_tumbling",           # time-window agg
+    "s3_session",            # session windows
+    "l1_exact_dedup",        # hash dedup
+    "l2_jaccard_pairs",      # shingle self-join (heaviest)
+    "l3_topk_cosine",        # brute-force vector scoring
+    "x8_ann_bucketed",       # LSH-bucketed ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="sws-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    # Warm the JVM/session with one tiny action so startup cost isn't
+    # attributed to the first query.
+    spark.range(1).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        queries[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the input to Jaccard and MinHash."""
+    """(id, shingle) distinct pairs — the input to Jaccard and MinHash.
+
+    Tokenization is staged into its own projection so the shingle lambda
+    operates on a bound array column (see shingles_from_tokens perf note).
+    """
+    from social_warner_spark.functions.text import shingles_from_tokens
+
+    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
     return (
-        df.select(F.col(id_col), F.explode(word_shingles(F.col(text_col), n)).alias("shingle"))
+        staged.select(
+            F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
+        )
         .distinct()
     )
 
@@ -69,8 +78,13 @@ def exact_jaccard_pairs(
     shingle; hot shingles are the skew risk — at scale drop ultra-frequent
     shingles first, a standard trick) → count shared per pair → join per-doc
     sizes (broadcastable) → J = shared / (|A|+|B|-shared).
+
+    The shingle relation is consumed three times (both join sides + sizes);
+    persisting it turns three explode+distinct recomputations into one.
+    At cluster scale the equivalent is staging it to a temp table —
+    the lineage cut matters more than the storage level.
     """
-    sh = doc_shingles(df, text_col, id_col, n)
+    sh = doc_shingles(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.toDF("a", "shingle")
     b = sh.toDF("b", "shingle")
