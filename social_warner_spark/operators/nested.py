@@ -70,8 +70,10 @@ def _lambda_free_key(c: Column) -> Column:
 
 def distinct_map_keys(df: DataFrame, map_col: str) -> list[str]:
     """Pass 1 of the dynamic pivot: bounded driver-side key discovery."""
+    from social_warner_spark.operators.transforms import qcol
+
     rows = (
-        df.select(F.explode(F.map_keys(F.col(map_col))).alias("k"))
+        df.select(F.explode(F.map_keys(qcol(map_col))).alias("k"))
         .distinct()
         .limit(MAX_PIVOT_KEYS + 1)
         .collect()
@@ -91,9 +93,12 @@ def dynamic_pivot_map(
 
     Pass `keys` explicitly to skip discovery (e.g. schema known from config).
     """
+    from social_warner_spark.operators.transforms import qcol
+
     if keys is None:
         keys = distinct_map_keys(df, map_col)
     others = [c for c in df.columns if c != map_col or not drop_source]
     return df.select(
-        *others, *[F.col(map_col).getItem(k).alias(k) for k in keys]
+        *[qcol(c).alias(c) for c in others],
+        *[qcol(map_col).getItem(k).alias(k) for k in keys],
     )

@@ -18,6 +18,13 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 
+def qcol(name: str) -> Column:
+    """Column reference that tolerates dots in the name (reference columns
+    are dotted, e.g. `lfm.fact.date_str`); backtick-quoted so Spark does not
+    parse the dots as struct-field access."""
+    return F.col(f"`{name}`")
+
+
 def scrub_sentinel_rows(df: DataFrame, sentinel: str = "unauthorized") -> DataFrame:
     """Drop rows where ANY string column equals `sentinel`.
 
@@ -30,7 +37,7 @@ def scrub_sentinel_rows(df: DataFrame, sentinel: str = "unauthorized") -> DataFr
     string_cols = [c for c, t in df.dtypes if t == "string"]
     if not string_cols:
         return df
-    hit = reduce(or_, [F.col(c) == F.lit(sentinel) for c in string_cols])
+    hit = reduce(or_, [qcol(c) == F.lit(sentinel) for c in string_cols])
     # coalesce(hit, false): NULL columns must not drop the row (pandas isin
     # treats NaN as non-match).
     return df.filter(~F.coalesce(hit, F.lit(False)))
@@ -41,7 +48,7 @@ def project_columns(df: DataFrame, columns: Iterable[str]) -> DataFrame:
 
     Catalyst column pruning pushes this into the scan's ReadSchema.
     """
-    return df.select(*columns)
+    return df.select(*[qcol(c).alias(c) for c in columns])
 
 
 #: config dtype → (spark type, fill value) per the reference cast table
@@ -69,12 +76,12 @@ def cast_with_fill(df: DataFrame, dtype_map: Mapping[str, str]) -> DataFrame:
     for name in df.columns:
         dtype = dtype_map.get(name)
         if dtype is None:
-            exprs.append(F.col(name))
+            exprs.append(qcol(name))
             continue
         if dtype not in _CAST_RULES:
             raise ValueError(f"unsupported config dtype {dtype!r} for column {name!r}")
         spark_type, fill = _CAST_RULES[dtype]
-        casted = F.col(name).try_cast(spark_type)
+        casted = qcol(name).try_cast(spark_type)
         if fill is not None:
             casted = F.coalesce(casted, F.lit(fill).cast(spark_type))
         exprs.append(casted.alias(name))
@@ -88,7 +95,7 @@ def format_date_columns(
     out = df
     for c in columns:
         if c in out.columns:
-            out = out.withColumn(c, F.date_format(F.col(c), fmt))
+            out = out.withColumn(c, F.date_format(qcol(c), fmt))
     return out
 
 

@@ -1,0 +1,120 @@
+"""End-to-end config-driven ETL pipeline tests over reference-shaped
+fixtures (FIXTURES.md §A)."""
+
+from __future__ import annotations
+
+import pytest
+
+import pyspark.sql.functions as F
+
+from social_warner_spark.config import parse_config, parse_config_document
+from social_warner_spark.pipeline import run_configs, transform_config_frame
+
+CONFIG_DOC = {
+    "dataset_id": "dataset_content_warner",
+    "metrics": {"metric.impressions": "int64", "metric.engagement_rate": "float64"},
+    "group_by": {"lfm.fact.date_str": "datetime64[ns]", "lfm.post.channel": "string"},
+    "meta_dimensions": {"lfm.brand.name": "string", "lfm.content.tags": "string"},
+    "brands": [101, 102, 103],
+}
+
+
+def _raw_fixture(spark):
+    """ListenFirst-shaped raw page rows, incl. every transform edge case."""
+    rows = [
+        # date_str, channel, brand, tags, impressions, engagement
+        ("2024-01-05", "yt", "acme", ["genre: drama", "genre: comedy", "lang: en"], "1200", "0.35"),
+        ("2024-01-06", "tw", "acme", ["untagged"], "bad", None),
+        ("2024-01-07", "ig", "unauthorized", ["genre: news"], "77", "0.1"),  # scrubbed
+        ("not-a-date", "pin", "zenith", None, None, "junk"),
+        ("2024-01-08", "fb", "zenith", [], "42", "2.5"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "`lfm.fact.date_str` string, `lfm.post.channel` string, "
+        "`lfm.brand.name` string, `lfm.content.tags` array<string>, "
+        "`metric.impressions` string, `metric.engagement_rate` string",
+    ).withColumn("extra_column_to_prune", F.lit("x"))
+
+
+def test_config_validation_missing_field():
+    doc = {k: v for k, v in CONFIG_DOC.items() if k != "brands"}
+    with pytest.raises(ValueError, match="missing required field.*brands"):
+        parse_config("cfg1", doc)
+
+
+def test_config_validation_bad_dtype():
+    doc = dict(CONFIG_DOC, metrics={"m": "int32"})
+    with pytest.raises(ValueError, match="unsupported dtype"):
+        parse_config("cfg1", doc)
+
+
+def test_config_document_roundtrip():
+    import json
+
+    cfgs = parse_config_document(json.dumps({"cfg1": CONFIG_DOC}))
+    cfg = cfgs["cfg1"]
+    assert cfg.is_content_dataset
+    assert cfg.sink_table_name == "010_warner_dl_lf_cfg1"
+    assert cfg.columns[0] == "lfm.fact.date_str"
+
+
+def test_transform_config_frame_end_to_end(spark):
+    cfg = parse_config("cfg1", CONFIG_DOC)
+    out = transform_config_frame(_raw_fixture(spark), cfg)
+    # sanitize applied, pivot exploded tags into dynamic columns
+    assert "lfm&fact&date_str" in out.columns
+    assert "lfm&content&tags&genre" in out.columns
+    assert "lfm&content&tags&lang" in out.columns
+    assert "extra_column_to_prune" not in out.columns
+    rows = {r["lfm&post&channel"]: r for r in out.collect()}
+    assert "ig" not in rows  # 'unauthorized' row scrubbed
+    yt = rows["yt"]
+    assert yt["lfm&fact&date_str"] == "2024-01-05"
+    assert yt["metric&impressions"] == 1200
+    assert yt["lfm&content&tags&genre"] == "drama//comedy"  # dup-key join
+    tw = rows["tw"]
+    assert tw["metric&impressions"] == 0          # 'bad' → 0
+    assert tw["metric&engagement_rate"] == 0.0    # null → 0.0
+    assert tw["lfm&content&tags&untitled"] == "untagged"
+    pin = rows["pin"]
+    assert pin["lfm&fact&date_str"] is None  # invalid date → NULL, row kept
+    fb = rows["fb"]
+    assert fb["lfm&content&tags&genre"] is None   # empty tag list → all-null pivots
+
+
+def test_run_configs_isolation_and_skip(spark):
+    cfg_ok = parse_config("ok", CONFIG_DOC)
+    cfg_empty = parse_config("empty", CONFIG_DOC)
+    cfg_boom = parse_config("boom", CONFIG_DOC)
+    loads: dict[str, int] = {}
+
+    def extract(cfg):
+        if cfg.config_id == "empty":
+            return None
+        if cfg.config_id == "boom":
+            raise RuntimeError("api down")
+        return _raw_fixture(spark)
+
+    def load(df, cfg):
+        n = df.count()
+        loads[cfg.config_id] = n
+        return n
+
+    results = run_configs(
+        {"ok": cfg_ok, "empty": cfg_empty, "boom": cfg_boom}, extract, load
+    )
+    statuses = {r.config_id: r.status for r in results}
+    assert statuses == {"ok": "loaded", "empty": "skipped_empty", "boom": "failed"}
+    assert loads == {"ok": 4}
+
+
+def test_run_configs_reports_filter(spark):
+    cfg = parse_config("only", CONFIG_DOC)
+    results = run_configs(
+        {"only": cfg, "other": cfg},
+        extract=lambda c: _raw_fixture(spark),
+        load=lambda df, c: df.count(),
+        reports_filter=["only"],
+    )
+    assert [r.config_id for r in results] == ["only"]

@@ -1,0 +1,41 @@
+"""Sink semantics: dispositions, schema evolution, empty guard (A14/A15)."""
+
+from __future__ import annotations
+
+import pytest
+
+from social_warner_spark.sinks import WriteDisposition, write_table
+from social_warner_spark.sinks.writers import read_table
+
+
+def test_truncate_then_append_and_field_addition(spark, tmp_path):
+    target = str(tmp_path / "t1")
+    b1 = spark.createDataFrame([(1, "a")], "id long, x string")
+    assert write_table(b1, target, WriteDisposition.WRITE_TRUNCATE) == 1
+
+    # append a batch WITH A NEW COLUMN → field addition on read via mergeSchema
+    b2 = spark.createDataFrame([(2, "b", 9.5)], "id long, x string, score double")
+    assert write_table(b2, target, WriteDisposition.WRITE_APPEND) == 1
+
+    merged = read_table(spark, target)
+    assert set(merged.columns) == {"id", "x", "score"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+
+    # truncate replaces everything
+    b3 = spark.createDataFrame([(7, "z")], "id long, x string")
+    write_table(b3, target, "WRITE_TRUNCATE")
+    assert [r.id for r in read_table(spark, target).collect()] == [7]
+
+
+def test_empty_input_guard(spark, tmp_path):
+    empty = spark.createDataFrame([], "id long")
+    with pytest.raises(ValueError, match="no rows to load"):
+        write_table(empty, str(tmp_path / "t2"))
+
+
+def test_bigquery_gated(spark):
+    from social_warner_spark.sinks import bigquery_available
+
+    # connector jar is absent in this environment; the probe must not raise
+    assert bigquery_available(spark) is False
