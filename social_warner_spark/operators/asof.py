@@ -1,0 +1,73 @@
+"""As-of join — for each left row, the latest right row with
+right.ts <= left.ts, per key (the standard time-series enrichment join;
+neither the reference nor vanilla Spark has it as a primitive).
+
+Implementation is the union-and-carry-forward pattern, which scales:
+tag both sides, union, then one window sorted by (key, ts) carries the
+most recent right-row values forward onto left rows.  Cost = ONE shuffle
+on the key + a per-partition sort — same as a sort-merge join, with no
+range-explosion risk (a naive range join between ts and ts-lookback is
+quadratic in dense keys).
+
+Tie semantics: right.ts == left.ts matches (<=), and right rows order
+before left rows at equal ts via a side tag sort key.  NULL right values
+are bridged with last_value(ignoreNulls) — gaps carry the previous
+observation, matching ASOF JOIN semantics in DuckDB/kdb.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row, plus the most recent right values.
+
+    `value_cols`: right columns to carry (default: all except key/ts).
+    Carried columns are renamed with `suffix`.
+    """
+    if value_cols is None:
+        value_cols = [c for c in right.columns if c not in (on, right_ts)]
+
+    l_tag = left.select(
+        F.col(on),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),  # left sorts after right at equal ts
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in value_cols],
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            l_tag.schema["_lrow"].dataType.simpleString()
+        ).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "_lrow",
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    ).where(F.col("_lrow").isNotNull())
+    return carried.select(
+        *[F.col(f"_lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"{c}{suffix}") for c in value_cols],
+    )

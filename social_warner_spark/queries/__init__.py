@@ -15,9 +15,16 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from social_warner_spark.queries import c_series, l_series, r_series, s_series, x_series
+from social_warner_spark.queries import (
+    c_series,
+    l_series,
+    r_series,
+    s_series,
+    x2_series,
+    x_series,
+)
 
-_SERIES = (r_series, c_series, s_series, l_series, x_series)
+_SERIES = (r_series, c_series, s_series, l_series, x_series, x2_series)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,96 @@
+"""Second extension batch: as-of join, UDAF surface, exact percentiles.
+
+Split from x_series.py only to keep modules reviewable; registered through
+queries/__init__ like every other series.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+
+from social_warner_spark.operators.asof import asof_join
+from social_warner_spark.queries.common import T, TS_FMT_MICRO_DUCK, TS_FMT_MICRO_SPARK, r6
+
+
+def x10_asof_join(spark, sf_dir):
+    """As-of join: for each 'click' event, the most recent 'purchase' value
+    by the same user at or before the click (union-and-carry-forward plan;
+    see operators/asof.py).  Oracle: DuckDB's native ASOF JOIN."""
+    e = T(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    joined = asof_join(clicks, purchases, on="user_id", value_cols=["purchase_value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", TS_FMT_MICRO_SPARK).alias("click_ts"),
+        F.col("purchase_value_asof").alias("last_purchase_value"),
+    )
+
+
+def x11_grouped_pandas_udaf(spark, sf_dir):
+    """UDAF surface: quantity-weighted average price per return flag as an
+    Arrow grouped-agg pandas UDF (the sanctioned custom-aggregate path —
+    partial aggregation is not available to Python UDAFs, so groups ship
+    whole; keep cardinality high / groups bounded at scale)."""
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(wavg("l_extendedprice", "l_quantity")).alias("weighted_avg_price")
+    )
+
+
+def x12_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (the anchor for approx_percentile,
+    which is tolerance-tested in tests/test_approx.py)."""
+    li = T(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return li.groupBy("l_returnflag").agg(
+        r6(F.element_at(pct, 1)).alias("p25"),
+        r6(F.element_at(pct, 2)).alias("p50"),
+        r6(F.element_at(pct, 3)).alias("p75"),
+    )
+
+
+QUERIES = {
+    "x10_asof_join": x10_asof_join,
+    "x11_grouped_pandas_udaf": x11_grouped_pandas_udaf,
+    "x12_percentiles": x12_percentiles,
+}
+
+ORACLES = {
+    "x10_asof_join": f"""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts, value AS purchase_value FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT c.event_id, c.user_id,
+               strftime(c.ts, '{TS_FMT_MICRO_DUCK}') AS click_ts,
+               p.purchase_value AS last_purchase_value
+        FROM clicks c ASOF LEFT JOIN purchases p
+          ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    "x11_grouped_pandas_udaf": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+                   AS weighted_avg_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "x12_percentiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+        FROM lineitem GROUP BY l_returnflag
+    """,
+}

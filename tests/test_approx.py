@@ -1,0 +1,52 @@
+"""Tolerance checks for approximate aggregates against exact anchors
+(SURVEY.md §2.d: approximate ops are tolerance-checked, not hash-matched)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from social_warner_spark.catalog import load_table
+
+
+def test_approx_count_distinct_tolerance(spark, sf_correct):
+    o = load_table(spark, sf_correct, "orders")
+    exact = o.select(F.countDistinct("o_custkey")).first()[0]
+    approx = o.select(F.approx_count_distinct("o_custkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd
+
+
+def test_approx_percentile_tolerance(spark, sf_correct):
+    li = load_table(spark, sf_correct, "lineitem")
+    row = li.select(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("approx"),
+    ).first()
+    assert abs(row.approx - row.exact) / row.exact < 0.01
+
+
+def test_asof_join_no_earlier_right_rows_is_null(spark):
+    from social_warner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:05"), (2, 10, "2024-01-01 00:00:01")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(10, "2024-01-01 00:00:03", 99.0)],
+        "user_id long, ts_s string, v double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    out = {r.event_id: r.v_asof for r in asof_join(left, right, "user_id").collect()}
+    assert out[1] == 99.0  # right row at 00:03 <= left 00:05
+    assert out[2] is None  # no right row at/before 00:01
+
+
+def test_asof_join_equal_ts_matches(spark):
+    from social_warner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 5, "2024-01-01 00:00:03")],
+        "event_id long, user_id long, ts_s string"
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame([(5, "2024-01-01 00:00:03", 7.5)],
+        "user_id long, ts_s string, v double"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    assert asof_join(left, right, "user_id").first().v_asof == 7.5
