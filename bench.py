@@ -48,9 +48,15 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     queries = all_queries()
 
-    # Warm the JVM/session with one tiny action so startup cost isn't
-    # attributed to the first query.
+    # Warm the JVM/session and touch every table's footer+data once so the
+    # first timed query measures query execution, not first-file-open and
+    # codegen warmup (steady-state semantics; files are page-cached on any
+    # second touch in production too).
     spark.range(1).count()
+    from social_warner_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,65 @@
+"""Property-based spot checks (SURVEY.md §5 item 5): random predicates and
+group-bys over the star schema, each oracled by DuckDB automatically.
+
+Complements the fixed declared-query set: these sample the (filter × agg ×
+group-by) space the fixed queries can't enumerate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+import pyspark.sql.functions as F
+
+from social_warner_spark.catalog import load_table
+from tests.oracle_harness import compare, duck_connection
+
+NUM_COLS = ["o_totalprice", "o_orderkey", "o_custkey"]
+GROUP_COLS = ["o_orderstatus", "o_orderpriority"]
+OPS = ["<", ">=", "="]
+
+
+pred = st.tuples(
+    st.sampled_from(["o_totalprice", "o_custkey"]),
+    st.sampled_from(OPS),
+    st.integers(min_value=0, max_value=300000),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    p=pred,
+    group=st.sampled_from(GROUP_COLS),
+    measure=st.sampled_from(NUM_COLS),
+)
+def test_random_filter_group_agg(spark, sf_smoke, p, group, measure):
+    col, op, lit = p
+    ev = load_table(spark, sf_smoke, "orders")
+    cond = {"<": F.col(col) < lit, ">=": F.col(col) >= lit, "=": F.col(col) == lit}[op]
+    sdf = (
+        ev.where(cond)
+        .groupBy(group)
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum(measure), 2).alias("s"),
+            F.round(F.min(measure), 6).alias("mn"),
+            F.round(F.max(measure), 6).alias("mx"),
+        )
+    )
+    sql = f"""
+        SELECT {group}, COUNT(*) AS cnt, ROUND(SUM({measure}), 2) AS s,
+               ROUND(MIN({measure}), 6) AS mn, ROUND(MAX({measure}), 6) AS mx
+        FROM orders WHERE {col} {op} {lit} GROUP BY {group}
+    """
+    con = duck_connection(sf_smoke)
+    try:
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+    ok, msg = compare(sdf, ddf)
+    assert ok, f"{col} {op} {lit} group {group} measure {measure}: {msg}"
