@@ -60,10 +60,28 @@ def x12_percentiles(spark, sf_dir):
     )
 
 
+def x13_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): totals by status, by
+    priority, and overall, in one aggregation pass (SQL surface)."""
+    from social_warner_spark.catalog import load_table
+
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS sum_totalprice,
+               COUNT(*) AS cnt
+        FROM _orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
 QUERIES = {
     "x10_asof_join": x10_asof_join,
     "x11_grouped_pandas_udaf": x11_grouped_pandas_udaf,
     "x12_percentiles": x12_percentiles,
+    "x13_grouping_sets": x13_grouping_sets,
 }
 
 ORACLES = {
@@ -92,5 +110,12 @@ ORACLES = {
                ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
                ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "x13_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               ROUND(SUM(o_totalprice), 2) AS sum_totalprice,
+               COUNT(*) AS cnt
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
 }

@@ -1,0 +1,54 @@
+"""Physical-plan regression tests: pin the scale-critical plan properties
+so a refactor that silently loses pushdown/broadcast/top-k-pushdown fails CI.
+(These mirror the PERF.md audit.)"""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from social_warner_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf, name: str) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        QUERIES[name](spark, sf).explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_filter_pushdown(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "c1_scan_filter")
+    assert "PushedFilters: [" in p and "GreaterThan(l_quantity,30.0)" in p
+    # column pruning: only the 5 needed columns reach the scan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double" in p
+
+
+def test_in_between_pushdown(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "r6_in_between_agg")
+    assert "In(l_returnflag, [A,R])" in p
+
+
+def test_dim_joins_broadcast(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "c3_star_join")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in p
+
+
+def test_hash_agg_partial_final(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "c8_hash_agg")
+    assert p.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_avoids_global_sort(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "c16_topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_vector_topk_rank_pushdown(spark, sf_smoke):
+    p = plan_of(spark, sf_smoke, "l3_topk_cosine")
+    assert "WindowGroupLimit" in p  # rank-limit pushed below the window
