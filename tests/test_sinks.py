@@ -34,6 +34,29 @@ def test_empty_input_guard(spark, tmp_path):
         write_table(empty, str(tmp_path / "t2"))
 
 
+def test_partitioned_write_enables_partition_pruning(spark, tmp_path):
+    """The 100 TB layout contract (PERF.md): facts partitioned by date →
+    date filters become partition pruning, not data scans."""
+    import io, contextlib
+    import pyspark.sql.functions as F
+    from social_warner_spark.catalog import load_table
+
+    target = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    write_table(ev, target, WriteDisposition.WRITE_TRUNCATE, partition_by=["day"])
+
+    df = spark.read.parquet(target).where(F.col("day") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "2024-01-05" in plan
+    # pruned read returns only that day's rows
+    assert df.count() == ev.where(F.col("day") == "2024-01-05").count() > 0
+
+
 def test_bigquery_gated(spark):
     from social_warner_spark.sinks import bigquery_available
 
