@@ -77,11 +77,35 @@ def x13_grouping_sets(spark, sf_dir):
     )
 
 
+def x14_time_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup (continuous-aggregate
+    pattern): hour and day buckets in one result, tagged by granularity.
+    At scale each granularity materializes incrementally from the finer
+    one; here both derive from the same scan and union cheaply."""
+    e = T(spark, sf_dir, "events")
+
+    def bucketed(gran: str, trunc_unit: str):
+        return (
+            e.groupBy(F.date_trunc(trunc_unit, "ts").alias("bucket"), "event_type")
+            .agg(r6(F.sum("value")).alias("sum_value"), F.count("*").alias("cnt"))
+            .select(
+                F.lit(gran).alias("granularity"),
+                F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+                "event_type",
+                "sum_value",
+                "cnt",
+            )
+        )
+
+    return bucketed("hour", "hour").unionByName(bucketed("day", "day"))
+
+
 QUERIES = {
     "x10_asof_join": x10_asof_join,
     "x11_grouped_pandas_udaf": x11_grouped_pandas_udaf,
     "x12_percentiles": x12_percentiles,
     "x13_grouping_sets": x13_grouping_sets,
+    "x14_time_rollup": x14_time_rollup,
 }
 
 ORACLES = {
@@ -117,5 +141,16 @@ ORACLES = {
                COUNT(*) AS cnt
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "x14_time_rollup": """
+        SELECT 'hour' AS granularity,
+               strftime(DATE_TRUNC('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type, ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS cnt
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day' AS granularity,
+               strftime(DATE_TRUNC('day', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+               event_type, ROUND(SUM(value), 6) AS sum_value, COUNT(*) AS cnt
+        FROM events GROUP BY 2, 3
     """,
 }
