@@ -41,6 +41,30 @@ SQL_QUERIES: dict[str, str] = {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
     """,
+    # TPC-H Q4 shape (order priority checking: EXISTS subquery)
+    "q4_order_priority": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (
+                SELECT 1 FROM lineitem
+                WHERE l_orderkey = o.o_orderkey
+                  AND l_shipdate > o.o_orderdate
+          )
+        GROUP BY o_orderpriority
+    """,
+    # TPC-H Q17 shape (small-quantity revenue: correlated scalar subquery)
+    "q17_small_quantity_revenue": """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem l
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = (SELECT MIN(p_brand) FROM part)
+          AND l_quantity < (
+                SELECT 0.2 * AVG(l_quantity) FROM lineitem
+                WHERE l_partkey = l.l_partkey
+          )
+    """,
     # TPC-H Q5 shape (local supplier volume by nation)
     "q5_local_supplier_volume": """
         SELECT n_name,
