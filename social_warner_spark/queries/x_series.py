@@ -110,8 +110,26 @@ def x9_multimodal_binary(spark, sf_dir):
     )
 
 
+def x15_minhash_lsh_pairs(spark, sf_dir):
+    """Full MinHash+LSH near-dup pipeline: deterministic signatures → band
+    bucketing → candidate equi-join → exact-Jaccard verification.  Because
+    the signatures are md5-lexicographic minima (no RNG), even the LSH
+    banding is reproducible in SQL — the whole approximate pipeline is
+    oracle-checked end to end (recall against plain l2 is tested separately)."""
+    from social_warner_spark.operators.dedup import minhash_neardup_pairs
+
+    return minhash_neardup_pairs(
+        T(spark, sf_dir, "documents"),
+        threshold=0.5,
+        num_hashes=8,
+        bands=4,
+        rows_per_band=2,
+    )
+
+
 QUERIES = {
     "x1_minhash_signatures": x1_minhash_signatures,
+    "x15_minhash_lsh_pairs": x15_minhash_lsh_pairs,
     "x2_simhash": x2_simhash,
     "x3_lang_id": x3_lang_id,
     "x4_quality": x4_quality,
@@ -153,12 +171,45 @@ for _lg in _LANGS[1:]:
     _BEST_LG = f"CASE WHEN s_{_lg} > {_BEST_EXPR} THEN '{_lg}' ELSE {_BEST_LG} END"
     _BEST_EXPR = f"GREATEST({_BEST_EXPR}, s_{_lg})"
 
+_BANDS_SQL = ",\n                   ".join(
+    f"mh_{2*b} || '#' || mh_{2*b+1} AS band_{b}" for b in range(4)
+)
+_BAND_UNION = "\n            UNION ALL\n".join(
+    f"            SELECT a.doc_id AS da, b.doc_id AS db FROM sigs a "
+    f"JOIN sigs b ON a.band_{b} = b.band_{b} AND a.doc_id < b.doc_id"
+    for b in range(4)
+)
+
 ORACLES = {
     "x1_minhash_signatures": _SHINGLES
     + f"""
         SELECT doc_id,
                {_MH_COLS}
         FROM sh GROUP BY doc_id
+    """,
+    "x15_minhash_lsh_pairs": _SHINGLES
+    + f"""
+        , sigs AS (
+            SELECT doc_id, {_BANDS_SQL}
+            FROM (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id)
+        ), cands AS (
+            SELECT DISTINCT da, db FROM (
+{_BAND_UNION}
+            )
+        ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+        , shared AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT da, db, ROUND(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = da
+            JOIN sizes sb ON sb.doc_id = db
+            WHERE ROUND(shared / (sa.sz + sb.sz - shared), 6) >= 0.5
+        )
+        SELECT c.da AS doc_id_a, c.db AS doc_id_b, e.jaccard
+        FROM cands c JOIN exact e ON e.da = c.da AND e.db = c.db
     """,
     "x2_simhash": """
         WITH tok AS (
