@@ -41,6 +41,42 @@ SQL_QUERIES: dict[str, str] = {
         ORDER BY revenue DESC, o_orderkey
         LIMIT 10
     """,
+    # TPC-H Q6 shape (forecast revenue change: tight scan-side filters)
+    "q6_forecast_revenue": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24
+    """,
+    # TPC-H Q10 shape (returned-item reporting: top-20 customers by lost revenue)
+    "q10_returned_items": """
+        SELECT c_custkey, c_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    # TPC-H Q14 shape (promotion effect: conditional aggregation)
+    "q14_promo_effect": """
+        SELECT ROUND(
+                 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                       / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
     # TPC-H Q4 shape (order priority checking: EXISTS subquery)
     "q4_order_priority": """
         SELECT o_orderpriority, COUNT(*) AS order_count
