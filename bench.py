@@ -38,6 +38,7 @@ HEADLINE = [
     "l2_jaccard_pairs",      # shingle self-join (heaviest)
     "l3_topk_cosine",        # brute-force vector scoring
     "x8_ann_bucketed",       # LSH-bucketed ANN
+    "x16_corpus_prep",       # composite corpus pipeline (gate+dedup+prune)
 ]
 
 

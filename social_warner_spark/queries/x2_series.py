@@ -100,15 +100,68 @@ def x14_time_rollup(spark, sf_dir):
     return bucketed("hour", "hour").unionByName(bucketed("day", "day"))
 
 
+def x16_corpus_prep(spark, sf_dir):
+    """Composite training-corpus prep: quality gate → exact dedup →
+    near-dup prune → per-doc stats (operators/corpus.py)."""
+    from social_warner_spark.operators.corpus import prepare_corpus
+
+    return prepare_corpus(T(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "x10_asof_join": x10_asof_join,
+    "x16_corpus_prep": x16_corpus_prep,
     "x11_grouped_pandas_udaf": x11_grouped_pandas_udaf,
     "x12_percentiles": x12_percentiles,
     "x13_grouping_sets": x13_grouping_sets,
     "x14_time_rollup": x14_time_rollup,
 }
 
+_CORPUS_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, lang, text,
+               CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
+               ROUND(
+                 0.5 * LEAST(CAST(len(string_split(trim(text), ' ')) AS DOUBLE) / 200.0, 1.0)
+               + 0.3 * (1.0 - LEAST(ABS(length(regexp_replace(text, '\\s+', '', 'g'))
+                                        / GREATEST(CAST(len(string_split(trim(text), ' ')) AS DOUBLE), 1.0)
+                                        - 5.0) / 5.0, 1.0))
+               + 0.2 * (1.0 - length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                              / GREATEST(CAST(length(text) AS DOUBLE), 1.0)),
+               6) AS quality
+        FROM documents
+    ), gated AS (
+        SELECT * FROM scored WHERE quality >= 0.3
+    ), survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM gated
+        GROUP BY sha256(lower(trim(text)))
+    ), kept AS (
+        SELECT g.* FROM gated g JOIN survivors s ON g.doc_id = s.doc_id
+    ), toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM kept
+    ), sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ), dropped AS (
+        SELECT DISTINCT db AS doc_id FROM shared
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+        WHERE ROUND(shared / (sa.sz + sb.sz - shared), 6) >= 0.8
+    )
+    SELECT k.doc_id, k.lang, k.n_tokens, k.quality
+    FROM kept k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
 ORACLES = {
+    "x16_corpus_prep": _CORPUS_ORACLE,
     "x10_asof_join": f"""
         WITH clicks AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
