@@ -22,10 +22,20 @@ from social_warner_spark.queries import (
     s_series,
     sql_series,
     x2_series,
+    x3_series,
     x_series,
 )
 
-_SERIES = (r_series, c_series, s_series, l_series, x_series, x2_series, sql_series)
+_SERIES = (
+    r_series,
+    c_series,
+    s_series,
+    l_series,
+    x_series,
+    x2_series,
+    x3_series,
+    sql_series,
+)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

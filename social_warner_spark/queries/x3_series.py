@@ -1,0 +1,118 @@
+"""Third extension batch: RANGE window frames, distribution window
+functions, ordered string aggregation, deterministic sampling."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from social_warner_spark.queries.common import T, r6
+
+
+def x17_range_frame(spark, sf_dir):
+    """RANGE frame (value-bounded, not row-bounded): sum of order totals
+    within 10000 below each order's total, per status.  Value-defined
+    frames are tie-order-insensitive → deterministic without a unique key."""
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        r6(F.sum("o_totalprice").over(w)).alias("nearby_total"),
+        F.count("*").over(w).alias("nearby_cnt"),
+    )
+
+
+def x18_distribution_windows(spark, sf_dir):
+    """ntile / percent_rank / cume_dist / first_value / nth_value over a
+    tie-free total order."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+        F.first_value("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+    )
+
+
+def x19_ordered_string_agg(spark, sf_dir):
+    """Ordered string aggregation + null-handling scalars."""
+    n = T(spark, sf_dir, "nation")
+    agg = (
+        n.groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations"),
+            F.count("*").alias("n_cnt"),
+        )
+    )
+    return agg.select(
+        "n_regionkey",
+        "nations",
+        "n_cnt",
+        F.coalesce(F.nullif(F.col("nations"), F.lit("")), F.lit("none")).alias("nations_nn"),
+    )
+
+
+def x20_deterministic_sample(spark, sf_dir):
+    """Engine-portable deterministic ~1/16 sample: md5 bucket of the key.
+    Unlike rand()/TABLESAMPLE, the same rows are selected by ANY engine —
+    the right primitive for reproducible corpus subsampling at scale."""
+    li = T(spark, sf_dir, "lineitem")
+    bucket = F.substring(
+        F.md5(F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))), 1, 1
+    )
+    return (
+        li.where(bucket == "0")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("cnt"), r6(F.avg("l_quantity")).alias("avg_qty"))
+    )
+
+
+QUERIES = {
+    "x17_range_frame": x17_range_frame,
+    "x18_distribution_windows": x18_distribution_windows,
+    "x19_ordered_string_agg": x19_ordered_string_agg,
+    "x20_deterministic_sample": x20_deterministic_sample,
+}
+
+ORACLES = {
+    "x17_range_frame": """
+        SELECT o_orderkey, o_orderstatus,
+               ROUND(SUM(o_totalprice) OVER w, 6) AS nearby_total,
+               COUNT(*) OVER w AS nearby_cnt
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                     RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+    """,
+    "x18_distribution_windows": """
+        SELECT o_orderkey, o_orderstatus,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+               ROUND(CUME_DIST() OVER w, 6) AS cume,
+               FIRST_VALUE(o_orderkey) OVER w AS first_key,
+               NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+    "x19_ordered_string_agg": """
+        SELECT n_regionkey,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               COUNT(*) AS n_cnt,
+               COALESCE(NULLIF(string_agg(n_name, ',' ORDER BY n_name), ''), 'none') AS nations_nn
+        FROM nation GROUP BY n_regionkey
+    """,
+    "x20_deterministic_sample": """
+        SELECT l_returnflag, COUNT(*) AS cnt, ROUND(AVG(l_quantity), 6) AS avg_qty
+        FROM lineitem
+        WHERE substr(md5(l_orderkey || '#' || l_linenumber), 1, 1) = '0'
+        GROUP BY l_returnflag
+    """,
+}
