@@ -108,6 +108,38 @@ def test_decode_stub_gating():
     assert len(feat) == FEATURE_DIM and all(0 <= x <= 1 for x in feat)
 
 
+def test_resize_images_plumbing(spark, docs):
+    from social_warner_spark.operators.multimodal import resize_images
+
+    src = with_binary_payload(docs.limit(5).withColumnRenamed("doc_id", "item_id"))
+    out = resize_images(src, 16, 8).collect()
+    assert len(out) == 5
+    assert all(len(r.payload) == 16 * 8 for r in out)
+    assert all((r.width, r.height) == (16, 8) for r in out)
+    # gated real path
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        resize_images(src, 16, 8, fake_decode=False).collect()
+
+
+def test_sample_video_frames_plumbing(spark, docs):
+    from social_warner_spark.operators.multimodal import sample_video_frames
+
+    src = with_binary_payload(docs.limit(5).withColumnRenamed("doc_id", "item_id"))
+    out = sample_video_frames(src, every_ms=500, max_frames=4).collect()
+    by_item: dict[int, list] = {}
+    for r in out:
+        by_item.setdefault(r.item_id, []).append(r)
+    assert len(by_item) == 5
+    for frames in by_item.values():
+        assert 1 <= len(frames) <= 4
+        assert [f.frame_index for f in sorted(frames, key=lambda x: x.frame_index)] == list(
+            range(len(frames))
+        )
+        assert all(f.frame_ts_ms == f.frame_index * 500 for f in frames)
+
+
 def test_featurize_binary_mapinpandas(spark, docs):
     src = with_binary_payload(docs.limit(20).withColumnRenamed("doc_id", "item_id"))
     out = featurize_binary(src).collect()
