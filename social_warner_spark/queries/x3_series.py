@@ -76,14 +76,71 @@ def x20_deterministic_sample(spark, sf_dir):
     )
 
 
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def x21_pivot(spark, sf_dir):
+    """Relational PIVOT: order counts per status, one column per priority.
+    Explicit value list → deterministic schema, single-pass aggregation
+    (no value-discovery job)."""
+    o = T(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", PRIORITIES)
+        .count()
+    )
+    renames = {p: f"p{i+1}_cnt" for i, p in enumerate(PRIORITIES)}
+    # absent (status, priority) combos: pivot yields NULL counts → 0
+    return piv.select(
+        "o_orderstatus",
+        *[
+            F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(renames[p])
+            for p in PRIORITIES
+        ],
+    )
+
+
+def x22_unpivot(spark, sf_dir):
+    """UNPIVOT/melt: lineitem measures to (measure, value) long form."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=["l_quantity", "l_discount", "l_tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    ).where(F.col("l_orderkey") < 100)
+
+
 QUERIES = {
     "x17_range_frame": x17_range_frame,
+    "x21_pivot": x21_pivot,
+    "x22_unpivot": x22_unpivot,
     "x18_distribution_windows": x18_distribution_windows,
     "x19_ordered_string_agg": x19_ordered_string_agg,
     "x20_deterministic_sample": x20_deterministic_sample,
 }
 
 ORACLES = {
+    "x21_pivot": """
+        SELECT o_orderstatus,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS p1_cnt,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END), 0) AS BIGINT) AS p2_cnt,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END), 0) AS BIGINT) AS p3_cnt,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END), 0) AS BIGINT) AS p4_cnt,
+               CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END), 0) AS BIGINT) AS p5_cnt
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "x22_unpivot": """
+        SELECT l_orderkey, l_linenumber, measure, value
+        FROM (
+            SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        )
+        WHERE l_orderkey < 100
+    """,
     "x17_range_frame": """
         SELECT o_orderkey, o_orderstatus,
                ROUND(SUM(o_totalprice) OVER w, 6) AS nearby_total,
