@@ -55,9 +55,12 @@ def main() -> None:
     # second touch in production too).
     spark.range(1).count()
     from social_warner_spark.catalog import TABLES, load_table
+    import pyspark.sql.functions as F
 
     for t in TABLES:
-        load_table(spark, sf_dir, t).count()
+        df = load_table(spark, sf_dir, t)
+        # count() alone is metadata-only on parquet; touch real column data
+        df.agg(*[F.count(c) for c in df.columns]).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -41,7 +41,10 @@ def prepare_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kept = gated.join(survivors, "doc_id", "left_semi")
+    # kept feeds three consumers (shingling, sizes, final anti-join output);
+    # persisting cuts the quality-score/regex lineage from being recomputed
+    # per consumer (same reasoning as the shingle persist in dedup.py)
+    kept = gated.join(survivors, "doc_id", "left_semi").persist()
 
     # near-dup prune: drop the b side of every (a < b) pair
     dropped = (

@@ -111,8 +111,22 @@ def x22_unpivot(spark, sf_dir):
     ).where(F.col("l_orderkey") < 100)
 
 
+def x23_stats_agg(spark, sf_dir):
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance (small-magnitude columns so cross-engine single-pass
+    algorithms agree well inside the 6dp rounding grid)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r6(F.var_samp("l_discount")).alias("var_disc"),
+        r6(F.corr("l_quantity", "l_discount")).alias("corr_qd"),
+        r6(F.covar_samp("l_quantity", "l_tax")).alias("cov_qt"),
+    )
+
+
 QUERIES = {
     "x17_range_frame": x17_range_frame,
+    "x23_stats_agg": x23_stats_agg,
     "x21_pivot": x21_pivot,
     "x22_unpivot": x22_unpivot,
     "x18_distribution_windows": x18_distribution_windows,
@@ -121,6 +135,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "x23_stats_agg": """
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+               ROUND(var_samp(l_discount), 6) AS var_disc,
+               ROUND(corr(l_quantity, l_discount), 6) AS corr_qd,
+               ROUND(covar_samp(l_quantity, l_tax), 6) AS cov_qt
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "x21_pivot": """
         SELECT o_orderstatus,
                CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END), 0) AS BIGINT) AS p1_cnt,
