@@ -62,11 +62,14 @@ def main() -> None:
         # count() alone is metadata-only on parquet; touch real column data
         df.agg(*[F.count(c) for c in df.columns]).collect()
 
+    from social_warner_spark.caching import release_persisted_intermediates
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         queries[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        release_persisted_intermediates()  # don't let query N's caches skew query N+1
 
     total = round(sum(timings.values()), 3)
     print(

@@ -41,10 +41,13 @@ def prepare_corpus(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    # kept feeds three consumers (shingling, sizes, final anti-join output);
-    # persisting cuts the quality-score/regex lineage from being recomputed
-    # per consumer (same reasoning as the shingle persist in dedup.py)
-    kept = gated.join(survivors, "doc_id", "left_semi").persist()
+    # kept feeds two consumers (the shingle pipeline and the final
+    # anti-join output); persisting cuts the quality-score/regex lineage
+    # from being recomputed per consumer.  Registered for host-controlled
+    # release (caching.py) since the lineage is baked into the lazy result.
+    from social_warner_spark.caching import register_persisted
+
+    kept = register_persisted(gated.join(survivors, "doc_id", "left_semi").persist())
 
     # near-dup prune: drop the b side of every (a < b) pair
     dropped = (

@@ -82,9 +82,12 @@ def exact_jaccard_pairs(
     The shingle relation is consumed three times (both join sides + sizes);
     persisting it turns three explode+distinct recomputations into one.
     At cluster scale the equivalent is staging it to a temp table —
-    the lineage cut matters more than the storage level.
+    the lineage cut matters more than the storage level.  The persisted
+    handle is registered for host-controlled release (see caching.py).
     """
-    sh = doc_shingles(df, text_col, id_col, n).persist()
+    from social_warner_spark.caching import register_persisted
+
+    sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.toDF("a", "shingle")
     b = sh.toDF("b", "shingle")
