@@ -63,8 +63,16 @@ def transform_config_frame(
     None triggers the bounded two-pass key discovery (SURVEY.md §4.3).
     """
     out = scrub_sentinel_rows(df)
-    keep = [c for c in config.columns if c in out.columns]
-    out = project_columns(out, keep)
+    # Reference `df[columns]` raises KeyError on missing columns
+    # (data_transform.py:31); we fail fast with the missing names (our
+    # documented fail-fast stance replaces its silent raw-frame fallback).
+    missing = [c for c in config.columns if c not in out.columns]
+    if missing:
+        raise ValueError(
+            f"config {config.config_id!r} expects columns absent from the "
+            f"extract: {missing}"
+        )
+    out = project_columns(out, config.columns)
     # The tags array is handled by the nested parse below, never cast:
     # the reference's "string" cast branch only null-fills, it does not
     # stringify list values (data_transform.py:44).

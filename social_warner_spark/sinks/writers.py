@@ -54,14 +54,19 @@ def write_table(
     """Write with reference dispositions; returns row count written.
 
     Raises ValueError on empty input (reference data_load.py:27-33).
-    The count is taken from the same DataFrame before writing — one extra
-    action, mirroring the reference's explicit record count.
+    The row count is captured with the Observation API riding the write
+    action itself — no separate count() scan (the reference's explicit
+    record count, main.py:88-91, for free).
     """
+    from pyspark.sql import Observation
+    import pyspark.sql.functions as F
+
     if isinstance(disposition, str):
         disposition = WriteDisposition(disposition)
     if df.isEmpty():
         raise ValueError("no rows to load (reference raises on empty input)")
-    rows = df.count()
+    obs = Observation()
+    df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
     writer = df.write.mode(disposition.spark_mode)
     if fmt == "bigquery":
         writer = writer.format("bigquery").option(
@@ -79,6 +84,7 @@ def write_table(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.save(path_or_table)
+    rows = int(obs.get["rows"])
     logu.info("sink write complete", target=path_or_table, rows=rows,
               disposition=disposition.value, format=fmt)
     return rows

@@ -109,6 +109,14 @@ def test_run_configs_isolation_and_skip(spark):
     assert loads == {"ok": 4}
 
 
+def test_transform_missing_config_columns_fail_fast(spark):
+    cfg = parse_config(
+        "cfg1", dict(CONFIG_DOC, metrics={"metric.not_in_extract": "int64"})
+    )
+    with pytest.raises(ValueError, match="absent from the extract.*not_in_extract"):
+        transform_config_frame(_raw_fixture(spark), cfg)
+
+
 def test_run_configs_reports_filter(spark):
     cfg = parse_config("only", CONFIG_DOC)
     results = run_configs(
