@@ -52,3 +52,15 @@ def test_topk_avoids_global_sort(spark, sf_smoke):
 def test_vector_topk_rank_pushdown(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "l3_topk_cosine")
     assert "WindowGroupLimit" in p  # rank-limit pushed below the window
+
+
+def test_asof_join_single_shuffle(spark, sf_smoke):
+    """The union-and-carry-forward as-of join must cost exactly one
+    shuffle (on the key) — its whole advantage over a range join."""
+    import re
+
+    p = plan_of(spark, sf_smoke, "x10_asof_join")
+    # one Exchange for the window partitioning; none for a join
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(exchanges) == 1, p
+    assert "Join" not in p
