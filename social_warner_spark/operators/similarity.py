@@ -98,6 +98,114 @@ def cosine_topk_bucketed(
     return _ranked_topk(scored, k)
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign every corpus vector to its nearest centroid by rounded cosine
+    (ties → lowest cluster id).  Centroids are broadcast (nlist is small by
+    construction); the argmax is a per-row reduction over nlist candidates,
+    so the only shuffle is the row_number window on vec_id — and even that
+    collapses to a per-partition map under AQE when nlist ≪ |corpus|.
+    """
+    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cluster"))
+    return (
+        corpus.select(id_col, vec_col)
+        .join(F.broadcast(centroids.select("cluster", F.col("cvec"))), how="cross")
+        .withColumn("ccos", F.round(cosine(F.col(vec_col), F.col("cvec")), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(id_col, vec_col, "cluster")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    nlist: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Deterministic IVF centroids: seed with the vectors of the `nlist`
+    lowest ids, then `iters` Lloyd steps (assign → per-dimension mean).
+
+    Every mean component is rounded to 6dp so the centroid set is
+    engine-reproducible (cross-engine float sums differ only past the
+    rounding point).  The mean is computed distributed: posexplode to
+    (cluster, dim, value), partial-aggregated avg per (cluster, dim), then
+    re-assembled — no vectors ever sit on the driver.
+    """
+    w = Window.orderBy(id_col)
+    centroids = (
+        corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(nlist)
+        .select(
+            (F.row_number().over(w) - 1).alias("cluster"),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+        )
+    )
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+        centroids = (
+            assigned.select("cluster", F.posexplode(F.col(vec_col).cast("array<double>")))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg("col"), 6).alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda x: x["m"]
+                ).alias("cvec")
+            )
+        )
+    return centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    nlist: int = 8,
+    nprobe: int = 2,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: search only the `nprobe` clusters whose
+    centroids are nearest each probe.
+
+    The 100 TB shape: centroid fit touches the corpus `iters + 1` times with
+    one small shuffle each; the search replaces the |corpus| × |probes|
+    cross product with an equi-join on cluster id covering nprobe/nlist of
+    the corpus per probe.  Recall vs the exact scorer is tolerance-tested;
+    the pipeline itself is deterministic (seeded centroids, rounded means)
+    and therefore fully oracle-checkable.
+    """
+    centroids = ivf_centroids(corpus, nlist, iters, vec_col, id_col)
+    assigned = ivf_assign(corpus, centroids, vec_col, id_col)
+
+    wp = Window.partitionBy("probe_id").orderBy(F.desc("ccos"), F.asc("cluster"))
+    probe_clusters = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vp"))
+        .join(F.broadcast(centroids), how="cross")
+        .withColumn("ccos", F.round(cosine(F.col("vp"), F.col("cvec")), 6))
+        .withColumn("crk", F.row_number().over(wp))
+        .where(F.col("crk") <= nprobe)
+        .select("probe_id", "vp", "cluster")
+    )
+    scored = (
+        assigned.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"), "cluster"
+        )
+        .join(F.broadcast(probe_clusters), "cluster")
+        .where(F.col("probe_id") != F.col("neighbor_id"))
+        .withColumn("cos", F.round(cosine(F.col("vp"), F.col("vc")), 6))
+    )
+    return _ranked_topk(scored, k)
+
+
 def cosine_topk_pandas(
     corpus: DataFrame,
     probes: DataFrame,

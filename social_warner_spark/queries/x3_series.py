@@ -124,8 +124,22 @@ def x23_stats_agg(spark, sf_dir):
     )
 
 
+def x24_ann_ivf(spark, sf_dir):
+    """IVF approximate nearest neighbors (the coarse-quantizer scale path of
+    l3): deterministic seed centroids (8 lowest vec_ids), one Lloyd step
+    with 6dp-rounded means, probe the top-2 clusters per query vector.
+    Fully deterministic, so unlike most ANN indexes it is oracle-checkable
+    end to end; recall vs exact l3 is additionally tolerance-tested."""
+    from social_warner_spark.operators.similarity import cosine_topk_ivf
+
+    emb = T(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 10)
+    return cosine_topk_ivf(emb, probes, k=5, nlist=8, nprobe=2, iters=1)
+
+
 QUERIES = {
     "x17_range_frame": x17_range_frame,
+    "x24_ann_ivf": x24_ann_ivf,
     "x23_stats_agg": x23_stats_agg,
     "x21_pivot": x21_pivot,
     "x22_unpivot": x22_unpivot,
@@ -134,7 +148,67 @@ QUERIES = {
     "x20_deterministic_sample": x20_deterministic_sample,
 }
 
+#: cosine as a SQL macro would help here, but the oracle stays plain SQL —
+#: the repeated dot/norm expressions are the same list_dot_product pattern
+#: the x7/x8/l3 oracles already use.
+_IVF_COS = (
+    "ROUND(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
 ORACLES = {
+    "x24_ann_ivf": f"""
+        WITH seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                   embedding::DOUBLE[] AS cvec
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        ), assign0 AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, s.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_COS.format(a='e.embedding', b='s.cvec')} DESC,
+                                    s.cluster) AS rk
+                FROM embeddings e CROSS JOIN seeds s
+            ) WHERE rk = 1
+        ), means AS (
+            SELECT cluster, i AS pos, ROUND(AVG(embedding[i]::DOUBLE), 6) AS m
+            FROM assign0, UNNEST(range(1, len(embedding) + 1)) u(i)
+            GROUP BY cluster, i
+        ), cent1 AS (
+            SELECT cluster, list(m ORDER BY pos) AS cvec FROM means GROUP BY cluster
+        ), assign1 AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cvec')} DESC,
+                                    c.cluster) AS rk
+                FROM embeddings e CROSS JOIN cent1 c
+            ) WHERE rk = 1
+        ), probecl AS (
+            SELECT probe_id, vp, cluster FROM (
+                SELECT e.vec_id AS probe_id, e.embedding AS vp, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cvec')} DESC,
+                                    c.cluster) AS crk
+                FROM embeddings e CROSS JOIN cent1 c
+                WHERE e.vec_id < 10
+            ) WHERE crk <= 2
+        ), scored AS (
+            SELECT p.probe_id, a.vec_id AS neighbor_id,
+                   {_IVF_COS.format(a='p.vp', b='a.embedding')} AS cos
+            FROM probecl p JOIN assign1 a USING (cluster)
+            WHERE p.probe_id != a.vec_id
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                              ORDER BY cos DESC, neighbor_id) AS INT) AS rk
+            FROM scored
+        )
+        SELECT probe_id, neighbor_id, cos, rk FROM ranked WHERE rk <= 5
+    """,
     "x23_stats_agg": """
         SELECT l_returnflag,
                ROUND(stddev_samp(l_quantity), 6) AS sd_qty,

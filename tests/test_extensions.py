@@ -86,6 +86,32 @@ def test_ann_bucketed_recall_vs_exact(spark, emb):
     assert recall >= 0.3, f"bucketed ANN recall too low: {recall}"
 
 
+def test_ann_ivf_recall_vs_exact(spark, emb):
+    from social_warner_spark.operators.similarity import cosine_topk_ivf
+
+    probes = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.probe_id, r.neighbor_id) for r in cosine_topk(emb, probes, k=5).collect()
+    }
+    approx = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk_ivf(emb, probes, k=5, nlist=8, nprobe=2).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    # nprobe/nlist = 1/4 of the corpus searched per probe; true neighbors
+    # concentrate in the nearest clusters, so recall must clear the
+    # 25% random-candidate floor by a wide margin.
+    assert recall >= 0.4, f"IVF ANN recall too low: {recall}"
+
+
+def test_ann_ivf_centroids_deterministic(spark, emb):
+    from social_warner_spark.operators.similarity import ivf_centroids
+
+    a = ivf_centroids(emb, nlist=4, iters=1).collect()
+    b = ivf_centroids(emb, nlist=4, iters=1).collect()
+    assert {r.cluster: r.cvec for r in a} == {r.cluster: r.cvec for r in b}
+
+
 def test_pandas_topk_equals_expression_topk(spark, emb):
     probes = emb.where(F.col("vec_id") < 5)
     a = sorted(
