@@ -93,6 +93,48 @@ def quality_score(text: Column) -> Column:
     return F.round(F.lit(0.5) * len_c + F.lit(0.3) * shape_c + F.lit(0.2) * (1 - sym), 6)
 
 
+#: PII patterns in the portable Java-regex ∩ RE2 subset (no lookarounds,
+#: no backrefs) so the exact same pattern runs in Spark and the oracle.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails then phone-shaped digit runs with typed placeholders.
+
+    A narrow map over the corpus — the canonical pre-training scrub stage.
+    Spark's regexp_replace is global by default; the DuckDB oracle needs the
+    explicit 'g' flag (see queries/x3_series.py x26).
+    """
+    out = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def repetition_ratio(toks: Column) -> Column:
+    """1 − |distinct tokens| / |tokens| — the classic repetitiveness signal
+    for training-data quality filtering (0 = all unique, →1 = degenerate).
+
+    Takes a STAGED token-array column (see shingles_from_tokens perf note).
+    Pure expression form: O(n log n)-ish per row, zero shuffle — for very
+    long documents prefer the explode+groupBy formulation (same values,
+    shuffle ∝ distinct tokens) used by the x25 oracle.
+    """
+    n = F.size(toks).cast("double")
+    return F.lit(1.0) - F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1.0))
+
+
+def top_token_ratio(toks: Column) -> Column:
+    """Frequency share of the single most common token — high values flag
+    boilerplate/spam.  Same staging/scale notes as repetition_ratio; the
+    per-row cost is O(distinct · n), fine for natural documents, so switch
+    to explode+groupBy beyond ~10k-token rows."""
+    counts = F.transform(
+        F.array_distinct(toks), lambda d: F.size(F.filter(toks, lambda x: x == d))
+    )
+    n = F.size(toks).cast("double")
+    return F.array_max(counts) / F.greatest(n, F.lit(1.0))
+
+
 def fingerprint(text: Column, bits: int = 64) -> Column:
     """Deterministic document fingerprint: hex digest prefix of the
     normalized text (whitespace-collapsed, lowercased).  16 hex chars = 64

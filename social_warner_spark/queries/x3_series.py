@@ -137,9 +137,54 @@ def x24_ann_ivf(spark, sf_dir):
     return cosine_topk_ivf(emb, probes, k=5, nlist=8, nprobe=2, iters=1)
 
 
+def x25_repetition_metrics(spark, sf_dir):
+    """Per-doc repetitiveness quality signals as pure narrow-map
+    expressions (no shuffle; the oracle recomputes them via the
+    explode+groupBy formulation to prove both shapes agree)."""
+    from social_warner_spark.functions.text import (
+        repetition_ratio,
+        tokens,
+        top_token_ratio,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    return staged.select(
+        "doc_id",
+        r6(repetition_ratio(F.col("_toks"))).alias("rep_ratio"),
+        r6(top_token_ratio(F.col("_toks"))).alias("top_tok_ratio"),
+    )
+
+
+def x26_pii_redaction(spark, sf_dir):
+    """PII scrub demo: deterministically inject a synthetic email+phone per
+    doc, then redact.  The injection makes the redaction observable on the
+    PII-free synthetic corpus; the operator itself (functions/text.py
+    redact_pii) is the real pre-training scrub stage."""
+    from social_warner_spark.functions.text import EMAIL_RE, PHONE_RE, redact_pii
+
+    d = T(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or call +1 555 010 "),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    staged = d.select("doc_id", raw.alias("raw"))
+    return staged.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("raw", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("raw", F.lit(PHONE_RE), 0)).alias("n_phones"),
+        redact_pii(F.col("raw")).alias("redacted"),
+    )
+
+
 QUERIES = {
     "x17_range_frame": x17_range_frame,
     "x24_ann_ivf": x24_ann_ivf,
+    "x25_repetition_metrics": x25_repetition_metrics,
+    "x26_pii_redaction": x26_pii_redaction,
     "x23_stats_agg": x23_stats_agg,
     "x21_pivot": x21_pivot,
     "x22_unpivot": x22_unpivot,
@@ -157,7 +202,38 @@ _IVF_COS = (
     " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
 )
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
 ORACLES = {
+    "x25_repetition_metrics": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents
+        ), cnts AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS rep_ratio,
+               ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS top_tok_ratio
+        FROM cnts GROUP BY doc_id
+    """,
+    "x26_pii_redaction": f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   substring(text, 1, 20) || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@mail.example.com or call +1 555 010 '
+                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS INT) AS n_phones,
+               regexp_replace(
+                   regexp_replace(raw, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+        FROM staged
+    """,
     "x24_ann_ivf": f"""
         WITH seeds AS (
             SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,

@@ -112,6 +112,49 @@ def test_ann_ivf_centroids_deterministic(spark, emb):
     assert {r.cluster: r.cvec for r in a} == {r.cluster: r.cvec for r in b}
 
 
+def test_redact_pii_fixtures(spark):
+    from social_warner_spark.functions.text import redact_pii
+
+    rows = [
+        ("a", "mail me at jo.doe+x@sub.example.co.uk now"),
+        ("b", "call +1 (555) 010-4242 today"),
+        ("c", "no pii here"),
+        ("d", "two jo@x.io and li@y.org"),
+    ]
+    df = spark.createDataFrame(rows, "id string, t string")
+    out = {
+        r.id: r.red
+        for r in df.select("id", redact_pii(F.col("t")).alias("red")).collect()
+    }
+    assert out["a"] == "mail me at <EMAIL> now"
+    assert out["b"] == "call <PHONE> today"
+    assert out["c"] == "no pii here"
+    assert out["d"] == "two <EMAIL> and <EMAIL>"
+
+
+def test_repetition_metrics_edges(spark):
+    from social_warner_spark.functions.text import (
+        repetition_ratio,
+        tokens,
+        top_token_ratio,
+    )
+
+    df = spark.createDataFrame(
+        [("uniq", "a b c d"), ("allsame", "x x x x")], "id string, t string"
+    )
+    staged = df.select("id", tokens(F.col("t")).alias("_toks"))
+    got = {
+        r.id: (r.rep, r.top)
+        for r in staged.select(
+            "id",
+            repetition_ratio(F.col("_toks")).alias("rep"),
+            top_token_ratio(F.col("_toks")).alias("top"),
+        ).collect()
+    }
+    assert got["uniq"] == (0.0, 0.25)
+    assert got["allsame"] == (0.75, 1.0)
+
+
 def test_pandas_topk_equals_expression_topk(spark, emb):
     probes = emb.where(F.col("vec_id") < 5)
     a = sorted(
