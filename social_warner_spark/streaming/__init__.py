@@ -1,4 +1,5 @@
 from social_warner_spark.streaming.events import (
+    followup_join_stream,
     read_events_stream,
     tumbling_counts_stream,
     dedup_stream,
@@ -6,6 +7,7 @@ from social_warner_spark.streaming.events import (
 )
 
 __all__ = [
+    "followup_join_stream",
     "read_events_stream",
     "tumbling_counts_stream",
     "dedup_stream",

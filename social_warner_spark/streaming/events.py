@@ -58,6 +58,41 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def followup_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each event paired with the same user's
+    follow-up events within `horizon` (the streaming form of the c7 range
+    join).
+
+    Both sides carry watermarks and the join condition bounds event time,
+    so the state store retains only `watermark + horizon` of each side —
+    the canonical bounded-state join shape.  Append-mode output; rows emit
+    once both sides' watermarks pass the joinable window.
+    """
+    l = left.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    return l.join(
+        r,
+        (F.col("user_id") == F.col("b_user"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {horizon}"))
+        & (F.col("a_id") < F.col("b_id")),
+    ).select("a_id", "b_id", "user_id", "a_type", "a_ts", "b_ts")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",

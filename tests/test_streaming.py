@@ -39,6 +39,48 @@ def test_s4_tumbling_stream_equals_batch(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_stream_stream_join_equals_batch_join(spark, events_dir):
+    from social_warner_spark.streaming import followup_join_stream
+
+    batch = spark.read.parquet(events_dir)
+    expected = _canon(followup_join_stream(batch, batch))
+
+    got = _canon(
+        run_stream_to_memory(
+            followup_join_stream(
+                read_events_stream(spark, events_dir),
+                read_events_stream(spark, events_dir),
+            ),
+            output_mode="append",
+        )
+    )
+    assert got == expected and len(got) > 0
+
+
+def test_rocksdb_state_store_parity(spark, events_dir):
+    """The large-state scale path: the same stateful aggregation must
+    produce identical results under the RocksDB state store provider
+    (bounded-memory state at 100 TB) as under the default HDFS-backed one."""
+    batch_events = spark.read.parquet(events_dir)
+    expected = _canon(tumbling_counts_stream(batch_events))
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = tumbling_counts_stream(read_events_stream(spark, events_dir))
+        got = _canon(run_stream_to_memory(stream, output_mode="complete"))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert got == expected and len(got) > 0
+
+
 def test_s5_stream_dedup_equals_batch_distinct(spark, events_dir, tmp_path):
     # duplicate the input: write the same files twice into one dir
     dup_dir = str(tmp_path / "dup")
