@@ -34,6 +34,8 @@ HEADLINE = [
     "c23_explode_wordcount", # generator + agg + top-k
     "s1_tumbling",           # time-window agg
     "s3_session",            # session windows
+    "q2_min_price_supplier", # correlated-MIN decorrelation (TPC-H Q2 shape)
+    "q21_sole_returned_supplier",  # EXISTS + NOT EXISTS rewrites (Q21 shape)
     "l1_exact_dedup",        # hash dedup
     "l2_jaccard_pairs",      # shingle self-join (heaviest)
     "l3_topk_cosine",        # brute-force vector scoring
