@@ -114,6 +114,71 @@ def exact_jaccard_pairs(
     return out
 
 
+def neardup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Transitive near-dup clusters: label every document with the MIN id
+    reachable through Jaccard-≥-threshold pairs (its connected-component
+    representative).  Pairwise pruning alone under-merges A~B~C chains
+    where A≁C; the component label is what a real dedup keep-one-per-
+    cluster policy needs.
+
+    Algorithm: iterative min-label propagation (each round, every node
+    takes the min of its own and its neighbors' labels) — converges in
+    O(component diameter) rounds, each round one equi-join edges⋈labels
+    plus a min-aggregate.  This is the standard large-graph connected-
+    components recipe on Spark (no recursive SQL needed); near-dup
+    components are shallow, so 2–3 rounds in practice.  The only
+    driver-side value is the per-round convergence flag (one scalar).
+    """
+    pairs = exact_jaccard_pairs(df, threshold, text_col, id_col, n).select(
+        "doc_id_a", "doc_id_b"
+    )
+    edges = pairs.toDF("src", "dst").unionByName(pairs.toDF("dst", "src"))
+    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
+
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        updated = (
+            labels.alias("l")
+            .join(neigh.alias("n"), F.col("l.id") == F.col("n.src"), "left")
+            .select(
+                F.col("l.id").alias("id"),
+                F.least(
+                    F.col("l.lab"), F.coalesce(F.col("n.nlab"), F.col("l.lab"))
+                ).alias("lab"),
+            )
+        )
+        updated = updated.persist()
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("o"), "id")
+            .where(F.col("u.lab") < F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()  # no-op on the unpersisted round-0 frame
+        labels = updated
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
+
+    from social_warner_spark.caching import register_persisted
+
+    register_persisted(labels)
+    return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
 def minhash_signature_cols(num_hashes: int) -> list[Column]:
     """Deterministic MinHash: for seed i, min over shingles of
     md5(i || '|' || shingle), compared lexicographically.

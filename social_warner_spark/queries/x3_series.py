@@ -180,11 +180,22 @@ def x26_pii_redaction(spark, sf_dir):
     )
 
 
+def x27_neardup_clusters(spark, sf_dir):
+    """Transitive near-dup clustering: every doc labeled with its connected-
+    component representative (min reachable doc_id through Jaccard ≥ 0.5
+    pairs).  Spark side: iterative min-label propagation; oracle: DuckDB
+    recursive CTE computing the same closure — same fixpoint, two idioms."""
+    from social_warner_spark.operators.dedup import neardup_clusters
+
+    return neardup_clusters(T(spark, sf_dir, "documents"), threshold=0.5)
+
+
 QUERIES = {
     "x17_range_frame": x17_range_frame,
     "x24_ann_ivf": x24_ann_ivf,
     "x25_repetition_metrics": x25_repetition_metrics,
     "x26_pii_redaction": x26_pii_redaction,
+    "x27_neardup_clusters": x27_neardup_clusters,
     "x23_stats_agg": x23_stats_agg,
     "x21_pivot": x21_pivot,
     "x22_unpivot": x22_unpivot,
@@ -206,6 +217,35 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 ORACLES = {
+    "x27_neardup_clusters": """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a, b FROM shared
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b, a FROM pairs
+        ), reach(id, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.id
+        )
+        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    """,
     "x25_repetition_metrics": """
         WITH toks AS (
             SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok

@@ -112,6 +112,22 @@ def test_ann_ivf_centroids_deterministic(spark, emb):
     assert {r.cluster: r.cvec for r in a} == {r.cluster: r.cvec for r in b}
 
 
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B and B~C at J≥0.5 while A≁C directly: the component label must
+    still merge all three (the property pairwise pruning lacks)."""
+    from social_warner_spark.operators.dedup import neardup_clusters
+
+    rows = [
+        (1, "w1 w2 w3 w4 w5 w6"),
+        (2, "w2 w3 w4 w5 w6 w7"),  # J(1,2) = 3/5
+        (3, "w3 w4 w5 w6 w7 w8"),  # J(2,3) = 3/5, J(1,3) = 2/6 < 0.5
+        (9, "zz yy xx ww vv uu"),  # isolated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(df, threshold=0.5).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
 def test_redact_pii_fixtures(spark):
     from social_warner_spark.functions.text import redact_pii
 
