@@ -28,6 +28,39 @@ pred = st.tuples(
 
 
 @settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p=pred, group=st.sampled_from(["c_mktsegment", "o_orderstatus"]))
+def test_random_join_filter_agg(spark, sf_smoke, p, group):
+    """Random predicate pushed through an orders⋈customer join, grouped on
+    either side — samples the join space the fixed queries can't."""
+    col, op, lit = p
+    orders = load_table(spark, sf_smoke, "orders")
+    cust = load_table(spark, sf_smoke, "customer")
+    cond = {"<": F.col(col) < lit, ">=": F.col(col) >= lit, "=": F.col(col) == lit}[op]
+    sdf = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(cond)
+        .groupBy(group)
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("s"))
+    )
+    sql = f"""
+        SELECT {group}, COUNT(*) AS cnt, ROUND(SUM(o_totalprice), 2) AS s
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE {col} {op} {lit} GROUP BY {group}
+    """
+    con = duck_connection(sf_smoke)
+    try:
+        ddf = con.execute(sql).df()
+    finally:
+        con.close()
+    ok, msg = compare(sdf, ddf)
+    assert ok, f"join {col} {op} {lit} group {group}: {msg}"
+
+
+@settings(
     max_examples=8,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
