@@ -190,9 +190,57 @@ def x27_neardup_clusters(spark, sf_dir):
     return neardup_clusters(T(spark, sf_dir, "documents"), threshold=0.5)
 
 
+def x28_decontamination(spark, sf_dir):
+    """Benchmark decontamination: flag corpus docs sharing any 4-gram with
+    the held-out probe set (doc_id < 5 stands in for an eval benchmark),
+    with the overlap count as evidence.  The probe shingle set is tiny by
+    construction → broadcast, so the scan of the corpus never shuffles on
+    content: the canonical pre-training decontamination shape."""
+    from social_warner_spark.operators.dedup import doc_shingles
+
+    docs = T(spark, sf_dir, "documents")
+    probe_sh = (
+        doc_shingles(docs.where(F.col("doc_id") < 5), n=4)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = doc_shingles(docs.where(F.col("doc_id") >= 5), n=4)
+    return (
+        corpus_sh.join(F.broadcast(probe_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+def x29_sequence_packing(spark, sf_dir):
+    """Offset-based sequence packing: per language stream, docs are laid
+    out contiguously in doc_id order and each is assigned the fixed-size
+    context window (pack) its start offset falls in — the deterministic
+    packing used to batch pre-training data.  Pure integer window math;
+    partitioning by lang is the scale shape (one packing stream per shard,
+    no global total order)."""
+    from social_warner_spark.functions.text import token_count_ws
+
+    BUDGET = 512
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(start / BUDGET).cast("long").alias("pack_id"),
+        (start % BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
 QUERIES = {
     "x17_range_frame": x17_range_frame,
     "x24_ann_ivf": x24_ann_ivf,
+    "x28_decontamination": x28_decontamination,
+    "x29_sequence_packing": x29_sequence_packing,
     "x25_repetition_metrics": x25_repetition_metrics,
     "x26_pii_redaction": x26_pii_redaction,
     "x27_neardup_clusters": x27_neardup_clusters,
@@ -217,6 +265,38 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 ORACLES = {
+    "x28_decontamination": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+            WHERE len(t) >= 4
+        ), probe AS (
+            SELECT DISTINCT shingle FROM sh WHERE doc_id < 5
+        )
+        SELECT c.doc_id, COUNT(*) AS n_shared_ngrams
+        FROM sh c JOIN probe p ON c.shingle = p.shingle
+        WHERE c.doc_id >= 5
+        GROUP BY c.doc_id
+    """,
+    "x29_sequence_packing": """
+        WITH sized AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), laid AS (
+            SELECT doc_id, lang, n_tokens,
+                   CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                        - n_tokens AS BIGINT) AS start
+            FROM sized
+        )
+        SELECT doc_id, lang, n_tokens,
+               start // 512 AS pack_id,
+               start % 512 AS pack_offset
+        FROM laid
+    """,
     "x27_neardup_clusters": """
         WITH RECURSIVE toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
