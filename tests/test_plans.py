@@ -54,6 +54,26 @@ def test_vector_topk_rank_pushdown(spark, sf_smoke):
     assert "WindowGroupLimit" in p  # rank-limit pushed below the window
 
 
+def test_decontamination_broadcasts_probe_set(spark, sf_smoke):
+    """x28's probe shingle set must broadcast — a sort-merge join here
+    would shuffle the whole corpus on shingle content."""
+    p = plan_of(spark, sf_smoke, "x28_decontamination")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_sequence_packing_single_lang_shuffle(spark, sf_smoke):
+    """x29 must cost exactly one exchange (the per-lang window partition) —
+    the design explicitly avoids a global total order."""
+    import re
+
+    p = plan_of(spark, sf_smoke, "x29_sequence_packing")
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(exchanges) == 1, p
+    assert "hashpartitioning(lang" in p
+    assert "rangepartitioning" not in p  # no global sort
+
+
 def test_asof_join_single_shuffle(spark, sf_smoke):
     """The union-and-carry-forward as-of join must cost exactly one
     shuffle (on the key) — its whole advantage over a range join."""
