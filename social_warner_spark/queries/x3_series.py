@@ -236,11 +236,49 @@ def x29_sequence_packing(spark, sf_dir):
     )
 
 
+def x30_boilerplate_ngrams(spark, sf_dir):
+    """Boilerplate detection (CCNet-style): 3-grams whose document
+    frequency ≥ 5 are boilerplate; emit each doc's boilerplate fraction.
+    Two aggregations over the shingle relation plus one semi-join against
+    the (small, broadcastable) boilerplate set — the shingle relation is
+    persisted once and feeds all three consumers."""
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.operators.dedup import doc_shingles
+
+    BOILER_DF = 5
+    docs = T(spark, sf_dir, "documents")
+    sh = register_persisted(doc_shingles(docs, n=3).persist())
+    boiler = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") >= BOILER_DF)
+        .select("shingle")
+    )
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    per_boiler = (
+        sh.join(F.broadcast(boiler), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        per_doc.join(per_boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            r6(
+                F.coalesce("n_boiler", F.lit(0)).cast("double") / F.col("n_shingles")
+            ).alias("boiler_frac"),
+        )
+    )
+
+
 QUERIES = {
     "x17_range_frame": x17_range_frame,
     "x24_ann_ivf": x24_ann_ivf,
     "x28_decontamination": x28_decontamination,
     "x29_sequence_packing": x29_sequence_packing,
+    "x30_boilerplate_ngrams": x30_boilerplate_ngrams,
     "x25_repetition_metrics": x25_repetition_metrics,
     "x26_pii_redaction": x26_pii_redaction,
     "x27_neardup_clusters": x27_neardup_clusters,
@@ -265,6 +303,28 @@ _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
 ORACLES = {
+    "x30_boilerplate_ngrams": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), boiler AS (
+            SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) >= 5
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+        ), per_boiler AS (
+            SELECT doc_id, COUNT(*) AS n_boiler
+            FROM sh WHERE shingle IN (SELECT shingle FROM boiler)
+            GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_shingles,
+               CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+               ROUND(CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / p.n_shingles, 6)
+                   AS boiler_frac
+        FROM per_doc p LEFT JOIN per_boiler b ON p.doc_id = b.doc_id
+    """,
     "x28_decontamination": """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
