@@ -41,6 +41,7 @@ HEADLINE = [
     "l3_topk_cosine",        # brute-force vector scoring
     "x8_ann_bucketed",       # LSH-bucketed ANN
     "x16_corpus_prep",       # composite corpus pipeline (gate+dedup+prune)
+    "x31_full_pipeline",     # flagship: + decontamination + packing
 ]
 
 

@@ -117,7 +117,10 @@ QUERIES = {
     "x14_time_rollup": x14_time_rollup,
 }
 
-_CORPUS_ORACLE = """
+#: Shared CTE chain for the corpus-prep stages (quality gate → exact dedup →
+#: near-dup prune); x16 selects from `kept`/`dropped` directly and
+#: x3_series.x31 extends the chain with decontamination + packing.
+_CORPUS_CTES = """
     WITH scored AS (
         SELECT doc_id, lang, text,
                CAST(len(string_split(trim(text), ' ')) AS INT) AS n_tokens,
@@ -154,11 +157,16 @@ _CORPUS_ORACLE = """
         JOIN sizes sa ON sa.doc_id = da
         JOIN sizes sb ON sb.doc_id = db
         WHERE ROUND(shared / (sa.sz + sb.sz - shared), 6) >= 0.8
+    ), pruned AS (
+        SELECT k.doc_id, k.lang, k.text, k.n_tokens, k.quality
+        FROM kept k
+        WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
     )
-    SELECT k.doc_id, k.lang, k.n_tokens, k.quality
-    FROM kept k
-    WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
+
+_CORPUS_ORACLE = (
+    _CORPUS_CTES + "SELECT doc_id, lang, n_tokens, quality FROM pruned"
+)
 
 ORACLES = {
     "x16_corpus_prep": _CORPUS_ORACLE,

@@ -273,12 +273,56 @@ def x30_boilerplate_ngrams(spark, sf_dir):
     )
 
 
+def x31_full_pipeline(spark, sf_dir):
+    """The flagship end-to-end training-data pipeline as ONE declarative
+    DataFrame program: quality gate → exact dedup → near-dup prune
+    (prepare_corpus) → benchmark decontamination (drop docs sharing any
+    4-gram with the held-out probe set, probes excluded from the corpus) →
+    per-lang sequence packing.  Every stage is individually oracle-checked
+    elsewhere (x4/l1/l2/x16/x28/x29); this query proves they compose, and
+    the composition is itself hash-checked against one composed SQL oracle."""
+    from social_warner_spark.operators.corpus import prepare_corpus
+    from social_warner_spark.operators.dedup import doc_shingles
+
+    BUDGET = 512
+    docs = T(spark, sf_dir, "documents")
+    prepared = prepare_corpus(docs)
+
+    probe_sh = (
+        doc_shingles(docs.where(F.col("doc_id") < 5), n=4)
+        .select("shingle")
+        .distinct()
+    )
+    surv_docs = docs.join(prepared.select("doc_id"), "doc_id", "left_semi")
+    contaminated = (
+        doc_shingles(surv_docs, n=4)
+        .join(F.broadcast(probe_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = prepared.where(F.col("doc_id") >= 5).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
+    return clean.select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "quality",
+        F.floor(start / BUDGET).cast("long").alias("pack_id"),
+        (start % BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
 QUERIES = {
     "x17_range_frame": x17_range_frame,
     "x24_ann_ivf": x24_ann_ivf,
     "x28_decontamination": x28_decontamination,
     "x29_sequence_packing": x29_sequence_packing,
     "x30_boilerplate_ngrams": x30_boilerplate_ngrams,
+    "x31_full_pipeline": x31_full_pipeline,
     "x25_repetition_metrics": x25_repetition_metrics,
     "x26_pii_redaction": x26_pii_redaction,
     "x27_neardup_clusters": x27_neardup_clusters,
@@ -302,7 +346,42 @@ _IVF_COS = (
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 _PII_PHONE = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
 
+from social_warner_spark.queries.x2_series import _CORPUS_CTES
+
+#: x31 extends the shared corpus-prep CTE chain: the WITH list continues
+#: after `pruned` with decontamination and packing stages.
+_X31_ORACLE = _CORPUS_CTES + """
+    , probe4 AS (
+        SELECT DISTINCT t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+        FROM (SELECT string_split(text, ' ') AS t FROM documents WHERE doc_id < 5) pt,
+             UNNEST(range(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 4
+    ), surv4 AS (
+        SELECT DISTINCT doc_id,
+               t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM pruned) st,
+             UNNEST(range(1, len(t) - 2)) AS u(i)
+        WHERE len(t) >= 4
+    ), contaminated AS (
+        SELECT DISTINCT s4.doc_id FROM surv4 s4 JOIN probe4 p4 ON s4.shingle = p4.shingle
+    ), clean AS (
+        SELECT * FROM pruned
+        WHERE doc_id >= 5
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ), laid AS (
+        SELECT doc_id, lang, n_tokens, quality,
+               CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                    - n_tokens AS BIGINT) AS start
+        FROM clean
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+           start // 512 AS pack_id,
+           start % 512 AS pack_offset
+    FROM laid
+"""
+
 ORACLES = {
+    "x31_full_pipeline": _X31_ORACLE,
     "x30_boilerplate_ngrams": """
         WITH toks AS (
             SELECT doc_id, string_split(text, ' ') AS t FROM documents
