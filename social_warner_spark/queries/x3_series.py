@@ -281,12 +281,16 @@ def x31_full_pipeline(spark, sf_dir):
     per-lang sequence packing.  Every stage is individually oracle-checked
     elsewhere (x4/l1/l2/x16/x28/x29); this query proves they compose, and
     the composition is itself hash-checked against one composed SQL oracle."""
+    from social_warner_spark.caching import register_persisted
     from social_warner_spark.operators.corpus import prepare_corpus
     from social_warner_spark.operators.dedup import doc_shingles
 
     BUDGET = 512
     docs = T(spark, sf_dir, "documents")
-    prepared = prepare_corpus(docs)
+    # prepared feeds two consumers (the packing output and the survivor
+    # semi-join for decontamination shingling) — without the persist the
+    # whole gate+dedup+prune lineage would evaluate twice.
+    prepared = register_persisted(prepare_corpus(docs).persist())
 
     probe_sh = (
         doc_shingles(docs.where(F.col("doc_id") < 5), n=4)
