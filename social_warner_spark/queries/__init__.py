@@ -23,6 +23,7 @@ from social_warner_spark.queries import (
     sql_series,
     x2_series,
     x3_series,
+    x4_series,
     x_series,
 )
 
@@ -34,6 +35,7 @@ _SERIES = (
     x_series,
     x2_series,
     x3_series,
+    x4_series,
     sql_series,
 )
 
