@@ -24,6 +24,7 @@ from social_warner_spark.queries import (
     x2_series,
     x3_series,
     x4_series,
+    x5_series,
     x_series,
 )
 
@@ -36,6 +37,7 @@ _SERIES = (
     x2_series,
     x3_series,
     x4_series,
+    x5_series,
     sql_series,
 )
 

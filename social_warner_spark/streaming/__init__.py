@@ -1,4 +1,5 @@
 from social_warner_spark.streaming.events import (
+    enrich_stream,
     followup_join_stream,
     read_events_stream,
     tumbling_counts_stream,
@@ -7,6 +8,7 @@ from social_warner_spark.streaming.events import (
 )
 
 __all__ = [
+    "enrich_stream",
     "followup_join_stream",
     "read_events_stream",
     "tumbling_counts_stream",

@@ -93,6 +93,19 @@ def followup_join_stream(
     ).select("a_id", "b_id", "user_id", "a_type", "a_ts", "b_ts")
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static enrichment join: each streaming event picks up the
+    static dimension's attributes via a broadcast hash join — the
+    standard streaming enrichment shape (reference parity: the meta-
+    dimension attach of §2.b B3, applied to a stream).
+
+    Stream-static joins are stateless: the static side is planned as an
+    ordinary broadcast (re-resolved per micro-batch, so slowly-refreshed
+    dim snapshots are picked up on restart), and no watermark is needed.
+    """
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def run_stream_to_memory(
     stream_df: DataFrame,
     output_mode: str = "complete",

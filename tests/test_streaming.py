@@ -81,6 +81,26 @@ def test_rocksdb_state_store_parity(spark, events_dir):
     assert got == expected and len(got) > 0
 
 
+def test_stream_static_enrichment_equals_batch_join(spark, events_dir):
+    from social_warner_spark.streaming import enrich_stream
+
+    batch = spark.read.parquet(events_dir)
+    dim = (
+        batch.select("user_id")
+        .distinct()
+        .withColumn("segment", F.concat(F.lit("seg"), (F.col("user_id") % 4)))
+    )
+    expected = _canon(enrich_stream(batch, dim).select("event_id", "segment"))
+
+    got = _canon(
+        run_stream_to_memory(
+            enrich_stream(read_events_stream(spark, events_dir), dim),
+            output_mode="append",
+        ).select("event_id", "segment")
+    )
+    assert got == expected and len(got) > 0
+
+
 def test_s5_stream_dedup_equals_batch_distinct(spark, events_dir, tmp_path):
     # duplicate the input: write the same files twice into one dir
     dup_dir = str(tmp_path / "dup")

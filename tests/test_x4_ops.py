@@ -98,3 +98,19 @@ def test_bm25_ranks_matching_doc_and_drops_nonmatching(spark):
     got = {r["doc_id"]: r["score"] for r in bm25_scores(docs, ["spark"]).collect()}
     assert set(got) == {1, 2}, "zero-score docs must be dropped"
     assert got[1] > got[2], "higher tf must outscore"
+
+
+def test_chunking_geometry(spark, tmp_path):
+    """100 tokens with chunk 64 / stride 48 → starts 0, 48, 96; the last
+    chunks clamp to the doc end (overlap = 16 tokens between chunks)."""
+    from social_warner_spark.queries.x5_series import x41_chunking
+
+    doc = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100)))], "doc_id INT, text STRING"
+    )
+    doc.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = sorted(
+        (r["chunk_id"], r["start_tok"], r["end_tok"], len(r["chunk_text"].split(" ")))
+        for r in x41_chunking(spark, str(tmp_path)).collect()
+    )
+    assert rows == [(0, 0, 64, 64), (1, 48, 100, 52), (2, 96, 100, 4)]
