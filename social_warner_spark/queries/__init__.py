@@ -25,6 +25,7 @@ from social_warner_spark.queries import (
     x3_series,
     x4_series,
     x5_series,
+    x6_series,
     x_series,
 )
 
@@ -38,6 +39,7 @@ _SERIES = (
     x3_series,
     x4_series,
     x5_series,
+    x6_series,
     sql_series,
 )
 
