@@ -14,8 +14,10 @@ Five families, each designed for 100 TB:
   (band, bucket): shuffle is proportional to candidates, not pairs.
 - simhash: 16-bit deterministic simhash from per-token md5 bits; equal
   fingerprints → near-dup bucket.  A single groupBy.
-- embedding near-dup: cosine ≥ τ pairs via block self-join; at scale,
-  pre-bucket with sign-bit LSH (operators/similarity.py) to avoid n².
+- embedding near-dup: cosine ≥ τ pairs; candidates pre-bucketed with
+  sign-bit LSH (operators/similarity.py) and equi-joined on the bucket key
+  so the cross product never goes n² (exact all-pairs form available as the
+  small-SF recall anchor via ``planes=None``).
 
 Every variant is expressible in ANSI SQL (see queries/l_series.py oracles).
 """
@@ -289,23 +291,71 @@ def simhash_fingerprints(
     return df.select(F.col(id_col), simhash_bits(F.col(text_col), bits).alias("simhash"))
 
 
+def sign_band_key(vec: Column, band: int, planes_per_band: int) -> Column:
+    """Band `band`'s sign-LSH key: concat of sign bits of dimensions
+    [band·p+1 .. band·p+p] (1-indexed).  Deterministic, SQL-portable —
+    the random-hyperplane LSH family specialized to axis hyperplanes so
+    the DuckDB oracle can mirror it bit for bit."""
+    lo = band * planes_per_band
+    bits = [
+        F.when(F.element_at(vec, lo + i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(planes_per_band)
+    ]
+    return F.concat(*bits)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    bands: int | None = 6,
+    planes_per_band: int = 3,
 ) -> DataFrame:
-    """Pairs (a < b) with cosine ≥ threshold.
+    """Pairs (a < b) with cosine ≥ threshold, candidates from banded
+    sign-bit LSH (the MinHash-banding recipe applied to random-hyperplane
+    sketches).
 
-    Local/small-SF: broadcast self-join (n² scored JVM-side).  At 100 TB,
-    bucket by sign-bit LSH first (similarity.sign_bucket) and join on the
-    bucket to keep the cross product banded.
+    Candidate generation is a union of `bands` EQUI-self-joins, one per
+    band key — per band the cross product is sliced ≈ n²/2^planes_per_band,
+    and each join shuffles on its band key, never all-pairs.  Per-band miss
+    probability multiplies across bands (recall ≈ 1−(1−p^planes)^bands), so
+    recall is tuned by bands while pruning is tuned by planes_per_band; at
+    production τ (≥0.9) raise planes_per_band to sharpen buckets.  Distinct
+    candidates are scored once: two id equi-joins pull the vectors, then
+    one JVM-side cosine per pair.
+
+    ``bands=None`` opts into the exact all-pairs broadcast form — the
+    small-SF recall anchor for tests only, never the query path (it is a
+    BroadcastNestedLoopJoin scoring all n² pairs).
     """
-    a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    if bands is None:
+        a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        joined = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+    else:
+        from social_warner_spark.caching import register_persisted
+
+        keyed = register_persisted(
+            df.select(
+                F.col(id_col),
+                *[
+                    sign_band_key(F.col(vec_col), b, planes_per_band).alias(f"band_{b}")
+                    for b in range(bands)
+                ],
+            ).persist()
+        )
+        pairs = None
+        for b in range(bands):
+            l = keyed.select(F.col(id_col).alias("a"), F.col(f"band_{b}").alias("bk"))
+            r = keyed.select(F.col(id_col).alias("b"), F.col(f"band_{b}").alias("bk"))
+            p = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b")
+            pairs = p if pairs is None else pairs.unionByName(p)
+        va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+        vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        joined = pairs.distinct().join(va, "a").join(vb, "b")
     return (
-        a.join(F.broadcast(b), F.col("a") < F.col("b"))
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        joined.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
         .where(F.col("cos") >= threshold)
         .select(F.col("a").alias("vec_id_a"), F.col("b").alias("vec_id_b"), "cos")
     )

@@ -29,7 +29,12 @@ from social_warner_spark.operators.similarity import cosine_topk_bucketed
 from social_warner_spark.queries.common import T, r6
 
 MINHASHES = 8
-EMBED_NEARDUP_TAU = 0.9
+# τ sits where the synthetic embeddings actually have pairs (max pairwise
+# cosine ≈ 0.51) so the oracle check is non-vacuous; production near-dup
+# runs τ≥0.9 with more planes per band.
+EMBED_NEARDUP_TAU = 0.35
+EMBED_BANDS = 6
+EMBED_PLANES_PER_BAND = 3
 ANN_PLANES = 4
 ANN_PROBES = 10
 ANN_K = 5
@@ -86,8 +91,18 @@ def x6_fingerprint(spark, sf_dir):
 
 
 def x7_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos ≥ 0.9)."""
-    return embedding_neardup_pairs(T(spark, sf_dir, "embeddings"), EMBED_NEARDUP_TAU)
+    """Embedding-cosine near-dup pairs, banded sign-LSH pre-joined.
+
+    Candidates come from a union of per-band equi-joins on deterministic
+    sign-bit keys (6 bands × 3 planes) — the oracle mirrors the identical
+    banding, so the approximate candidate set itself is hash-checked; recall
+    vs the exact all-pairs anchor is tolerance-tested separately."""
+    return embedding_neardup_pairs(
+        T(spark, sf_dir, "embeddings"),
+        EMBED_NEARDUP_TAU,
+        bands=EMBED_BANDS,
+        planes_per_band=EMBED_PLANES_PER_BAND,
+    )
 
 
 def x8_ann_bucketed(spark, sf_dir):
@@ -180,6 +195,25 @@ _BAND_UNION = "\n            UNION ALL\n".join(
     for b in range(4)
 )
 
+
+def _embed_band_key_sql(band: int) -> str:
+    lo = band * EMBED_PLANES_PER_BAND
+    return " || ".join(
+        f"CASE WHEN embedding[{lo + i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(EMBED_PLANES_PER_BAND)
+    )
+
+
+_EMBED_BAND_KEYS = ",\n                   ".join(
+    f"({_embed_band_key_sql(b)}) AS band_{b}" for b in range(EMBED_BANDS)
+)
+# UNION (not ALL) = the distinct() over unioned per-band candidate pairs
+_EMBED_BAND_UNION = "\n            UNION\n".join(
+    f"            SELECT a.vec_id AS va, b.vec_id AS vb FROM keyed a "
+    f"JOIN keyed b ON a.band_{b} = b.band_{b} AND a.vec_id < b.vec_id"
+    for b in range(EMBED_BANDS)
+)
+
 ORACLES = {
     "x1_minhash_signatures": _SHINGLES
     + f"""
@@ -260,12 +294,21 @@ ORACLES = {
         FROM documents
     """,
     "x7_embed_neardup": f"""
+        WITH keyed AS (
+            SELECT vec_id,
+                   {_EMBED_BAND_KEYS}
+            FROM embeddings
+        ), cands AS (
+{_EMBED_BAND_UNION}
+        )
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
                ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                      6) AS cos
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        FROM cands c
+        JOIN embeddings a ON a.vec_id = c.va
+        JOIN embeddings b ON b.vec_id = c.vb
         WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
                      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),

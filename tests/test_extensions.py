@@ -86,6 +86,28 @@ def test_ann_bucketed_recall_vs_exact(spark, emb):
     assert recall >= 0.3, f"bucketed ANN recall too low: {recall}"
 
 
+def test_embed_neardup_banded_vs_exact(spark, emb):
+    """Banded x7 form vs the exact all-pairs anchor (bands=None):
+    precision must be 1.0 (same scorer, candidates are a subset) and
+    recall within margin of the measured value on this fixed corpus
+    (0.79 at sf0.001 / 0.85 at sf0.01, τ=0.35, 6 bands × 3 planes)."""
+    from social_warner_spark.operators.dedup import embedding_neardup_pairs
+
+    tau = 0.35
+    exact = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_neardup_pairs(emb, tau, bands=None).collect()
+    }
+    banded = {
+        (r.vec_id_a, r.vec_id_b)
+        for r in embedding_neardup_pairs(emb, tau, bands=6, planes_per_band=3).collect()
+    }
+    assert banded <= exact
+    assert exact, "anchor must be non-empty at this τ on the fixed corpus"
+    recall = len(banded) / len(exact)
+    assert recall >= 0.7, f"banded embedding near-dup recall too low: {recall}"
+
+
 def test_ann_ivf_recall_vs_exact(spark, emb):
     from social_warner_spark.operators.similarity import cosine_topk_ivf
 

@@ -74,6 +74,18 @@ def test_sequence_packing_single_lang_shuffle(spark, sf_smoke):
     assert "rangepartitioning" not in p  # no global sort
 
 
+def test_embed_neardup_no_nested_loop(spark, sf_smoke):
+    """x7 must candidate-generate via the sign-bucket EQUI-join — a
+    BroadcastNestedLoopJoin here means the all-pairs n² form leaked back
+    into the query path (the round-1 scale-killer)."""
+    p = plan_of(spark, sf_smoke, "x7_embed_neardup")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    # the bucket key must be the join key of a hash-based equi-join
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or ("BroadcastHashJoin" in p)
+    assert "bk" in p
+
+
 def test_asof_join_single_shuffle(spark, sf_smoke):
     """The union-and-carry-forward as-of join must cost exactly one
     shuffle (on the key) — its whole advantage over a range join."""
