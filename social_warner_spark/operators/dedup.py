@@ -73,32 +73,74 @@ def exact_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard ≥ threshold, exactly.
 
     Plan: distinct (id, shingle) → self equi-join on shingle (shuffle on
-    shingle; hot shingles are the skew risk — at scale drop ultra-frequent
-    shingles first, a standard trick) → count shared per pair → join per-doc
-    sizes (broadcastable) → J = shared / (|A|+|B|-shared).
+    shingle) → count shared per pair → join per-doc sizes (broadcastable)
+    → J = shared / (|A|+|B|-shared).
 
-    The shingle relation is consumed three times (both join sides + sizes);
-    persisting it turns three explode+distinct recomputations into one.
-    At cluster scale the equivalent is staging it to a temp table —
-    the lineage cut matters more than the storage level.  The persisted
-    handle is registered for host-controlled release (see caching.py).
+    ``max_doc_freq`` is the hot-shingle skew knob: shingles appearing in
+    more than that many documents (stopword runs, boilerplate) are dropped
+    from CANDIDATE GENERATION only — each surviving candidate pair is then
+    re-scored against the FULL shingle relation (equi-join on (id,
+    shingle)), so reported Jaccard values are exact and unchanged.  A pair
+    is missed only if *every* shingle it shares is hot — the boilerplate-
+    only case a near-dup pass wants excluded anyway (no-false-negative
+    property on the test corpus is asserted in tests/test_extensions.py).
+    At 100 TB a single stopword shingle otherwise lands one straggler
+    partition with df² join rows; the cap turns worst-case skew into a
+    bounded per-shingle cost of max_doc_freq².
+
+    The shingle relation is consumed multiple times (join sides + sizes
+    + re-score); persisting it turns the explode+distinct recomputations
+    into one.  At cluster scale the equivalent is staging it to a temp
+    table — the lineage cut matters more than the storage level.  The
+    persisted handle is registered for host-controlled release (see
+    caching.py).
     """
     from social_warner_spark.caching import register_persisted
 
     sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a = sh.toDF("a", "shingle")
-    b = sh.toDF("b", "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .where(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("shared"))
-    )
+    if max_doc_freq is None:
+        a = sh.toDF("a", "shingle")
+        b = sh.toDF("b", "shingle")
+        shared = (
+            a.join(b, "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("shared"))
+        )
+    else:
+        # hot set is tiny by construction (only ultra-frequent shingles) →
+        # broadcast anti-join; candidates come from the cooled relation.
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        # explicit selects: USING joins put the key column first, so
+        # positional toDF renaming would swap (shingle, id) here.
+        cooled = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        cands = (
+            cooled.select(F.col(id_col).alias("a"), "shingle")
+            .join(cooled.select(F.col(id_col).alias("b"), "shingle"), "shingle")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
+        # exact re-score: shared = |A ∩ B| over the FULL shingle sets.
+        # (b, shingle) is an equi-join key, so no row explosion beyond
+        # |cands| · |A|.
+        shared = (
+            cands.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+            .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("shared"))
+        )
     out = (
         shared.join(F.broadcast(sizes.toDF("a", "sz_a")), "a")
         .join(F.broadcast(sizes.toDF("b", "sz_b")), "b")

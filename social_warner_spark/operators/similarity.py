@@ -66,19 +66,46 @@ def sign_bucket(vec: Column, planes: int = 4) -> Column:
     return F.concat(*bits)
 
 
+def sign_bucket_variants(vec: Column, planes: int, multiprobe: int = 1) -> Column:
+    """Array of sign buckets within Hamming distance ≤ multiprobe of the
+    vector's own bucket (0 or 1 supported).  Multi-probe LSH: querying the
+    adjacent buckets recovers neighbors that fall just across a hyperplane
+    — the standard recall fix that keeps candidate generation an EQUI-join
+    (probe variants explode; no inequality join appears)."""
+    assert multiprobe in (0, 1)
+    def bucket_with_flip(flip: int | None) -> Column:
+        bits = []
+        for i in range(planes):
+            bit = F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+            if flip == i:
+                bit = F.when(F.element_at(vec, i + 1) >= 0, F.lit("0")).otherwise(F.lit("1"))
+            bits.append(bit)
+        return F.concat(*bits)
+
+    variants = [bucket_with_flip(None)]
+    if multiprobe >= 1:
+        variants += [bucket_with_flip(i) for i in range(planes)]
+    return F.array(*variants)
+
+
 def cosine_topk_bucketed(
     corpus: DataFrame,
     probes: DataFrame,
     k: int = 5,
     planes: int = 4,
+    multiprobe: int = 0,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the probe's LSH bucket.
+    """Approximate top-k: candidates restricted to the probe's LSH bucket
+    (plus, with ``multiprobe=1``, every bucket one sign-flip away).
 
-    The probe-corpus join becomes an equi-join on the bucket key — at scale
-    this is the difference between a full cross product and a 1/2^planes
-    slice per probe.  Recall vs the exact variant is tested by tolerance.
+    The probe-corpus join is an equi-join on the bucket key — at scale this
+    is the difference between a full cross product and a (1+planes)/2^planes
+    slice per probe.  Multi-probe trades a planes-fold increase in probe-side
+    rows (probes are the small side; they explode, the corpus never does)
+    for the recall lost to hyperplane-boundary neighbors.  Recall vs the
+    exact variant is tested by tolerance.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -88,7 +115,7 @@ def cosine_topk_bucketed(
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("vp"),
-        sign_bucket(F.col(vec_col), planes).alias("bk"),
+        F.explode(sign_bucket_variants(F.col(vec_col), planes, multiprobe)).alias("bk"),
     )
     scored = (
         c.join(F.broadcast(p), "bk")

@@ -106,10 +106,14 @@ def x7_embed_neardup(spark, sf_dir):
 
 
 def x8_ann_bucketed(spark, sf_dir):
-    """Sign-bit LSH bucketed ANN for probes vec_id < 10 (scale path of l3)."""
+    """Sign-bit LSH bucketed ANN for probes vec_id < 10 (scale path of l3).
+
+    Multi-probe (Hamming ≤ 1): each probe also searches the planes buckets
+    one sign-flip away — probe-side explode keeps the join an equi-join;
+    the oracle mirrors the radius with a per-bit mismatch count."""
     emb = T(spark, sf_dir, "embeddings")
     probes = emb.where(F.col("vec_id") < ANN_PROBES)
-    return cosine_topk_bucketed(emb, probes, k=ANN_K, planes=ANN_PLANES)
+    return cosine_topk_bucketed(emb, probes, k=ANN_K, planes=ANN_PLANES, multiprobe=1)
 
 
 def x9_multimodal_binary(spark, sf_dir):
@@ -328,7 +332,12 @@ ORACLES = {
                          / (sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))
                             * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
                          6) AS cos
-            FROM bucketed p JOIN bucketed c ON p.bk = c.bk AND p.vec_id != c.vec_id
+            FROM bucketed p JOIN bucketed c
+              ON (CASE WHEN substr(p.bk,1,1)=substr(c.bk,1,1) THEN 0 ELSE 1 END
+                + CASE WHEN substr(p.bk,2,1)=substr(c.bk,2,1) THEN 0 ELSE 1 END
+                + CASE WHEN substr(p.bk,3,1)=substr(c.bk,3,1) THEN 0 ELSE 1 END
+                + CASE WHEN substr(p.bk,4,1)=substr(c.bk,4,1) THEN 0 ELSE 1 END) <= 1
+             AND p.vec_id != c.vec_id
             WHERE p.vec_id < {ANN_PROBES}
         ), ranked AS (
             SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id

@@ -53,9 +53,38 @@ def test_minhash_lsh_recall_vs_exact(spark, docs):
     }
     # verification step guarantees precision == 1.0
     assert approx <= exact
-    if exact:
-        recall = len(approx & exact) / len(exact)
-        assert recall >= 0.6, f"LSH recall too low: {recall}"
+    assert exact, "anchor must be non-empty at this threshold"
+    recall = len(approx & exact) / len(exact)
+    # measured 1.0 on the fixed corpus (28/28 pairs at J≥0.5, 6 bands × 2
+    # rows); 0.9 is the s-curve expectation with margin — a banding
+    # regression fails loudly here.
+    assert recall >= 0.9, f"LSH recall too low: {recall}"
+
+
+def test_jaccard_max_doc_freq_exact_rescore(spark, docs):
+    """The hot-shingle cap must not change the result at this corpus's
+    thresholds: candidates shrink, but surviving pairs are re-scored on the
+    full shingle relation, so pairs AND jaccard values are identical.
+    The cap is verified non-vacuous (it actually drops shingles)."""
+    from social_warner_spark.operators.dedup import doc_shingles
+
+    cap = 5
+    sh = doc_shingles(docs)
+    n_hot = (
+        sh.groupBy("shingle").count().where(F.col("count") > cap).count()
+    )
+    assert n_hot > 0, "cap must actually drop shingles for this test to bite"
+
+    base = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in exact_jaccard_pairs(docs, THRESH).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in exact_jaccard_pairs(docs, THRESH, max_doc_freq=cap).collect()
+    }
+    assert base, "anchor must be non-empty"
+    assert capped == base
 
 
 def test_minhash_signature_determinism(spark, docs):
@@ -71,19 +100,34 @@ def test_lsh_candidates_are_pairs_not_self(spark, docs):
 
 
 def test_ann_bucketed_recall_vs_exact(spark, emb):
+    """Multi-probe (Hamming ≤ 1) is the recall knob: measured on this fixed
+    near-random corpus, planes=4 goes 0.18 → 0.56 with multiprobe=1 (the x8
+    config), and planes=2+multiprobe reaches 0.84 while still pruning 1/4 of
+    the corpus.  Floors are measured-minus-margin; real corpora (clustered,
+    not near-random) sit well above these."""
     probes = emb.where(F.col("vec_id") < 20)
     exact = {
         (r.probe_id, r.neighbor_id) for r in cosine_topk(emb, probes, k=5).collect()
     }
-    approx = {
+    x8_cfg = {
         (r.probe_id, r.neighbor_id)
-        for r in cosine_topk_bucketed(emb, probes, k=5, planes=2).collect()
+        for r in cosine_topk_bucketed(emb, probes, k=5, planes=4, multiprobe=1).collect()
     }
-    recall = len(approx & exact) / len(exact)
-    # axis-hyperplane LSH with 2 planes keeps 1/4 of the corpus per bucket;
-    # on near-random vectors recall is modest — assert it's meaningfully
-    # better than the 25% random-candidate floor.
-    assert recall >= 0.3, f"bucketed ANN recall too low: {recall}"
+    recall_x8 = len(x8_cfg & exact) / len(exact)
+    assert recall_x8 >= 0.45, f"x8-config ANN recall too low: {recall_x8}"
+
+    high_recall = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk_bucketed(emb, probes, k=5, planes=2, multiprobe=1).collect()
+    }
+    recall_hi = len(high_recall & exact) / len(exact)
+    assert recall_hi >= 0.7, f"high-recall ANN config too low: {recall_hi}"
+
+    single_probe = {
+        (r.probe_id, r.neighbor_id)
+        for r in cosine_topk_bucketed(emb, probes, k=5, planes=4, multiprobe=0).collect()
+    }
+    assert len(x8_cfg & exact) > len(single_probe & exact), "multi-probe must add recall"
 
 
 def test_embed_neardup_banded_vs_exact(spark, emb):
