@@ -6,17 +6,22 @@ Reference behavior (data_load.py:7-63):
 - empty-input guard raises ValueError (data_load.py:27-33)
 - blocking wait for job completion
 
-Spark mapping: mode("overwrite"/"append") + mergeSchema=true on a parquet
-dev sink (schema-on-write from the DataFrame's StructType — strictly better
-than re-inferring from JSON rows); the real BigQuery connector path is the
-same `df.write` call with format("bigquery") and is gated on the connector
-jar being present.  The write action itself is the blocking barrier.
+Spark mapping: the disposition maps to SaveMode (overwrite/append) — the
+spark-bigquery-connector derives the BigQuery WRITE_TRUNCATE/WRITE_APPEND
+disposition from SaveMode itself, so no explicit disposition option is set.
+ALLOW_FIELD_ADDITION maps to the connector's ``allowFieldAddition`` load-job
+option; on the parquet dev sink the equivalent is schema merging at READ
+time (see read_table) — parquet writes always carry their own file schema.
+The write action itself is the blocking barrier.
+
+The option assembly is a pure function (plan_write) so the connector
+contract stays unit-tested even where the connector jar is absent.
 """
 
 from __future__ import annotations
 
 import enum
-import os
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
@@ -30,6 +35,50 @@ class WriteDisposition(str, enum.Enum):
     @property
     def spark_mode(self) -> str:
         return "overwrite" if self is WriteDisposition.WRITE_TRUNCATE else "append"
+
+
+@dataclass(frozen=True)
+class WritePlan:
+    """Everything a DataFrameWriter needs, assembled without touching Spark."""
+
+    mode: str
+    fmt: str
+    options: dict[str, str] = field(default_factory=dict)
+    partition_by: tuple[str, ...] = ()
+
+
+def plan_write(
+    disposition: WriteDisposition | str = WriteDisposition.WRITE_APPEND,
+    fmt: str = "parquet",
+    allow_field_addition: bool = True,
+    partition_by: list[str] | None = None,
+) -> WritePlan:
+    """Map reference load semantics to Spark writer settings (pure).
+
+    - disposition → SaveMode: WRITE_TRUNCATE→overwrite, WRITE_APPEND→append.
+      For BigQuery the connector derives the load-job disposition from
+      SaveMode, so the mode is the ONLY disposition channel (an explicit
+      ``writeDisposition`` option is not part of the connector contract and
+      would be ignored).
+    - ALLOW_FIELD_ADDITION → connector option ``allowFieldAddition`` (adds
+      the SchemaUpdateOption to the load job).  File formats get no write
+      option: additive evolution is a read-side concern there (read_table
+      sets ``mergeSchema``).
+    - partitioning is a file-format concern (BigQuery partitioning is DDL).
+    """
+    if isinstance(disposition, str):
+        disposition = WriteDisposition(disposition)
+    if fmt == "bigquery":
+        options = {"allowFieldAddition": "true"} if allow_field_addition else {}
+        if partition_by:
+            raise ValueError("partition_by applies to file formats only")
+        return WritePlan(mode=disposition.spark_mode, fmt="bigquery", options=options)
+    return WritePlan(
+        mode=disposition.spark_mode,
+        fmt=fmt,
+        options={},
+        partition_by=tuple(partition_by or ()),
+    )
 
 
 def bigquery_available(spark) -> bool:
@@ -61,35 +110,31 @@ def write_table(
     from pyspark.sql import Observation
     import pyspark.sql.functions as F
 
-    if isinstance(disposition, str):
-        disposition = WriteDisposition(disposition)
+    plan = plan_write(disposition, fmt, allow_field_addition, partition_by)
     if df.isEmpty():
         raise ValueError("no rows to load (reference raises on empty input)")
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    writer = df.write.mode(disposition.spark_mode)
-    if fmt == "bigquery":
-        writer = writer.format("bigquery").option(
-            "writeDisposition", disposition.value
-        )
-        if allow_field_addition:
-            writer = writer.option("allowFieldAddition", "true")
-        writer.save(path_or_table)
-    else:
-        writer = writer.format(fmt)
-        if allow_field_addition:
-            # additive schema evolution on read: mergeSchema resolves the
-            # union of file schemas (ALLOW_FIELD_ADDITION equivalent)
-            writer = writer.option("mergeSchema", "true")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.save(path_or_table)
+    writer = df.write.mode(plan.mode).format(plan.fmt)
+    for k, v in plan.options.items():
+        writer = writer.option(k, v)
+    if plan.partition_by:
+        writer = writer.partitionBy(*plan.partition_by)
+    writer.save(path_or_table)
     rows = int(obs.get["rows"])
     logu.info("sink write complete", target=path_or_table, rows=rows,
-              disposition=disposition.value, format=fmt)
+              disposition=WriteDisposition(disposition).value
+              if isinstance(disposition, str) else disposition.value,
+              format=plan.fmt)
     return rows
 
 
 def read_table(spark, path: str, fmt: str = "parquet") -> DataFrame:
-    """Read a dev-sink table with schema merging (field-addition parity)."""
+    """Read a dev-sink table with schema merging.
+
+    ``mergeSchema`` here — at READ time — is the parquet-side equivalent of
+    BigQuery's ALLOW_FIELD_ADDITION: the scan resolves the union of all
+    file schemas, so rows written before a column was added surface with
+    NULLs in the new column.
+    """
     return spark.read.option("mergeSchema", "true").format(fmt).load(path)

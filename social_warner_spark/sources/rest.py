@@ -13,16 +13,20 @@ surfaces replace it:
   one giant concat: each page becomes an Arrow-backed DataFrame and the
   union is a metadata operation.
 
-Auth/secret retrieval (reference utils.py:78-92) stays a driver concern:
-pass resolved credentials into the fetcher options, never fetch secrets
-per-partition.
+Auth/secret retrieval (reference utils.py:78-92) is a driver concern:
+`resolve_credentials` runs a pluggable CredentialProvider ONCE on the
+driver and threads the materialized credentials into the fetcher options —
+executors never fetch secrets per-partition.  The default provider reads a
+JSON blob from an environment variable (the generic stand-in for the
+reference's secret-manager lookup; swap in any callable for a real store).
 """
 
 from __future__ import annotations
 
 import importlib
 import json
-from typing import Callable, Iterable, Iterator, Sequence
+import os
+from typing import Callable, Iterable, Iterator, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
@@ -42,6 +46,46 @@ except ImportError:  # pragma: no cover - older Spark
 
 PageFetcher = Callable[[int, dict], Iterable[dict]]
 """(page_index, options) -> iterable of row dicts for that page."""
+
+CredentialProvider = Callable[[], Mapping[str, str]]
+"""() -> credential mapping (e.g. client_id/client_secret/api_key —
+reference utils.py:86-92 builds its API client from exactly such a doc)."""
+
+CREDENTIALS_OPTION = "credentials_json"
+DEFAULT_CREDENTIALS_ENV = "SOCIAL_WARNER_CREDENTIALS"
+
+
+def env_credential_provider(env_var: str = DEFAULT_CREDENTIALS_ENV) -> CredentialProvider:
+    """Default provider: parse a JSON credential blob from an env var.
+
+    Mirrors the reference's get_secret('LF_CREDENTIALS') → json.loads
+    (utils.py:78-92) with the secret store abstracted to the environment;
+    raises KeyError when unset (fail fast, never a silent anonymous run).
+    """
+
+    def provider() -> Mapping[str, str]:
+        raw = os.environ.get(env_var)
+        if raw is None:
+            raise KeyError(f"credential env var {env_var!r} is not set")
+        return json.loads(raw)
+
+    return provider
+
+
+def resolve_credentials(
+    options: Mapping[str, str], provider: CredentialProvider | None = None
+) -> dict[str, str]:
+    """Resolve credentials ONCE (driver-side) into fetcher options (A17).
+
+    DataSource options are strings, so the credential mapping is embedded
+    as JSON under ``credentials_json``; fetchers json-load it.  Executors
+    receive materialized credentials with the serialized options and never
+    call the secret store themselves.
+    """
+    provider = provider or env_credential_provider()
+    out = dict(options)
+    out[CREDENTIALS_OPTION] = json.dumps(dict(provider()), sort_keys=True)
+    return out
 
 
 def resolve_fetcher(path: str) -> PageFetcher:

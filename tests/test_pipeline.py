@@ -126,3 +126,65 @@ def test_run_configs_reports_filter(spark):
         reports_filter=["only"],
     )
     assert [r.config_id for r in results] == ["only"]
+
+
+def test_content_dataset_window_widen():
+    """Reference data_extract.py:60-71: for content datasets the caller's
+    dates land in a BETWEEN filter on lfm.fact.date_str and THEN the
+    analysis start_date widens to {{nDaysAgo 365}} — filter dates and
+    analysis window must differ."""
+    import datetime as dt
+
+    from social_warner_spark.extract import (
+        CONTENT_WIDENED_START,
+        DATE_STR_FIELD,
+        build_extract_query,
+    )
+
+    anchor = dt.date(2024, 3, 1)
+    cfg = parse_config("cfg1", CONFIG_DOC)  # dataset_content_warner
+    assert cfg.is_content_dataset
+    q = build_extract_query(cfg, "{{nDaysAgo 7}}", "{{nDaysAgo 0}}", anchor=anchor)
+
+    between = [f for f in q.filters if f["field"] == DATE_STR_FIELD]
+    assert len(between) == 1 and between[0]["operator"] == "BETWEEN"
+    assert between[0]["values"] == ["2024-02-23", "2024-03-01"]
+    # the widen happened AFTER the filter captured the caller dates
+    assert q.start_date == CONTENT_WIDENED_START
+    assert q.analysis_window != ("2024-02-23", "2024-03-01")
+    assert q.end_date == "{{nDaysAgo 0}}"
+
+
+def test_non_content_dataset_no_widen():
+    from social_warner_spark.extract import DATE_STR_FIELD, build_extract_query
+
+    cfg = parse_config("cfg2", dict(CONFIG_DOC, dataset_id="dataset_brand_warner"))
+    assert not cfg.is_content_dataset
+    q = build_extract_query(cfg, "2024-01-01", "2024-01-31")
+    assert q.analysis_window == ("2024-01-01", "2024-01-31")
+    assert not [f for f in q.filters if f["field"] == DATE_STR_FIELD]
+    # brand IN filter is always present
+    assert q.filters[0]["operator"] == "IN" and q.filters[0]["values"] == [101, 102, 103]
+
+
+def test_compile_filters_applies_in_and_between(spark):
+    import datetime as dt
+
+    from social_warner_spark.extract import build_extract_query, compile_filters
+
+    cfg = parse_config("cfg1", CONFIG_DOC)
+    q = build_extract_query(cfg, "2024-01-05", "2024-01-07", anchor=dt.date(2024, 3, 1))
+    df = spark.createDataFrame(
+        [
+            ("2024-01-04", 101),
+            ("2024-01-05", 101),
+            ("2024-01-06", 999),  # brand not in list
+            ("2024-01-07", 103),
+            ("2024-01-08", 102),
+        ],
+        "`lfm.fact.date_str` string, `lfm.brand_view.id` long",
+    )
+    got = sorted(
+        r["lfm.fact.date_str"] for r in df.where(compile_filters(q.filters)).collect()
+    )
+    assert got == ["2024-01-05", "2024-01-07"]

@@ -62,3 +62,33 @@ def test_bigquery_gated(spark):
 
     # connector jar is absent in this environment; the probe must not raise
     assert bigquery_available(spark) is False
+
+
+def test_plan_write_bigquery_contract():
+    """The connector contract, unit-tested without the jar: disposition
+    rides SaveMode only (no writeDisposition option — the connector derives
+    the load-job disposition from SaveMode), ALLOW_FIELD_ADDITION maps to
+    allowFieldAddition."""
+    from social_warner_spark.sinks.writers import plan_write
+
+    p = plan_write("WRITE_TRUNCATE", fmt="bigquery")
+    assert (p.mode, p.fmt) == ("overwrite", "bigquery")
+    assert p.options == {"allowFieldAddition": "true"}
+    assert "writeDisposition" not in p.options
+
+    p = plan_write(WriteDisposition.WRITE_APPEND, fmt="bigquery",
+                   allow_field_addition=False)
+    assert (p.mode, p.options) == ("append", {})
+
+    with pytest.raises(ValueError, match="file formats"):
+        plan_write("WRITE_APPEND", fmt="bigquery", partition_by=["day"])
+
+
+def test_plan_write_parquet_contract():
+    """File formats carry no write-side schema-evolution option (mergeSchema
+    is read-side; see read_table) and keep partitioning."""
+    from social_warner_spark.sinks.writers import plan_write
+
+    p = plan_write("WRITE_APPEND", fmt="parquet", partition_by=["day"])
+    assert (p.mode, p.fmt, p.partition_by) == ("append", "parquet", ("day",))
+    assert p.options == {}

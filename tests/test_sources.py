@@ -46,3 +46,44 @@ def test_driver_side_fallback_union(spark):
 
 def test_driver_side_fallback_empty_returns_none(spark):
     assert read_paged(spark, lambda: iter(()), SCHEMA_DDL) is None
+
+
+def test_credentials_resolved_into_options(monkeypatch):
+    """A17: the provider runs once driver-side; options carry materialized
+    credentials as JSON (DataSource options are strings)."""
+    import json
+
+    from social_warner_spark.sources.rest import (
+        CREDENTIALS_OPTION,
+        DEFAULT_CREDENTIALS_ENV,
+        resolve_credentials,
+    )
+
+    creds = {"client_id": "cid", "client_secret": "cs", "api_key": "k"}
+    monkeypatch.setenv(DEFAULT_CREDENTIALS_ENV, json.dumps(creds))
+    opts = resolve_credentials({"num_pages": "3"})
+    assert opts["num_pages"] == "3"
+    assert json.loads(opts[CREDENTIALS_OPTION]) == creds
+
+    calls = []
+
+    def custom_provider():
+        calls.append(1)
+        return {"api_key": "other"}
+
+    opts2 = resolve_credentials({}, provider=custom_provider)
+    assert json.loads(opts2[CREDENTIALS_OPTION]) == {"api_key": "other"}
+    assert calls == [1]
+
+
+def test_credentials_env_missing_raises(monkeypatch):
+    import pytest
+
+    from social_warner_spark.sources.rest import (
+        DEFAULT_CREDENTIALS_ENV,
+        resolve_credentials,
+    )
+
+    monkeypatch.delenv(DEFAULT_CREDENTIALS_ENV, raising=False)
+    with pytest.raises(KeyError, match="SOCIAL_WARNER_CREDENTIALS"):
+        resolve_credentials({})
