@@ -7,11 +7,17 @@ Pandas iteration via ``mapInPandas`` — the ONLY sanctioned Python row path —
 so each task processes whole record batches and the cluster scales the
 decode horizontally.
 
-The actual codec work is STUBBED in this environment (no image/audio libs
-in the container): `decode_stub` raises NotImplementedError unless
-`fake=True`, in which case it produces a deterministic fake feature vector
-(sha-seeded) so the Spark-side plumbing — schema, batch iteration,
-partitioning — is fully real and tested.
+Codec boundary: pixel/sample DECODE is stubbed in this environment (no
+image/audio libs in the container): `decode_stub` raises
+NotImplementedError unless `fake=True`, in which case it produces a
+deterministic fake feature vector (sha-seeded) so the Spark-side plumbing —
+schema, batch iteration, partitioning — is fully real and tested.
+
+Container METADATA, however, needs no codec: `parse_media_header` reads
+real PNG/JPEG/GIF dimensions and WAV format/duration straight from the
+byte headers (pure Python struct reads), and `probe_media` runs it as the
+standard mapInPandas shape — the honest middle ground between "stub
+everything" and libraries the environment lacks.
 """
 
 from __future__ import annotations
@@ -108,11 +114,177 @@ def featurize_binary(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+# --- header probing (real metadata, no codec libraries) ----------------------
+
+PROBE_SCHEMA = (
+    "item_id long, media_type string, n_bytes int, width int, height int, "
+    "sample_rate int, n_channels int, bits_per_sample int, duration_ms long"
+)
+
+
+def parse_media_header(payload: bytes) -> dict:
+    """Sniff + parse container metadata from raw bytes (pure Python).
+
+    Formats: PNG (IHDR width/height), JPEG (SOF0/1/2 frame dims), GIF
+    (logical screen), WAV (fmt chunk + data-size-derived duration).
+    Returns {"media_type": None} for unrecognized payloads — callers keep
+    the opaque-binary contract instead of failing the batch.
+    """
+    out = {
+        "media_type": None, "width": None, "height": None, "sample_rate": None,
+        "n_channels": None, "bits_per_sample": None, "duration_ms": None,
+    }
+    try:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n" and payload[12:16] == b"IHDR":
+            out["media_type"] = "image/png"
+            out["width"] = int.from_bytes(payload[16:20], "big")
+            out["height"] = int.from_bytes(payload[20:24], "big")
+        elif payload[:3] == b"GIF" and payload[3:6] in (b"87a", b"89a"):
+            out["media_type"] = "image/gif"
+            out["width"] = int.from_bytes(payload[6:8], "little")
+            out["height"] = int.from_bytes(payload[8:10], "little")
+        elif payload[:2] == b"\xff\xd8":
+            out["media_type"] = "image/jpeg"
+            i = 2
+            while i + 9 < len(payload):
+                if payload[i] != 0xFF:
+                    break
+                marker = payload[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                    out["height"] = int.from_bytes(payload[i + 5 : i + 7], "big")
+                    out["width"] = int.from_bytes(payload[i + 7 : i + 9], "big")
+                    break
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone marker, no length field
+                else:
+                    i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
+        elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            out["media_type"] = "audio/wav"
+            i, byte_rate, data_size = 12, None, None
+            while i + 8 <= len(payload):
+                chunk_id = payload[i : i + 4]
+                chunk_size = int.from_bytes(payload[i + 4 : i + 8], "little")
+                if chunk_id == b"fmt ":
+                    body = payload[i + 8 : i + 8 + chunk_size]
+                    out["n_channels"] = int.from_bytes(body[2:4], "little")
+                    out["sample_rate"] = int.from_bytes(body[4:8], "little")
+                    byte_rate = int.from_bytes(body[8:12], "little")
+                    out["bits_per_sample"] = int.from_bytes(body[14:16], "little")
+                elif chunk_id == b"data":
+                    data_size = chunk_size
+                i += 8 + chunk_size + (chunk_size % 2)  # chunks are word-aligned
+            if byte_rate and data_size is not None:
+                out["duration_ms"] = data_size * 1000 // byte_rate
+    except (IndexError, ValueError):
+        out = {k: None for k in out}
+    return out
+
+
+def probe_media(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real header metadata per item, as a mapInPandas batch map.
+
+    Same 100 TB shape as featurize_binary — opaque binary in, typed
+    metadata out, zero shuffle; only the first KBs of each payload are
+    touched, so column-pruned scans that keep payloads out of other
+    operators matter more than the parse itself.
+    """
+
+    _pickle_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_media_header(b) for b in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "item_id": pdf[id_col].astype("int64"),
+                    "media_type": [p["media_type"] for p in parsed],
+                    "n_bytes": pdf[payload_col].map(len).astype("int32"),
+                    "width": pd.array([p["width"] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p["height"] for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array(
+                        [p["sample_rate"] for p in parsed], dtype="Int32"
+                    ),
+                    "n_channels": pd.array(
+                        [p["n_channels"] for p in parsed], dtype="Int32"
+                    ),
+                    "bits_per_sample": pd.array(
+                        [p["bits_per_sample"] for p in parsed], dtype="Int32"
+                    ),
+                    "duration_ms": pd.array(
+                        [p["duration_ms"] for p in parsed], dtype="Int64"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=PROBE_SCHEMA)
+
+
+def synth_media_payload(doc_id: int, n_chars: int) -> tuple[bytes, str]:
+    """Deterministic REAL container bytes for tests/queries (no codec libs):
+    odd ids → a PNG whose IHDR encodes formula-derived dimensions, even ids
+    → a WAV whose fmt/data chunks encode formula-derived audio params.  The
+    formulas are integer-only so a SQL oracle can state the expected
+    metadata while Spark actually round-trips it through real bytes.
+    """
+    if doc_id % 2 == 1:
+        width = 16 + doc_id % 32
+        height = 9 + doc_id % 17
+        ihdr_body = (
+            width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0])  # bit depth 8, truecolor
+        )
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + len(ihdr_body).to_bytes(4, "big") + b"IHDR" + ihdr_body
+            + b"\x00\x00\x00\x00"  # CRC (not validated by the probe)
+        )
+        return payload, "image/png"
+    sample_rate = 8000 * (1 + doc_id % 3)
+    n_channels = 1 + (doc_id // 2) % 2
+    bits = 16
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    n_samples = 100 + n_chars
+    data_size = n_samples * block_align
+    fmt_body = (
+        (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    payload = (
+        b"RIFF" + (36 + data_size).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        # declared data size drives the duration math; the body is bounded
+        # (header-only probes never read sample bytes)
+        + b"data" + data_size.to_bytes(4, "little") + bytes(data_size % 4096)
+    )
+    return payload, "audio/wav"
+
+
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Test helper: synthesize a binary payload column from text content."""
     return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
         "media_type", F.lit("text/plain")
     )
+
+
+def with_synth_media(
+    df: DataFrame, id_col: str = "doc_id", n_chars_col: str = "n_chars"
+) -> DataFrame:
+    """Attach a real PNG/WAV container payload per row (synth_media_payload),
+    built in an Arrow-batched pandas UDF (struct packing is Python work)."""
+
+    _pickle_module_by_value()
+
+    @F.pandas_udf("binary")
+    def make_payload(ids: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [synth_media_payload(int(i), int(n))[0] for i, n in zip(ids, n_chars)]
+        )
+
+    return df.withColumn("payload", make_payload(F.col(id_col), F.col(n_chars_col)))
 
 
 # --- typed media operators (decode / resize / frame-sample) ------------------

@@ -82,7 +82,7 @@ CHECK_PRIORITY = (
     "x11_grouped_pandas_udaf",
     "x12_percentiles",
     "x13_grouping_sets",
-    "x9_multimodal_binary",
+    "x49_media_probe",
     # plan-richest TPC-H shapes (decorrelation, dual-EXISTS, anti-join)
     "q1_pricing_summary",
     "q2_min_price_supplier",

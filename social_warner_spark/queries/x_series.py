@@ -129,6 +129,31 @@ def x9_multimodal_binary(spark, sf_dir):
     )
 
 
+def x49_media_probe(spark, sf_dir):
+    """Real-header multimodal probe, oracle-checked end to end.
+
+    Per doc, REAL container bytes are synthesized (odd ids → PNG whose IHDR
+    encodes formula-derived dimensions; even ids → WAV whose fmt/data
+    chunks encode formula-derived audio params), then probe_media parses
+    the actual byte headers back via mapInPandas.  The oracle states the
+    same integer formulas in SQL — so a probe that misreads offsets,
+    endianness, or chunk walking hash-mismatches immediately."""
+    from social_warner_spark.operators.multimodal import probe_media, with_synth_media
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    probed = probe_media(with_synth_media(d), id_col="doc_id")
+    return probed.select(
+        F.col("item_id").alias("doc_id"),
+        "media_type",
+        "width",
+        "height",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        "duration_ms",
+    )
+
+
 def x15_minhash_lsh_pairs(spark, sf_dir):
     """Full MinHash+LSH near-dup pipeline: deterministic signatures → band
     bucketing → candidate equi-join → exact-Jaccard verification.  Because
@@ -157,6 +182,7 @@ QUERIES = {
     "x7_embed_neardup": x7_embed_neardup,
     "x8_ann_bucketed": x8_ann_bucketed,
     "x9_multimodal_binary": x9_multimodal_binary,
+    "x49_media_probe": x49_media_probe,
 }
 
 _SHINGLES = """
@@ -317,6 +343,19 @@ ORACLES = {
                      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                      6) >= {EMBED_NEARDUP_TAU}
+    """,
+    "x49_media_probe": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 1 THEN 'image/png' ELSE 'audio/wav' END AS media_type,
+               CASE WHEN doc_id % 2 = 1 THEN CAST(16 + doc_id % 32 AS INT) END AS width,
+               CASE WHEN doc_id % 2 = 1 THEN CAST(9 + doc_id % 17 AS INT) END AS height,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(1 + (doc_id // 2) % 2 AS INT) END AS n_channels,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(16 AS INT) END AS bits_per_sample,
+               CASE WHEN doc_id % 2 = 0
+                    THEN CAST((100 + n_chars) * 1000 // (8000 * (1 + doc_id % 3)) AS BIGINT)
+               END AS duration_ms
+        FROM documents
     """,
     "x8_ann_bucketed": f"""
         WITH bucketed AS (

@@ -252,6 +252,71 @@ def test_pandas_topk_equals_expression_topk(spark, emb):
 # --- multimodal plumbing -----------------------------------------------------
 
 
+def test_parse_media_header_formats():
+    """Handcrafted real headers: PNG IHDR, GIF screen, JPEG SOF0 behind an
+    APP0 segment, WAV fmt+data — plus junk → all-None."""
+    from social_warner_spark.operators.multimodal import parse_media_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0]) + b"\x00\x00\x00\x00"
+    )
+    p = parse_media_header(png)
+    assert (p["media_type"], p["width"], p["height"]) == ("image/png", 640, 480)
+
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    g = parse_media_header(gif)
+    assert (g["media_type"], g["width"], g["height"]) == ("image/gif", 320, 200)
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof0 = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + bytes([8])
+        + (1080).to_bytes(2, "big") + (1920).to_bytes(2, "big") + bytes([3, 0, 0, 0])
+    )
+    j = parse_media_header(b"\xff\xd8" + app0 + sof0)
+    assert (j["media_type"], j["width"], j["height"]) == ("image/jpeg", 1920, 1080)
+
+    fmt_body = (
+        (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
+        + (44100).to_bytes(4, "little") + (44100 * 4).to_bytes(4, "little")
+        + (4).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    wav = (
+        b"RIFF" + (36 + 44100 * 4).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt_body
+        + b"data" + (44100 * 4).to_bytes(4, "little")
+    )
+    w = parse_media_header(wav)
+    assert (w["media_type"], w["sample_rate"], w["n_channels"],
+            w["bits_per_sample"], w["duration_ms"]) == ("audio/wav", 44100, 2, 16, 1000)
+
+    junk = parse_media_header(b"not media at all")
+    assert junk["media_type"] is None and junk["width"] is None
+
+
+def test_synth_media_roundtrip():
+    """synth_media_payload bytes parse back to exactly the formula values
+    the x49 oracle states."""
+    from social_warner_spark.operators.multimodal import (
+        parse_media_header,
+        synth_media_payload,
+    )
+
+    for doc_id, n_chars in [(1, 50), (2, 50), (3, 999), (4, 0), (7, 123), (10, 7)]:
+        payload, declared = synth_media_payload(doc_id, n_chars)
+        p = parse_media_header(payload)
+        assert p["media_type"] == declared
+        if doc_id % 2 == 1:
+            assert p["width"] == 16 + doc_id % 32
+            assert p["height"] == 9 + doc_id % 17
+        else:
+            sr = 8000 * (1 + doc_id % 3)
+            assert p["sample_rate"] == sr
+            assert p["n_channels"] == 1 + (doc_id // 2) % 2
+            assert p["duration_ms"] == (100 + n_chars) * 1000 // sr
+
+
 def test_decode_stub_gating():
     with pytest.raises(NotImplementedError):
         decode_stub(b"img-bytes", "image/png", fake=False)
