@@ -3,16 +3,28 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "queries": {"<name>": sec, ...}, "sf": <sf>,
+   "runs": N, "queries_all_runs": {...}, "loadavg": [...]}
 
-Each query is executed to completion with a count() action (forces full
-evaluation without driver-side result materialization costs dominating).
+Protocol (stable across rounds — compare PER QUERY, never totals, when the
+headline set changes):
+- each query runs N times consecutively (N = $SPARK_GRAFT_BENCH_RUNS,
+  default 3); "queries" reports the per-query MEDIAN, "value" the sum of
+  medians.  Medians absorb shared-host load spikes that hit sub-second
+  queries hardest (±40% observed).
+- the 1-minute load average is recorded before and after so a noisy run
+  is visible in the artifact itself.
+- each run is executed to completion with a count() action (forces full
+  evaluation without driver-side result materialization dominating);
+  persisted intermediates are released between runs so run k+1 never
+  reads run k's cache.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -39,7 +51,8 @@ HEADLINE = [
     "l1_exact_dedup",        # hash dedup
     "l2_jaccard_pairs",      # shingle self-join (heaviest)
     "l3_topk_cosine",        # brute-force vector scoring
-    "x8_ann_bucketed",       # LSH-bucketed ANN
+    "x8_ann_bucketed",       # LSH-bucketed ANN (multi-probe)
+    "x7_embed_neardup",      # banded sign-LSH embedding near-dup
     "x16_corpus_prep",       # composite corpus pipeline (gate+dedup+prune)
     "x31_full_pipeline",     # flagship: + decontamination + packing
 ]
@@ -67,22 +80,32 @@ def main() -> None:
 
     from social_warner_spark.caching import release_persisted_intermediates
 
-    timings: dict[str, float] = {}
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    load_before = os.getloadavg()
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        queries[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        release_persisted_intermediates()  # don't let query N's caches skew query N+1
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+            release_persisted_intermediates()  # no cross-run/query cache reuse
+        all_runs[name] = runs
+    load_after = os.getloadavg()
 
-    total = round(sum(timings.values()), 3)
+    medians = {name: round(statistics.median(r), 3) for name, r in all_runs.items()}
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs": n_runs,
+                "queries_all_runs": all_runs,
+                "loadavg": [round(x, 2) for x in (*load_before, *load_after)],
             }
         )
     )

@@ -17,6 +17,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Persist hive-partitioned by the given columns (date partitioning for
+    facts).  Filters on partition columns then prune whole directories at
+    plan time (`PartitionFilters` in the scan, zero data bytes for excluded
+    dates) — at 100 TB this is the difference between scanning a day and
+    scanning a year.  Partition columns should be low-cardinality (a date,
+    not a timestamp): each value is a directory.
+    """
+    df.write.mode("overwrite").format(fmt).partitionBy(*partition_cols).save(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from social_warner_spark.functions.text import tokens, word_shingles
-from social_warner_spark.functions.vectors import cosine
+from social_warner_spark.functions.vectors import cosine, dot, l2_norm
 
 
 def content_hash(text: Column) -> Column:
@@ -375,6 +375,7 @@ def embedding_neardup_pairs(
         a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
         b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
         joined = a.join(F.broadcast(b), F.col("a") < F.col("b"))
+        scored = joined.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
     else:
         from social_warner_spark.caching import register_persisted
 
@@ -393,11 +394,36 @@ def embedding_neardup_pairs(
             r = keyed.select(F.col(id_col).alias("b"), F.col(f"band_{b}").alias("bk"))
             p = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b")
             pairs = p if pairs is None else pairs.unionByName(p)
-        va = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-        vb = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-        joined = pairs.distinct().join(va, "a").join(vb, "b")
+        # norms computed ONCE per vector (n rows), not per candidate pair —
+        # per-pair work is the dot product alone.  dot/(na·nb) evaluates the
+        # identical float expression tree as cosine(), so oracle rounding is
+        # unaffected.
+        va = df.select(
+            F.col(id_col).alias("a"),
+            F.col(vec_col).alias("va"),
+            l2_norm(F.col(vec_col)).alias("na"),
+        )
+        vb = df.select(
+            F.col(id_col).alias("b"),
+            F.col(vec_col).alias("vb"),
+            l2_norm(F.col(vec_col)).alias("nb"),
+        )
+        scored = (
+            pairs.distinct()
+            .join(va, "a")
+            .join(vb, "b")
+            .withColumn(
+                "cos",
+                F.round(
+                    F.when(
+                        (F.col("na") > 0) & (F.col("nb") > 0),
+                        dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")),
+                    ),
+                    6,
+                ),
+            )
+        )
     return (
-        joined.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
-        .where(F.col("cos") >= threshold)
+        scored.where(F.col("cos") >= threshold)
         .select(F.col("a").alias("vec_id_a"), F.col("b").alias("vec_id_b"), "cos")
     )
