@@ -302,6 +302,95 @@ def minhash_neardup_pairs(
     )
 
 
+def incremental_neardup_matches(
+    new: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Screen a NEW batch against an EXISTING corpus: for each new doc with
+    any corpus near-dup (Jaccard ≥ threshold), return its best match
+    (max jaccard, ties → lowest corpus id).
+
+    The shape real training pipelines need before appending a crawl
+    increment: dedup new-vs-existing, never re-pair the whole corpus.
+
+    100 TB posture: the new batch is small by construction, so its band
+    keys BROADCAST into each per-band candidate join — the corpus computes
+    signatures (one groupBy) but never shuffles on band key or content;
+    exact verification then touches only candidate corpus docs' shingles
+    (two equi-joins, candidates × shingles rows).
+    """
+    sig_n = minhash_signatures(new, num_hashes, text_col, id_col, n)
+    sig_c = minhash_signatures(corpus, num_hashes, text_col, id_col, n)
+
+    def banded(sig: DataFrame, out_id: str) -> DataFrame:
+        mh_cols = [c for c in sig.columns if c.startswith("mh_")]
+        assert len(mh_cols) >= bands * rows_per_band
+        return sig.select(
+            F.col(id_col).alias(out_id),
+            *[
+                F.concat_ws(
+                    "#", *mh_cols[b * rows_per_band : (b + 1) * rows_per_band]
+                ).alias(f"band_{b}")
+                for b in range(bands)
+            ],
+        )
+
+    bn, bc = banded(sig_n, "new_id"), banded(sig_c, "corpus_id")
+    cands = None
+    for b in range(bands):
+        l = bc.select("corpus_id", F.col(f"band_{b}").alias("bk"))
+        r = bn.select("new_id", F.col(f"band_{b}").alias("bk"))
+        p = l.join(F.broadcast(r), "bk").select("new_id", "corpus_id")
+        cands = p if cands is None else cands.unionByName(p)
+    cands = cands.distinct()
+
+    sh_n = doc_shingles(new, text_col, id_col, n)
+    sh_c = doc_shingles(corpus, text_col, id_col, n)
+    shared = (
+        cands.join(sh_n.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
+        .join(
+            sh_c.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("shared"))
+    )
+    sizes_n = sh_n.groupBy(id_col).agg(F.count("*").alias("sz_n"))
+    sizes_c = sh_c.groupBy(id_col).agg(F.count("*").alias("sz_c"))
+    scored = (
+        # new-batch sizes broadcast (small side by construction); corpus
+        # sizes stay a plain equi-join — |corpus| rows must never broadcast
+        shared.join(F.broadcast(sizes_n.withColumnRenamed(id_col, "new_id")), "new_id")
+        .join(sizes_c.withColumnRenamed(id_col, "corpus_id"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sz_n") + F.col("sz_c") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("new_id").orderBy(F.desc("jaccard"), F.asc("corpus_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("new_id").alias(id_col),
+            F.col("corpus_id").alias("match_id"),
+            "jaccard",
+        )
+    )
+
+
 def simhash_bits(text: Column, bits: int = 16) -> Column:
     """Deterministic simhash fingerprint as a `bits`-char '0'/'1' string.
 

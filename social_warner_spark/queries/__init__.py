@@ -83,6 +83,8 @@ CHECK_PRIORITY = (
     "x12_percentiles",
     "x13_grouping_sets",
     "x49_media_probe",
+    "x50_tfidf_topk",
+    "x51_incremental_dedup",
     # plan-richest TPC-H shapes (decorrelation, dual-EXISTS, anti-join)
     "q1_pricing_summary",
     "q2_min_price_supplier",

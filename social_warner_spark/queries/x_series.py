@@ -154,6 +154,55 @@ def x49_media_probe(spark, sf_dir):
     )
 
 
+def x50_tfidf_topk(spark, sf_dir):
+    """Top-3 TF-IDF terms per document.
+
+    Plan: token explode → per-(doc,token) tf agg; document frequency as a
+    second agg over the distinct (doc,token) pairs; corpus size reduces to
+    ONE row cross-joined back (never a driver-side count); weight =
+    tf·ln((N+1)/(df+1)) ranked per doc with the row_number window ordered
+    on the ROUNDED weight so cross-engine tie order is deterministic."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tok.distinct().groupBy("token").agg(F.count("*").alias("dfc"))
+    )
+    n_docs = d.agg(F.count("*").alias("nd"))
+    weighted = (
+        tf.join(dfreq, "token")
+        .join(F.broadcast(n_docs), how="cross")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("nd") + 1.0) / (F.col("dfc") + 1.0)), 6
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        weighted.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "token", "tfidf", "rk")
+    )
+
+
+def x51_incremental_dedup(spark, sf_dir):
+    """Incremental near-dup screening: docs with doc_id % 5 == 0 are the
+    'new batch', the rest the existing corpus; for each new doc with a
+    corpus near-dup at J ≥ 0.5, emit its best match.  The new batch's LSH
+    band keys broadcast into the candidate joins — the corpus never
+    shuffles on content (see incremental_neardup_matches)."""
+    from social_warner_spark.operators.dedup import incremental_neardup_matches
+
+    d = T(spark, sf_dir, "documents")
+    new = d.where(F.col("doc_id") % 5 == 0)
+    corpus = d.where(F.col("doc_id") % 5 != 0)
+    return incremental_neardup_matches(new, corpus, threshold=0.5)
+
+
 def x15_minhash_lsh_pairs(spark, sf_dir):
     """Full MinHash+LSH near-dup pipeline: deterministic signatures → band
     bucketing → candidate equi-join → exact-Jaccard verification.  Because
@@ -183,6 +232,8 @@ QUERIES = {
     "x8_ann_bucketed": x8_ann_bucketed,
     "x9_multimodal_binary": x9_multimodal_binary,
     "x49_media_probe": x49_media_probe,
+    "x50_tfidf_topk": x50_tfidf_topk,
+    "x51_incremental_dedup": x51_incremental_dedup,
 }
 
 _SHINGLES = """
@@ -242,6 +293,14 @@ _EMBED_BAND_UNION = "\n            UNION\n".join(
     f"            SELECT a.vec_id AS va, b.vec_id AS vb FROM keyed a "
     f"JOIN keyed b ON a.band_{b} = b.band_{b} AND a.vec_id < b.vec_id"
     for b in range(EMBED_BANDS)
+)
+
+# x51: cross-set (new % 5 == 0 vs corpus) band-candidate union
+_INC_BAND_UNION = "\n            UNION ALL\n".join(
+    f"            SELECT n.doc_id AS nid, c.doc_id AS cid FROM sigs n "
+    f"JOIN sigs c ON n.band_{b} = c.band_{b} "
+    f"AND n.doc_id % 5 = 0 AND c.doc_id % 5 <> 0"
+    for b in range(4)
 )
 
 ORACLES = {
@@ -343,6 +402,57 @@ ORACLES = {
                      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
                         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
                      6) >= {EMBED_NEARDUP_TAU}
+    """,
+    "x50_tfidf_topk": """
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split(trim(text), ' ')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT token, COUNT(*) AS dfc
+            FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY token
+        ), nd AS (SELECT COUNT(*) AS nd FROM documents)
+        , weighted AS (
+            SELECT doc_id, token,
+                   ROUND(tf * ln((nd + 1.0) / (dfc + 1.0)), 6) AS tfidf
+            FROM tf JOIN dfreq USING (token), nd
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                              ORDER BY tfidf DESC, token) AS INT) AS rk
+            FROM weighted
+        )
+        SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 3
+    """,
+    "x51_incremental_dedup": _SHINGLES
+    + f"""
+        , sigs AS (
+            SELECT doc_id, {_BANDS_SQL}
+            FROM (SELECT doc_id, {_MH_COLS} FROM sh GROUP BY doc_id)
+        ), cands AS (
+            SELECT DISTINCT nid, cid FROM (
+{_INC_BAND_UNION}
+            )
+        ), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id)
+        , shared AS (
+            SELECT a.doc_id AS nid, b.doc_id AS cid, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT c.nid, c.cid,
+                   ROUND(s.shared / (sn.sz + sc.sz - s.shared), 6) AS jaccard
+            FROM cands c
+            JOIN shared s ON s.nid = c.nid AND s.cid = c.cid
+            JOIN sizes sn ON sn.doc_id = c.nid
+            JOIN sizes sc ON sc.doc_id = c.cid
+            WHERE ROUND(s.shared / (sn.sz + sc.sz - s.shared), 6) >= 0.5
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY nid
+                                         ORDER BY jaccard DESC, cid) AS rk
+            FROM exact
+        )
+        SELECT nid AS doc_id, cid AS match_id, jaccard FROM ranked WHERE rk = 1
     """,
     "x49_media_probe": """
         SELECT doc_id,
