@@ -86,6 +86,18 @@ def test_embed_neardup_no_nested_loop(spark, sf_smoke):
     assert "bk" in p
 
 
+def test_incremental_dedup_broadcasts_new_batch(spark, sf_smoke):
+    """x51's candidate generation must broadcast the (small) new-batch band
+    keys — a SortMergeJoin on a band key would shuffle the corpus on
+    content, the exact cost the incremental design exists to avoid."""
+    p = plan_of(spark, sf_smoke, "x51_incremental_dedup")
+    # one broadcast join per band (4) plus the verification joins — and
+    # nothing shuffles the corpus: no SortMergeJoin/ShuffledHashJoin at all
+    assert p.count("BroadcastHashJoin") >= 4, p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+
+
 def test_asof_join_single_shuffle(spark, sf_smoke):
     """The union-and-carry-forward as-of join must cost exactly one
     shuffle (on the key) — its whole advantage over a range join."""
