@@ -133,17 +133,26 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid by rounded cosine
     (ties → lowest cluster id).  Centroids are broadcast (nlist is small by
-    construction); the argmax is a per-row reduction over nlist candidates,
-    so the only shuffle is the row_number window on vec_id — and even that
-    collapses to a per-partition map under AQE when nlist ≪ |corpus|.
+    construction); the argmax is a `max_by` HASH AGGREGATE over the nlist
+    candidates per vector — partial aggregation runs map-side, so the
+    shuffle carries one pre-reduced row per vector instead of sorting
+    nlist·|corpus| rows under a window.  Ordering key (ccos, -cluster)
+    makes ties resolve to the lowest cluster id, matching the SQL oracle's
+    `row_number() ... ORDER BY ccos DESC, cluster` exactly.
     """
-    w = Window.partitionBy(id_col).orderBy(F.desc("ccos"), F.asc("cluster"))
-    return (
+    scored = (
         corpus.select(id_col, vec_col)
         .join(F.broadcast(centroids.select("cluster", F.col("cvec"))), how="cross")
         .withColumn("ccos", F.round(cosine(F.col(vec_col), F.col("cvec")), 6))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),  # constant within the group
+            F.max_by(
+                "cluster", F.struct(F.col("ccos"), (-F.col("cluster")).alias("nc"))
+            ).alias("cluster"),
+        )
         .select(id_col, vec_col, "cluster")
     )
 
