@@ -6,6 +6,10 @@ from social_warner_spark.streaming.events import (
     dedup_stream,
     run_stream_to_memory,
 )
+from social_warner_spark.streaming.sinks import (
+    stream_foreach_batch,
+    stream_to_parquet,
+)
 
 __all__ = [
     "enrich_stream",
@@ -14,4 +18,6 @@ __all__ = [
     "tumbling_counts_stream",
     "dedup_stream",
     "run_stream_to_memory",
+    "stream_foreach_batch",
+    "stream_to_parquet",
 ]
