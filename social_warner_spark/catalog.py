@@ -43,16 +43,21 @@ def prepare_session(spark: SparkSession) -> SparkSession:
       the session (the driver passes us its own).
     - shuffle-partition right-sizing: a session still at Spark's static
       default (200) pays ~6× task-scheduling overhead on the multi-stage /
-      iterative pipelines at test SF (measured: x31 57s → 9s).  Only the
-      untouched default is overridden — an explicitly configured session
-      (ours or the host's) always wins.  At cluster scale the equivalent
-      knob is 2-3× total cores with AQE coalescing down (session.py).
+      iterative pipelines at test SF (measured: x31 57s → 9s).  A session
+      whose builder/spark-submit conf set the key explicitly is never
+      touched (detected via the SparkContext conf) — the 200-default check
+      alone can't distinguish a deliberate runtime set of exactly 200,
+      which is the one case this heuristic would override.  At cluster
+      scale the equivalent knob is 2-3× total cores with AQE coalescing
+      down (session.py).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+    key = "spark.sql.shuffle.partitions"
+    explicitly_built = spark.sparkContext.getConf().contains(key)
+    if not explicitly_built and spark.conf.get(key, "200") == "200":
         cores = spark.sparkContext.defaultParallelism
-        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, min(64, 2 * cores))))
+        spark.conf.set(key, str(max(8, min(64, 2 * cores))))
     return spark
 
 

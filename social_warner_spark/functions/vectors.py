@@ -38,3 +38,22 @@ def cosine(a: Column, b: Column) -> Column:
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def sign_bits(vec: Column, start: int, n: int, flip: int | None = None) -> Column:
+    """'1'/'0' concat of the sign bits of dimensions [start+1 .. start+n]
+    (1-indexed), optionally with bit `flip` (0-based within the slice)
+    inverted.  THE single sign-LSH recipe — every bucket/band key
+    (similarity.sign_bucket, its multi-probe variants, dedup.sign_band_key)
+    derives from here so the mirrored SQL oracles can never desynchronize
+    across copies.
+    """
+    bits = []
+    for i in range(n):
+        pos = F.element_at(vec, start + i + 1) >= 0
+        if flip == i:
+            bit = F.when(pos, F.lit("0")).otherwise(F.lit("1"))
+        else:
+            bit = F.when(pos, F.lit("1")).otherwise(F.lit("0"))
+        bits.append(bit)
+    return F.concat(*bits)

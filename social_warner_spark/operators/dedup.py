@@ -243,11 +243,39 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc: id + mh_0..mh_{k-1}.  Single shuffle on id; the k
-    mins are partial-aggregated map-side."""
-    sh = doc_shingles(df, text_col, id_col, n)
+    mins are partial-aggregated map-side.  Pass a precomputed (persisted)
+    ``shingles`` relation when the caller also consumes it elsewhere —
+    avoids re-running the explode+distinct lineage."""
+    sh = shingles if shingles is not None else doc_shingles(df, text_col, id_col, n)
     return sh.groupBy(id_col).agg(*minhash_signature_cols(num_hashes))
+
+
+def minhash_band_keys(
+    signatures: DataFrame,
+    bands: int,
+    rows_per_band: int,
+    id_col: str = "doc_id",
+    out_id: str | None = None,
+) -> DataFrame:
+    """(id, band_0..band_{bands-1}): band key = '#'-joined slice of the
+    mh_ columns.  THE single banding recipe — both the self-join
+    (lsh_candidate_pairs) and cross-set (incremental_neardup_matches)
+    candidate generators use it, so the mirrored _BANDS_SQL oracles can
+    never desynchronize between them."""
+    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
+    assert len(mh_cols) >= bands * rows_per_band
+    return signatures.select(
+        F.col(id_col).alias(out_id or id_col),
+        *[
+            F.concat_ws("#", *mh_cols[b * rows_per_band : (b + 1) * rows_per_band]).alias(
+                f"band_{b}"
+            )
+            for b in range(bands)
+        ],
+    )
 
 
 def lsh_candidate_pairs(
@@ -259,17 +287,7 @@ def lsh_candidate_pairs(
     Candidate generation = union of `bands` equi-self-joins on the band
     key — shuffle cost scales with matches, never with n².
     """
-    mh_cols = [c for c in signatures.columns if c.startswith("mh_")]
-    assert len(mh_cols) >= bands * rows_per_band
-    banded = signatures.select(
-        F.col(id_col),
-        *[
-            F.concat_ws("#", *mh_cols[b * rows_per_band : (b + 1) * rows_per_band]).alias(
-                f"band_{b}"
-            )
-            for b in range(bands)
-        ],
-    )
+    banded = minhash_band_keys(signatures, bands, rows_per_band, id_col)
     pairs = None
     for b in range(bands):
         l = banded.select(F.col(id_col).alias("a"), F.col(f"band_{b}").alias("bk"))
@@ -326,23 +344,17 @@ def incremental_neardup_matches(
     exact verification then touches only candidate corpus docs' shingles
     (two equi-joins, candidates × shingles rows).
     """
-    sig_n = minhash_signatures(new, num_hashes, text_col, id_col, n)
-    sig_c = minhash_signatures(corpus, num_hashes, text_col, id_col, n)
+    from social_warner_spark.caching import register_persisted
 
-    def banded(sig: DataFrame, out_id: str) -> DataFrame:
-        mh_cols = [c for c in sig.columns if c.startswith("mh_")]
-        assert len(mh_cols) >= bands * rows_per_band
-        return sig.select(
-            F.col(id_col).alias(out_id),
-            *[
-                F.concat_ws(
-                    "#", *mh_cols[b * rows_per_band : (b + 1) * rows_per_band]
-                ).alias(f"band_{b}")
-                for b in range(bands)
-            ],
-        )
+    # each shingle relation feeds three consumers (signatures, verification
+    # join, sizes) — persist once, same as exact_jaccard_pairs
+    sh_n = register_persisted(doc_shingles(new, text_col, id_col, n).persist())
+    sh_c = register_persisted(doc_shingles(corpus, text_col, id_col, n).persist())
+    sig_n = minhash_signatures(new, num_hashes, text_col, id_col, n, shingles=sh_n)
+    sig_c = minhash_signatures(corpus, num_hashes, text_col, id_col, n, shingles=sh_c)
 
-    bn, bc = banded(sig_n, "new_id"), banded(sig_c, "corpus_id")
+    bn = minhash_band_keys(sig_n, bands, rows_per_band, id_col, out_id="new_id")
+    bc = minhash_band_keys(sig_c, bands, rows_per_band, id_col, out_id="corpus_id")
     cands = None
     for b in range(bands):
         l = bc.select("corpus_id", F.col(f"band_{b}").alias("bk"))
@@ -351,8 +363,6 @@ def incremental_neardup_matches(
         cands = p if cands is None else cands.unionByName(p)
     cands = cands.distinct()
 
-    sh_n = doc_shingles(new, text_col, id_col, n)
-    sh_c = doc_shingles(corpus, text_col, id_col, n)
     shared = (
         cands.join(sh_n.select(F.col(id_col).alias("new_id"), "shingle"), "new_id")
         .join(
@@ -423,16 +433,14 @@ def simhash_fingerprints(
 
 
 def sign_band_key(vec: Column, band: int, planes_per_band: int) -> Column:
-    """Band `band`'s sign-LSH key: concat of sign bits of dimensions
+    """Band `band`'s sign-LSH key: sign bits of dimensions
     [band·p+1 .. band·p+p] (1-indexed).  Deterministic, SQL-portable —
     the random-hyperplane LSH family specialized to axis hyperplanes so
-    the DuckDB oracle can mirror it bit for bit."""
-    lo = band * planes_per_band
-    bits = [
-        F.when(F.element_at(vec, lo + i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(planes_per_band)
-    ]
-    return F.concat(*bits)
+    the DuckDB oracle can mirror it bit for bit (single recipe:
+    functions/vectors.sign_bits)."""
+    from social_warner_spark.functions.vectors import sign_bits
+
+    return sign_bits(vec, band * planes_per_band, planes_per_band)
 
 
 def embedding_neardup_pairs(

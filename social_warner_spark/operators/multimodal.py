@@ -149,13 +149,18 @@ def parse_media_header(payload: bytes) -> dict:
             while i + 9 < len(payload):
                 if payload[i] != 0xFF:
                     break
+                # 0xFF fill bytes may pad between segments (ITU T.81 B.1.1.2)
+                while i + 9 < len(payload) and payload[i + 1] == 0xFF:
+                    i += 1
                 marker = payload[i + 1]
                 if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                     out["height"] = int.from_bytes(payload[i + 5 : i + 7], "big")
                     out["width"] = int.from_bytes(payload[i + 7 : i + 9], "big")
                     break
-                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
-                    i += 2  # standalone marker, no length field
+                if marker == 0xD9:  # EOI — no frame header found
+                    break
+                if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+                    i += 2  # standalone marker (TEM/SOI/RSTn), no length field
                 else:
                     i += 2 + int.from_bytes(payload[i + 2 : i + 4], "big")
         elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

@@ -59,11 +59,9 @@ def cosine_topk(
 def sign_bucket(vec: Column, planes: int = 4) -> Column:
     """Axis-hyperplane LSH bucket: concat of sign bits of the first
     `planes` dimensions.  2^planes buckets; deterministic; SQL-portable."""
-    bits = [
-        F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for i in range(planes)
-    ]
-    return F.concat(*bits)
+    from social_warner_spark.functions.vectors import sign_bits
+
+    return sign_bits(vec, 0, planes)
 
 
 def sign_bucket_variants(vec: Column, planes: int, multiprobe: int = 1) -> Column:
@@ -72,19 +70,12 @@ def sign_bucket_variants(vec: Column, planes: int, multiprobe: int = 1) -> Colum
     adjacent buckets recovers neighbors that fall just across a hyperplane
     — the standard recall fix that keeps candidate generation an EQUI-join
     (probe variants explode; no inequality join appears)."""
-    assert multiprobe in (0, 1)
-    def bucket_with_flip(flip: int | None) -> Column:
-        bits = []
-        for i in range(planes):
-            bit = F.when(F.element_at(vec, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
-            if flip == i:
-                bit = F.when(F.element_at(vec, i + 1) >= 0, F.lit("0")).otherwise(F.lit("1"))
-            bits.append(bit)
-        return F.concat(*bits)
+    from social_warner_spark.functions.vectors import sign_bits
 
-    variants = [bucket_with_flip(None)]
+    assert multiprobe in (0, 1)
+    variants = [sign_bits(vec, 0, planes)]
     if multiprobe >= 1:
-        variants += [bucket_with_flip(i) for i in range(planes)]
+        variants += [sign_bits(vec, 0, planes, flip=i) for i in range(planes)]
     return F.array(*variants)
 
 

@@ -110,6 +110,8 @@ def write_table(
     from pyspark.sql import Observation
     import pyspark.sql.functions as F
 
+    if isinstance(disposition, str):
+        disposition = WriteDisposition(disposition)
     plan = plan_write(disposition, fmt, allow_field_addition, partition_by)
     if df.isEmpty():
         raise ValueError("no rows to load (reference raises on empty input)")
@@ -123,9 +125,7 @@ def write_table(
     writer.save(path_or_table)
     rows = int(obs.get["rows"])
     logu.info("sink write complete", target=path_or_table, rows=rows,
-              disposition=WriteDisposition(disposition).value
-              if isinstance(disposition, str) else disposition.value,
-              format=plan.fmt)
+              disposition=disposition.value, format=plan.fmt)
     return rows
 
 

@@ -51,7 +51,10 @@ CredentialProvider = Callable[[], Mapping[str, str]]
 """() -> credential mapping (e.g. client_id/client_secret/api_key —
 reference utils.py:86-92 builds its API client from exactly such a doc)."""
 
-CREDENTIALS_OPTION = "credentials_json"
+# key contains "secret" so Spark's default redaction regex
+# ((?i)secret|password|token|access[.]key) masks it in explain output,
+# the UI Environment/SQL tabs, and event logs
+CREDENTIALS_OPTION = "credentials_secret_json"
 DEFAULT_CREDENTIALS_ENV = "SOCIAL_WARNER_CREDENTIALS"
 
 

@@ -277,6 +277,13 @@ def test_parse_media_header_formats():
     j = parse_media_header(b"\xff\xd8" + app0 + sof0)
     assert (j["media_type"], j["width"], j["height"]) == ("image/jpeg", 1920, 1080)
 
+    # legal oddities: TEM standalone marker and 0xFF fill padding before SOF
+    j2 = parse_media_header(b"\xff\xd8" + b"\xff\x01" + b"\xff\xff" + sof0)
+    assert (j2["width"], j2["height"]) == (1920, 1080)
+    # EOI before any SOF → dimensions stay None, type still sniffed
+    j3 = parse_media_header(b"\xff\xd8\xff\xd9")
+    assert j3["media_type"] == "image/jpeg" and j3["width"] is None
+
     fmt_body = (
         (1).to_bytes(2, "little") + (2).to_bytes(2, "little")
         + (44100).to_bytes(4, "little") + (44100 * 4).to_bytes(4, "little")
