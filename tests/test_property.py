@@ -96,3 +96,58 @@ def test_random_filter_group_agg(spark, sf_smoke, p, group, measure):
         con.close()
     ok, msg = compare(sdf, ddf)
     assert ok, f"{col} {op} {lit} group {group} measure {measure}: {msg}"
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    doc_id=st.integers(min_value=0, max_value=10_000),
+    n_chars=st.integers(min_value=0, max_value=5_000),
+)
+def test_synth_media_header_roundtrip_property(doc_id, n_chars):
+    """Any formula-synthesized container parses back to exactly the formula
+    metadata (pure Python, no Spark) — the invariant x49's oracle relies on."""
+    from social_warner_spark.operators.multimodal import (
+        parse_media_header,
+        synth_media_payload,
+    )
+
+    payload, declared = synth_media_payload(doc_id, n_chars)
+    p = parse_media_header(payload)
+    assert p["media_type"] == declared
+    if doc_id % 2 == 1:
+        assert p["width"] == 16 + doc_id % 32
+        assert p["height"] == 9 + doc_id % 17
+        assert p["sample_rate"] is None
+    else:
+        sr = 8000 * (1 + doc_id % 3)
+        assert p["sample_rate"] == sr
+        assert p["n_channels"] == 1 + (doc_id // 2) % 2
+        assert p["bits_per_sample"] == 16
+        assert p["duration_ms"] == (100 + n_chars) * 1000 // sr
+
+
+def test_sign_bit_recipes_consistent(spark):
+    """sign_bucket == sign_band_key(band 0) == multiprobe variant 0 — the
+    single-recipe consolidation invariant, checked on real vectors."""
+    import pyspark.sql.functions as F
+
+    from social_warner_spark.operators.dedup import sign_band_key
+    from social_warner_spark.operators.similarity import (
+        sign_bucket,
+        sign_bucket_variants,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(100)
+    v = F.col("embedding")
+    rows = emb.select(
+        sign_bucket(v, 4).alias("a"),
+        sign_band_key(v, 0, 4).alias("b"),
+        sign_bucket_variants(v, 4, 1)[0].alias("c"),
+        sign_band_key(v, 1, 4).alias("band1"),
+        sign_bucket_variants(v, 4, 1)[1].alias("flip0"),
+    ).collect()
+    for r in rows:
+        assert r.a == r.b == r.c
+        # flipping bit 0 inverts exactly the first character
+        assert r.flip0[0] != r.a[0] and r.flip0[1:] == r.a[1:]
+        assert len(r.band1) == 4
