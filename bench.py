@@ -53,6 +53,8 @@ HEADLINE = [
     "l3_topk_cosine",        # brute-force vector scoring
     "x8_ann_bucketed",       # LSH-bucketed ANN (multi-probe)
     "x7_embed_neardup",      # banded sign-LSH embedding near-dup
+    "x24_ann_ivf",           # IVF ANN (max_by assignment, cluster slice search)
+    "x51_incremental_dedup", # new-batch vs corpus LSH screening
     "x16_corpus_prep",       # composite corpus pipeline (gate+dedup+prune)
     "x31_full_pipeline",     # flagship: + decontamination + packing
 ]
