@@ -55,6 +55,7 @@ HEADLINE = [
     "x7_embed_neardup",      # banded sign-LSH embedding near-dup
     "x24_ann_ivf",           # IVF ANN (max_by assignment, cluster slice search)
     "x51_incremental_dedup", # new-batch vs corpus LSH screening
+    "x54_segment_dedup",     # segment-level dedup + document reassembly
     "x16_corpus_prep",       # composite corpus pipeline (gate+dedup+prune)
     "x31_full_pipeline",     # flagship: + decontamination + packing
 ]

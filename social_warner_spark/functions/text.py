@@ -25,6 +25,27 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+#: Zero-width code points stripped by normalize_text (ZWSP, ZWNJ, ZWJ,
+#: BOM) — embedded as literal characters (not \x{…} escapes, whose syntax
+#: differs between Java regex and RE2).
+ZERO_WIDTH_RE = "[​‌‍﻿]"
+#: Whitespace runs collapsed to a single space.
+WS_RUN_RE = "[ \t\r\n]+"
+
+
+def normalize_text(text: Column) -> Column:
+    """Corpus-cleaning normalization: strip zero-width code points,
+    collapse whitespace runs (space/tab/CR/LF) to single spaces, trim.
+
+    The standard pre-tokenization cleanup for web-crawl text.  Both
+    patterns live in the portable Java∩RE2 regex subset so the DuckDB
+    oracle runs the exact same expressions.  Pure narrow map — zero
+    shuffle at any scale.
+    """
+    stripped = F.regexp_replace(text, ZERO_WIDTH_RE, "")
+    return F.trim(F.regexp_replace(stripped, WS_RUN_RE, " "))
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization → array<string>."""
     return F.split(F.trim(text), r"\s+")

@@ -63,3 +63,27 @@ def prepare_corpus(
         token_count_ws(F.col("text")).alias("n_tokens"),
         "quality",
     )
+
+
+def per_group_cap(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    id_col: str,
+    cap: int,
+) -> DataFrame:
+    """Per-group document cap (the RefinedWeb-style per-domain cap): keep
+    at most ``cap`` rows per group, best-first by (order_col DESC, id ASC).
+    ``order_col`` must be pre-rounded to the shared grid so rank ties are
+    engine-independent.
+
+    One shuffle on the group key; the rank ≤ cap filter is pushed into the
+    sort as WindowGroupLimit, so each partition materializes only ``cap``
+    rows per group instead of sorting and then discarding — the difference
+    between a per-domain cap that works at 100 TB and one that top-sorts
+    every domain's full contents.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(id_col))
+    return df.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= cap)

@@ -50,6 +50,55 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 4,
+) -> DataFrame:
+    """Segment-level exact dedup with document reassembly (the
+    paragraph-dedup pass of web-crawl pipelines, done at fixed
+    ``seg_tokens``-token granularity since the corpus has no paragraph
+    marks).  Global first-occurrence-wins: a segment survives only at its
+    lexicographically smallest (id, segment index); every later repeat
+    anywhere in the corpus is dropped, and each document is rebuilt from
+    its surviving segments in order.
+
+    Returns (id, n_segs, n_kept, clean_text) for EVERY input document —
+    a fully-duplicated document comes back with n_kept=0 and empty text.
+
+    Scale shape: two shuffles — a window partitioned by segment text
+    (high cardinality, no skew beyond true duplicates, which map-side
+    nothing can absorb since ordering matters) and the regroup by id.
+    The segment explode is ~|tokens|/seg_tokens rows per doc, never n².
+    """
+    d = df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_t"))
+    n_seg = F.ceil(F.size("_t") / F.lit(float(seg_tokens))).cast("int")
+    seg_at = lambda i: F.array_join(
+        F.slice(F.col("_t"), (i - 1) * seg_tokens + 1, seg_tokens), " "
+    )
+    segs = d.select(
+        "_id", F.posexplode(F.transform(F.sequence(F.lit(1), n_seg), seg_at)).alias("_i0", "para")
+    ).select("_id", (F.col("_i0") + 1).cast("long").alias("seg_idx"), "para")
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("para").orderBy("_id", "seg_idx")
+    ranked = segs.withColumn("_keep", F.row_number().over(w) == 1)
+    kept = F.when(F.col("_keep"), F.struct("seg_idx", "para"))
+    return (
+        ranked.groupBy("_id")
+        .agg(
+            F.count("*").alias("n_segs"),
+            F.sum(F.col("_keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["para"]), " "
+            ).alias("clean_text"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the input to Jaccard and MinHash.
 

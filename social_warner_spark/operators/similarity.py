@@ -278,3 +278,42 @@ def cosine_topk_pandas(
         .where(F.col("probe_id") != F.col("neighbor_id"))
     )
     return _ranked_topk(scored, k)
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization — the storage path
+    for vector corpora at 100 TB (4× smaller than float32, 8× than
+    float64, before encoding).
+
+    scale = 127 / max|v_i|; q_i = clamp(round(v_i·scale), ±127).  Returns
+    (id, scale, n_sat, recon_err): saturated-element count and the L2
+    reconstruction error ‖v − q/scale‖₂ — the quality signal that decides
+    whether int8 is acceptable for a given embedding family.
+
+    Pure narrow map (whole-stage codegen, zero shuffle, no Python); all
+    arithmetic in double with half-away-from-zero rounding, which both
+    Spark and the SQL oracle implement identically.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    staged = df.select(F.col(id_col), vd.alias("_v"))
+    amax = F.array_max(F.transform(F.col("_v"), F.abs))
+    scaled = staged.withColumn("_scale", F.lit(127.0) / F.greatest(amax, F.lit(1e-12)))
+    quant = lambda x: F.least(
+        F.greatest(F.round(x * F.col("_scale"), 0).cast("int"), F.lit(-127)), F.lit(127)
+    )
+    q = scaled.withColumn("_q", F.transform(F.col("_v"), quant))
+    sqerr = F.zip_with(
+        F.col("_v"),
+        F.col("_q"),
+        lambda a, b: (a - b / F.col("_scale")) * (a - b / F.col("_scale")),
+    )
+    err = F.sqrt(F.aggregate(sqerr, F.lit(0.0), lambda acc, x: acc + x))
+    n_sat = F.size(F.filter(F.col("_q"), lambda x: F.abs(x) == 127))
+    return q.select(
+        F.col(id_col),
+        F.round(F.col("_scale"), 6).alias("scale"),
+        n_sat.cast("long").alias("n_sat"),
+        F.round(err, 6).alias("recon_err"),
+    )

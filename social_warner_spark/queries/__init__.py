@@ -26,6 +26,7 @@ from social_warner_spark.queries import (
     x4_series,
     x5_series,
     x6_series,
+    x7_series,
     x_series,
 )
 
@@ -40,6 +41,7 @@ _SERIES = (
     x4_series,
     x5_series,
     x6_series,
+    x7_series,
     sql_series,
 )
 
@@ -85,6 +87,10 @@ CHECK_PRIORITY = (
     "x49_media_probe",
     "x50_tfidf_topk",
     "x51_incremental_dedup",
+    "x52_source_caps",
+    "x53_normalize_text",
+    "x54_segment_dedup",
+    "x55_embed_quantize",
     # plan-richest TPC-H shapes (decorrelation, dual-EXISTS, anti-join)
     "q1_pricing_summary",
     "q2_min_price_supplier",
@@ -93,13 +99,11 @@ CHECK_PRIORITY = (
     "q17_small_quantity_revenue",
     "q20_part_promotion_suppliers",
     "q22_dormant_customers",
-    # reference-parity representatives (A/B series)
-    "r3_pivot",
+    # reference-parity representative (A/B series; r3/r7 and the other
+    # relational shapes below are round-1 driver-green and unchanged, so
+    # they yield slots to the x52–x55 new-family queries above)
     "r6_in_between_agg",
-    "r7_meta_dimensions",
     # core relational representatives
-    "c3_star_join",
-    "c13_ranking_windows",
     "c24_decorrelated_subquery",
     "c25_pandas_udf",
     # streaming (batch forms)

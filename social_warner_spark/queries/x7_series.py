@@ -1,0 +1,173 @@
+"""Seventh extension batch: corpus-hygiene operators — per-source caps,
+text normalization, segment-level dedup with reassembly, and int8
+embedding quantization.
+
+The "crawl cleanup" quartet: cap what any one source contributes, scrub
+the bytes, drop repeated boilerplate segments, shrink the vectors.  All
+follow the standard determinism protocol (md5/fixed geometry, 6dp
+rounding, portable Java∩RE2 regexes).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from social_warner_spark.functions.text import normalize_text, quality_score
+from social_warner_spark.queries.common import T
+from social_warner_spark.queries.x5_series import _QUALITY_SQL
+
+#: x52 — per-source document cap.
+SOURCE_CAP = 10
+#: x53 — injected noise (zero-width space, tabs, doubled spaces) so the
+#: normalization is observable on clean synthetic text; same literals in
+#: the oracle.
+ZWSP = "​"
+#: x54 — segment granularity (tokens) standing in for paragraphs.
+SEG_TOKENS = 4
+
+
+def x52_source_caps(spark, sf_dir):
+    """Per-source contribution cap (operators/corpus.py:per_group_cap):
+    keep the SOURCE_CAP highest-quality docs per source, deterministic
+    tie-break on doc_id.  The per-domain cap every web-crawl pipeline
+    applies so no single site dominates the mixture."""
+    from social_warner_spark.operators.corpus import per_group_cap
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("quality")
+    )
+    capped = per_group_cap(d, "source", "quality", "doc_id", SOURCE_CAP)
+    return capped.select("doc_id", "source", "quality", F.col("rk").cast("int").alias("rk"))
+
+
+def x53_normalize_text(spark, sf_dir):
+    """Unicode/whitespace normalization (functions/text.py:normalize_text).
+    Deterministic noise (zero-width space, tabs, doubled spaces) is
+    injected first so the scrub is observable; `restored` proves the
+    cleaned text round-trips to the original."""
+    d = T(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit(ZWSP + "\t  "),
+        F.regexp_replace(F.col("text"), " ", "  "),
+        F.lit(" \t" + ZWSP),
+    )
+    staged = d.select("doc_id", "text", noisy.alias("noisy"))
+    clean = normalize_text(F.col("noisy"))
+    return staged.select(
+        "doc_id",
+        F.length("noisy").alias("n_noisy"),
+        F.length(clean).alias("n_clean"),
+        (clean == F.col("text")).cast("int").alias("restored"),
+        F.substring(clean, 1, 40).alias("prefix"),
+    )
+
+
+def x54_segment_dedup(spark, sf_dir):
+    """Segment-level exact dedup with reassembly
+    (operators/dedup.py:segment_dedup): fixed 4-token segments, global
+    first-occurrence-wins, documents rebuilt from surviving segments —
+    the paragraph-dedup pass of web-crawl pipelines."""
+    from social_warner_spark.operators.dedup import segment_dedup
+
+    return segment_dedup(
+        T(spark, sf_dir, "documents"), seg_tokens=SEG_TOKENS
+    ).select("doc_id", "n_segs", "n_kept", "clean_text")
+
+
+def x55_embed_quantize(spark, sf_dir):
+    """Int8 embedding quantization (operators/similarity.py:
+    quantize_embeddings): per-vector symmetric scale, saturation count,
+    L2 reconstruction error — the 4× storage-compression path for vector
+    corpora."""
+    from social_warner_spark.operators.similarity import quantize_embeddings
+
+    return quantize_embeddings(T(spark, sf_dir, "embeddings")).select(
+        "vec_id", "scale", "n_sat", "recon_err"
+    )
+
+
+QUERIES = {
+    "x52_source_caps": x52_source_caps,
+    "x53_normalize_text": x53_normalize_text,
+    "x54_segment_dedup": x54_segment_dedup,
+    "x55_embed_quantize": x55_embed_quantize,
+}
+
+ORACLES = {
+    "x52_source_caps": f"""
+        WITH scored AS (
+            SELECT doc_id, source, ROUND({_QUALITY_SQL}, 6) AS quality
+            FROM documents
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY quality DESC, doc_id
+                     ) AS INT) AS rk
+            FROM scored
+        )
+        SELECT doc_id, source, quality, rk FROM ranked WHERE rk <= {SOURCE_CAP}
+    """,
+    "x53_normalize_text": f"""
+        WITH noised AS (
+            SELECT doc_id, text,
+                   '{ZWSP}' || chr(9) || '  '
+                     || regexp_replace(text, ' ', '  ', 'g')
+                     || ' ' || chr(9) || '{ZWSP}' AS noisy
+            FROM documents
+        ), cleaned AS (
+            SELECT doc_id, text, noisy,
+                   trim(regexp_replace(
+                       regexp_replace(noisy, '[{ZWSP}‌‍﻿]', '', 'g'),
+                       '[ ' || chr(9) || chr(13) || chr(10) || ']+', ' ', 'g'
+                   )) AS clean
+            FROM noised
+        )
+        SELECT doc_id,
+               CAST(length(noisy) AS INT) AS n_noisy,
+               CAST(length(clean) AS INT) AS n_clean,
+               CAST(clean = text AS INT) AS restored,
+               substr(clean, 1, 40) AS prefix
+        FROM cleaned
+    """,
+    "x54_segment_dedup": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), seg AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+                   array_to_string(
+                       t[(u.i - 1) * {SEG_TOKENS} + 1 : u.i * {SEG_TOKENS}], ' '
+                   ) AS para
+            FROM toks,
+                 UNNEST(range(1, CAST(CEIL(len(t) / {SEG_TOKENS}.0) AS BIGINT) + 1)) AS u(i)
+        ), ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, seg_idx) AS rnk
+            FROM seg
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(para, ' ' ORDER BY seg_idx) FILTER (WHERE rnk = 1), '')
+                 AS clean_text
+        FROM ranked GROUP BY doc_id
+    """,
+    "x55_embed_quantize": """
+        WITH b AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   127.0 / GREATEST(
+                       list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12
+                   ) AS scale
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id, v, scale,
+                   list_transform(
+                       v, x -> LEAST(GREATEST(CAST(ROUND(x * scale) AS INTEGER), -127), 127)
+                   ) AS qv
+            FROM b
+        )
+        SELECT vec_id, ROUND(scale, 6) AS scale,
+               CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+               ROUND(sqrt(list_sum(
+                   list_transform(v, (x, i) -> (x - qv[i] / scale) ^ 2)
+               )), 6) AS recon_err
+        FROM q
+    """,
+}

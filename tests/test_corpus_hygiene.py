@@ -1,0 +1,105 @@
+"""Unit + plan tests for the x52–x55 corpus-hygiene operators
+(per-source cap, normalization, segment dedup, int8 quantization)."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pyspark.sql.functions as F
+
+from social_warner_spark.functions.text import normalize_text
+from social_warner_spark.operators.corpus import per_group_cap
+from social_warner_spark.operators.dedup import segment_dedup
+from social_warner_spark.operators.similarity import quantize_embeddings
+
+
+def test_normalize_text_fixture(spark):
+    rows = [
+        ("a", "​hello\t  world ‌‍﻿"),
+        ("b", "  already clean  "),
+        ("c", "line1\r\nline2\nline3"),
+        ("d", ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"]).select(
+        "id", normalize_text(F.col("t")).alias("c")
+    )
+    got = {r["id"]: r["c"] for r in df.collect()}
+    assert got == {
+        "a": "hello world",
+        "b": "already clean",
+        "c": "line1 line2 line3",
+        "d": "",
+    }
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    # seg_tokens=2: doc 1 = [A B][C D]; doc 2 repeats [A B] then new [E F];
+    # doc 3 is entirely made of already-seen segments -> empty reassembly.
+    rows = [
+        (1, "A B C D"),
+        (2, "A B E F"),
+        (3, "C D A B"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_text"])
+        for r in segment_dedup(df, seg_tokens=2).collect()
+    }
+    assert got[1] == (2, 2, "A B C D")
+    assert got[2] == (2, 1, "E F")
+    assert got[3] == (2, 0, "")
+
+
+def test_segment_dedup_ragged_tail(spark):
+    # 5 tokens at seg_tokens=2 -> segments [A B][C D][E]; the short tail is
+    # its own segment and does NOT collide with a full segment "E F".
+    rows = [(1, "A B C D E"), (2, "E F")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_segs"], r["n_kept"], r["clean_text"])
+        for r in segment_dedup(df, seg_tokens=2).collect()
+    }
+    assert got[1] == (3, 3, "A B C D E")
+    assert got[2] == (1, 1, "E F")
+
+
+def test_per_group_cap_tiebreak_and_plan(spark):
+    rows = [(i, "g", 1.0 if i < 4 else 0.5) for i in range(6)]
+    df = spark.createDataFrame(rows, ["id", "grp", "score"])
+    kept = per_group_cap(df, "grp", "score", "id", 3).collect()
+    # ties on score=1.0 break by ascending id -> ids 0,1,2
+    assert sorted((r["id"], r["rk"]) for r in kept) == [(0, 1), (1, 2), (2, 3)]
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        per_group_cap(df, "grp", "score", "id", 3).explain("formatted")
+    p = buf.getvalue()
+    # the rank<=cap filter must push below the window sort
+    assert "WindowGroupLimit" in p
+
+
+def test_quantize_known_vector(spark):
+    # v = [1.0, -0.5, 0.25]: scale = 127, q = [127, -64, 32] (round(-63.5)
+    # is half-away-from-zero -> -64), nothing saturates except the max.
+    df = spark.createDataFrame([(1, [1.0, -0.5, 0.25])], ["vec_id", "embedding"])
+    r = quantize_embeddings(df).collect()[0]
+    assert r["scale"] == 127.0
+    assert r["n_sat"] == 1
+    # recon err: q/scale = [1.0, -0.503937.., 0.251968..]
+    expect = ((0.0) ** 2 + (-0.5 + 64 / 127.0) ** 2 + (0.25 - 32 / 127.0) ** 2) ** 0.5
+    assert abs(r["recon_err"] - round(expect, 6)) < 1e-9
+
+
+def test_quantize_zero_vector_guard(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0])], ["vec_id", "embedding"])
+    r = quantize_embeddings(df).collect()[0]
+    assert r["n_sat"] == 0 and r["recon_err"] == 0.0
+
+
+def test_quantize_plan_no_shuffle(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["vec_id", "embedding"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        quantize_embeddings(df).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
