@@ -210,7 +210,14 @@ def cosine_topk_ivf(
     the pipeline itself is deterministic (seeded centroids, rounded means)
     and therefore fully oracle-checkable.
     """
-    centroids = ivf_centroids(corpus, nlist, iters, vec_col, id_col)
+    from social_warner_spark.caching import register_persisted
+
+    # nlist rows, but the lineage behind them is `iters + 1` corpus passes
+    # — persist so the two consumers (corpus assignment, probe routing)
+    # don't each re-run the Lloyd fit
+    centroids = register_persisted(
+        ivf_centroids(corpus, nlist, iters, vec_col, id_col).persist()
+    )
     assigned = ivf_assign(corpus, centroids, vec_col, id_col)
 
     wp = Window.partitionBy("probe_id").orderBy(F.desc("ccos"), F.asc("cluster"))
