@@ -1,0 +1,72 @@
+"""Streaming corpus ingestion with dedup-before-append (SURVEY.md C6 ×
+the L-series: the production shape for continuously-arriving crawl data).
+
+Each micro-batch of candidate documents is screened against the BASE
+corpus plus everything previously accepted, using the same
+`incremental_neardup_matches` operator as batch x51 (LSH band candidates,
+exact-Jaccard verification); only novel documents append.  Exactly-once
+via the foreachBatch epoch contract: accepted docs land in
+``epoch=<id>`` partitions with dynamic partition overwrite, so a retried
+epoch replaces itself instead of duplicating.
+
+100 TB posture: the stream side is one micro-batch (small by
+construction) and broadcasts into every join; the base corpus is read
+per epoch but never shuffles on content (see incremental_neardup_matches).
+At very high epoch counts, compact the accepted-set directory
+periodically — it is plain partitioned parquet.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession
+
+from social_warner_spark.operators.dedup import incremental_neardup_matches
+from social_warner_spark.streaming.sinks import stream_foreach_batch
+
+
+def screen_and_append_stream(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    accepted_path: str,
+    checkpoint: str,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout_sec: float = 120.0,
+) -> None:
+    """Drain the ``new_docs`` stream, appending to ``accepted_path`` only
+    documents with no near-dup (Jaccard ≥ threshold) in ``corpus`` or in
+    previously-accepted epochs."""
+    base_cols = [id_col, text_col]
+
+    def screen(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        seen = corpus.select(*base_cols)
+        try:
+            prior = spark.read.parquet(accepted_path)
+            # exclude this epoch's own prior attempt: a retried epoch must
+            # screen against exactly what earlier epochs accepted
+            seen = seen.unionByName(
+                prior.where(F.col("epoch") != epoch_id).select(*base_cols)
+            )
+        except AnalysisException:
+            pass  # first epoch: nothing accepted yet
+        matches = incremental_neardup_matches(
+            batch_df, seen, threshold, text_col=text_col, id_col=id_col
+        )
+        novel = batch_df.select(*base_cols).join(
+            matches.select(id_col), id_col, "left_anti"
+        )
+        (
+            novel.withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(accepted_path)
+        )
+
+    stream_foreach_batch(new_docs, screen, checkpoint, timeout_sec)
