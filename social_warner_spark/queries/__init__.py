@@ -91,6 +91,8 @@ CHECK_PRIORITY = (
     "x53_normalize_text",
     "x54_segment_dedup",
     "x55_embed_quantize",
+    "x56_global_index",
+    "x57_table_checksum",
     # plan-richest TPC-H shapes (decorrelation, dual-EXISTS, anti-join)
     "q1_pricing_summary",
     "q2_min_price_supplier",
@@ -103,12 +105,10 @@ CHECK_PRIORITY = (
     # relational shapes below are round-1 driver-green and unchanged, so
     # they yield slots to the x52–x55 new-family queries above)
     "r6_in_between_agg",
-    # core relational representatives
-    "c24_decorrelated_subquery",
+    # core relational representative (c24/s3 r1-green, yield slots)
     "c25_pandas_udf",
-    # streaming (batch forms)
+    # streaming (batch form)
     "s1_tumbling",
-    "s3_session",
     # LLM-data exact anchor (l2's operator was refactored this round;
     # c7/l1 are unchanged and round-1 driver-green, so they yield the slots)
     "l2_jaccard_pairs",

@@ -86,11 +86,43 @@ def x55_embed_quantize(spark, sf_dir):
     )
 
 
+def x56_global_index(spark, sf_dir):
+    """Dense global row numbering (operators/transforms.py:global_index):
+    range-partitioned local ranks + broadcast cumulative offsets — total
+    order with NO single-partition window.  Ordered by (n_chars DESC,
+    doc_id) over documents."""
+    from social_warner_spark.operators.transforms import global_index
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = global_index(d, [F.desc("n_chars"), F.asc("doc_id")], partitions=8)
+    return out.select("doc_id", "n_chars", "gidx")
+
+
+def x57_table_checksum(spark, sf_dir):
+    """Order-independent table checksum (operators/audit.py): per-source
+    (count, bit_xor of 60-bit row hashes) + ROLLUP grand total — the
+    engine-migration reconciliation check, one partial-agg pass."""
+    from social_warner_spark.operators.audit import table_checksum
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id_s"),
+        "text",
+        "lang",
+        "source",
+        F.col("n_chars").cast("string").alias("n_chars_s"),
+    )
+    return table_checksum(
+        d, ["doc_id_s", "text", "lang", "source", "n_chars_s"], group_col="source"
+    ).select("source", "n_rows", "xor60")
+
+
 QUERIES = {
     "x52_source_caps": x52_source_caps,
     "x53_normalize_text": x53_normalize_text,
     "x54_segment_dedup": x54_segment_dedup,
     "x55_embed_quantize": x55_embed_quantize,
+    "x56_global_index": x56_global_index,
+    "x57_table_checksum": x57_table_checksum,
 }
 
 ORACLES = {
@@ -148,6 +180,20 @@ ORACLES = {
                COALESCE(string_agg(para, ' ' ORDER BY seg_idx) FILTER (WHERE rnk = 1), '')
                  AS clean_text
         FROM ranked GROUP BY doc_id
+    """,
+    "x56_global_index": """
+        SELECT doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS gidx
+        FROM documents
+    """,
+    "x57_table_checksum": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               bit_xor(CAST('0x' || substr(
+                   md5(doc_id || '|' || text || '|' || lang || '|' || source
+                       || '|' || n_chars), 1, 15) AS BIGINT)) AS xor60
+        FROM documents
+        GROUP BY ROLLUP(source)
     """,
     "x55_embed_quantize": """
         WITH b AS (

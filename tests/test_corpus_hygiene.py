@@ -103,3 +103,46 @@ def test_quantize_plan_no_shuffle(spark):
     with contextlib.redirect_stdout(buf):
         quantize_embeddings(df).explain("formatted")
     assert "Exchange" not in buf.getvalue()
+
+
+def test_global_index_partition_invariance(spark):
+    from social_warner_spark.operators.transforms import global_index
+
+    rows = [(i, (i * 37) % 19) for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    order = [F.asc("key"), F.asc("id")]
+    a = {r["id"]: r["gidx"] for r in global_index(df, order, partitions=3).collect()}
+    b = {r["id"]: r["gidx"] for r in global_index(df, order, partitions=11).collect()}
+    assert a == b
+    # dense 1..N and consistent with the total order
+    assert sorted(a.values()) == list(range(1, 201))
+    ordered = sorted(rows, key=lambda r: (r[1], r[0]))
+    assert [a[i] for i, _ in ordered] == list(range(1, 201))
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from social_warner_spark.operators.audit import table_checksum
+
+    rows = [(i, f"t{i}", "g1" if i % 2 else "g2") for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "t", "g"]).select(
+        F.col("id").cast("string").alias("id"), "t", "g"
+    )
+    base = {
+        r["g"]: (r["n_rows"], r["xor60"])
+        for r in table_checksum(df, ["id", "t", "g"], "g").collect()
+    }
+    shuffled = {
+        r["g"]: (r["n_rows"], r["xor60"])
+        for r in table_checksum(
+            df.orderBy(F.desc("t")).repartition(7), ["id", "t", "g"], "g"
+        ).collect()
+    }
+    assert base == shuffled
+    changed = df.withColumn(
+        "t", F.when(F.col("id") == "3", "MUTATED").otherwise(F.col("t"))
+    )
+    got = {
+        r["g"]: (r["n_rows"], r["xor60"])
+        for r in table_checksum(changed, ["id", "t", "g"], "g").collect()
+    }
+    assert got[None][0] == base[None][0] and got[None][1] != base[None][1]
