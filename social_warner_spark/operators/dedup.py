@@ -529,9 +529,10 @@ def embedding_neardup_pairs(
     sign-bit LSH (the MinHash-banding recipe applied to random-hyperplane
     sketches).
 
-    Candidate generation is a union of `bands` EQUI-self-joins, one per
-    band key — per band the cross product is sliced ≈ n²/2^planes_per_band,
-    and each join shuffles on its band key, never all-pairs.  Per-band miss
+    Candidate generation is ONE equi-self-join on (band, band key) over
+    the melted band relation — per band the cross product is sliced
+    ≈ n²/2^planes_per_band, and the join shuffles on band keys, never
+    all-pairs.  Per-band miss
     probability multiplies across bands (recall ≈ 1−(1−p^planes)^bands), so
     recall is tuned by bands while pruning is tuned by planes_per_band; at
     production τ (≥0.9) raise planes_per_band to sharpen buckets.  Distinct
@@ -548,23 +549,23 @@ def embedding_neardup_pairs(
         joined = a.join(F.broadcast(b), F.col("a") < F.col("b"))
         scored = joined.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
     else:
-        from social_warner_spark.caching import register_persisted
-
-        keyed = register_persisted(
-            df.select(
-                F.col(id_col),
-                *[
-                    sign_band_key(F.col(vec_col), b, planes_per_band).alias(f"band_{b}")
-                    for b in range(bands)
-                ],
-            ).persist()
+        keyed = df.select(
+            F.col(id_col),
+            *[
+                sign_band_key(F.col(vec_col), b, planes_per_band).alias(f"band_{b}")
+                for b in range(bands)
+            ],
         )
-        pairs = None
-        for b in range(bands):
-            l = keyed.select(F.col(id_col).alias("a"), F.col(f"band_{b}").alias("bk"))
-            r = keyed.select(F.col(id_col).alias("b"), F.col(f"band_{b}").alias("bk"))
-            p = l.join(r, "bk").where(F.col("a") < F.col("b")).select("a", "b")
-            pairs = p if pairs is None else pairs.unionByName(p)
+        # melt to (id, band, key) rows — one equi-join instead of a
+        # per-band join loop (the banding map is narrow and cheap, so no
+        # persist is needed; Catalyst reuses the exchange across the
+        # self-join's sides)
+        long = band_keys_long(keyed, bands, id_col, "a")
+        pairs = (
+            long.join(long.withColumnRenamed("a", "b"), ["band", "bk"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
+        )
         # norms computed ONCE per vector (n rows), not per candidate pair —
         # per-pair work is the dot product alone.  dot/(na·nb) evaluates the
         # identical float expression tree as cosine(), so oracle rounding is
