@@ -41,3 +41,41 @@ def table_checksum(
     return grouped.agg(
         F.count("*").alias("n_rows"), F.bit_xor("_h").alias("xor60")
     )
+
+
+def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One row per column: (col_name, n_rows, n_null, n_distinct, min_s,
+    max_s) — the data-profiling pass run before ingesting a new source.
+
+    ONE scan: all per-column aggregates compute in a single agg (Spark
+    plans multi-distinct via Expand — pass cost ∝ #cols, not #passes),
+    then the 1-row result melts to per-column rows via stack.  min/max are
+    rendered as strings so the schema is column-uniform; pass columns
+    whose string rendering is engine-stable (strings/ints).
+    """
+    aggs: list[Column] = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        aggs += [
+            F.count(F.col(c)).alias(f"_nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_nd_{c}"),
+            F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    parts = ", ".join(
+        f"'{c}', _n, _n - _nn_{c}, _nd_{c}, _mn_{c}, _mx_{c}" for c in cols
+    )
+    melted = one.select(
+        F.expr(
+            f"stack({len(cols)}, {parts}) AS "
+            "(col_name, n_rows, n_null, n_distinct, min_s, max_s)"
+        )
+    )
+    return melted.select(
+        "col_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_null").cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_s",
+        "max_s",
+    )

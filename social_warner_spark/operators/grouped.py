@@ -95,3 +95,29 @@ def salted_aggregate(
     salted = df.withColumn("_salt", (F.rand(seed=0) * salt_buckets).cast("int"))
     partial = salted.groupBy(key, "_salt").agg(F.sum(value).alias("_partial"))
     return partial.groupBy(key).agg(F.sum("_partial").alias(f"sum_{value}"))
+
+
+def salted_join(
+    big: DataFrame, small: DataFrame, on: str, salts: int = 8, how: str = "inner"
+) -> DataFrame:
+    """Skew-resistant equi-join: replicate the small side ``salts``× (one
+    copy per salt), salt each big-side row deterministically (row hash mod
+    salts), and join on (key, salt) — a hot key's rows spread across
+    ``salts`` reducers instead of one straggler task.
+
+    The manual fallback for when AQE's skew-join can't split (e.g. the
+    skewed side feeds a co-grouped window next).  Inner and left joins
+    preserve exact semantics: each big row carries exactly ONE salt, so no
+    duplicates arise; the salted result equals the plain join (oracle- and
+    test-checked).  Cost: small side ×salts (still broadcast/tiny), big
+    side unchanged.
+    """
+    from social_warner_spark.operators.audit import row_hash60
+
+    assert how in ("inner", "left"), "salted_join preserves big-side semantics"
+    salt = F.pmod(row_hash60(*[F.col(c) for c in big.columns]), F.lit(salts))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salts)]))
+    )
+    return b.join(s, [on, "_salt"], how).drop("_salt")

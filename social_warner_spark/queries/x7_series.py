@@ -116,6 +116,44 @@ def x57_table_checksum(spark, sf_dir):
     ).select("source", "n_rows", "xor60")
 
 
+def x58_profile_table(spark, sf_dir):
+    """Data profiling (operators/audit.py:profile_table): per-column
+    count / null count / exact distinct / min / max over documents in ONE
+    scan (multi-distinct via Expand), melted to a row per column."""
+    from social_warner_spark.operators.audit import profile_table
+
+    return profile_table(
+        T(spark, sf_dir, "documents"), ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+
+def x59_salted_join(spark, sf_dir):
+    """Skew-resistant salted fact-fact join (operators/grouped.py:
+    salted_join): lineitem salted by row hash mod 8, orders replicated
+    8x, joined on (l_orderkey, salt) then aggregated to revenue per
+    order priority.  Result provably equals the plain join (the oracle
+    IS the plain join)."""
+    from social_warner_spark.operators.grouped import salted_join
+    from social_warner_spark.queries.common import r2
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_extendedprice", "l_discount"
+    )
+    orders = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderpriority"
+    )
+    joined = salted_join(li, orders, "ok", salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
 QUERIES = {
     "x52_source_caps": x52_source_caps,
     "x53_normalize_text": x53_normalize_text,
@@ -123,6 +161,8 @@ QUERIES = {
     "x55_embed_quantize": x55_embed_quantize,
     "x56_global_index": x56_global_index,
     "x57_table_checksum": x57_table_checksum,
+    "x58_profile_table": x58_profile_table,
+    "x59_salted_join": x59_salted_join,
 }
 
 ORACLES = {
@@ -180,6 +220,33 @@ ORACLES = {
                COALESCE(string_agg(para, ' ' ORDER BY seg_idx) FILTER (WHERE rnk = 1), '')
                  AS clean_text
         FROM ranked GROUP BY doc_id
+    """,
+    "x58_profile_table": """
+        SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_s, CAST(MAX(doc_id) AS VARCHAR) AS max_s
+        FROM documents
+        UNION ALL
+        SELECT 'text', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(text) AS BIGINT),
+               CAST(COUNT(DISTINCT text) AS BIGINT), MIN(text), MAX(text) FROM documents
+        UNION ALL
+        SELECT 'lang', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+               CAST(COUNT(DISTINCT lang) AS BIGINT), MIN(lang), MAX(lang) FROM documents
+        UNION ALL
+        SELECT 'source', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(source) AS BIGINT),
+               CAST(COUNT(DISTINCT source) AS BIGINT), MIN(source), MAX(source) FROM documents
+        UNION ALL
+        SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+               CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+               CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+    """,
+    "x59_salted_join": """
+        SELECT o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               CAST(COUNT(*) AS BIGINT) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
     """,
     "x56_global_index": """
         SELECT doc_id, n_chars,

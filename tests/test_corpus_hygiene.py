@@ -146,3 +146,75 @@ def test_table_checksum_order_independent_and_sensitive(spark):
         for r in table_checksum(changed, ["id", "t", "g"], "g").collect()
     }
     assert got[None][0] == base[None][0] and got[None][1] != base[None][1]
+
+
+def test_salted_join_equals_plain_join(spark):
+    from social_warner_spark.operators.grouped import salted_join
+
+    big = spark.createDataFrame(
+        [(i % 3, f"v{i}") for i in range(100)], ["k", "v"]
+    )
+    small = spark.createDataFrame([(0, "a"), (1, "b"), (3, "d")], ["k", "s"])
+    plain = sorted(
+        tuple(r) for r in big.join(small, "k").select("k", "v", "s").collect()
+    )
+    salted = sorted(
+        tuple(r)
+        for r in salted_join(big, small, "k", salts=4).select("k", "v", "s").collect()
+    )
+    assert salted == plain and plain
+
+    left_plain = sorted(
+        tuple(r) for r in big.join(small, "k", "left").select("k", "v", "s").collect()
+    )
+    left_salted = sorted(
+        tuple(r)
+        for r in salted_join(big, small, "k", salts=4, how="left")
+        .select("k", "v", "s")
+        .collect()
+    )
+    assert left_salted == left_plain
+
+
+def test_salted_join_spreads_hot_key(spark):
+    import pyspark.sql.functions as SF
+    from social_warner_spark.operators.audit import row_hash60
+    from social_warner_spark.operators.grouped import salted_join
+
+    big = spark.createDataFrame([(7, f"v{i}") for i in range(64)], ["k", "v"])
+    salts = big.select(
+        SF.pmod(row_hash60(SF.col("k"), SF.col("v")), SF.lit(8)).alias("s")
+    )
+    used = {r["s"] for r in salts.distinct().collect()}
+    assert len(used) >= 4, f"hot key must spread over salts, got {used}"
+    # plan joins on (k, _salt), not k alone
+    small = spark.createDataFrame([(7, "x")], ["k", "s"])
+    import io, contextlib
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        salted_join(big, small, "k", salts=8).explain("formatted")
+    assert "_salt" in buf.getvalue()
+
+
+def test_profile_table_single_scan_and_nulls(spark):
+    import io, contextlib
+
+    from social_warner_spark.operators.audit import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], ["id", "t"]
+    )
+    got = {r["col_name"]: tuple(r)[1:] for r in profile_table(df, ["id", "t"]).collect()}
+    assert got["id"] == (4, 0, 4, "1", "4")
+    assert got["t"] == (4, 1, 2, "a", "b")
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        profile_table(df, ["id", "t"]).explain("formatted")
+    import re
+
+    p = buf.getvalue()
+    # one scan NODE (each node appears twice in formatted output: tree + detail)
+    assert len(re.findall(r"\(\d+\) Scan", p)) == 1, "profiling must be one pass"
+    assert "Expand" in p  # multi-distinct planned via Expand, not extra passes
