@@ -79,3 +79,32 @@ def profile_table(df: DataFrame, cols: list[str]) -> DataFrame:
         "min_s",
         "max_s",
     )
+
+
+def fk_check(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str
+) -> DataFrame:
+    """Referential-integrity audit: one row with (n_child, n_orphans,
+    orphan_min, orphan_max) — orphans are child rows whose ``fk`` has no
+    match in parent's ``pk`` (NULL fks are not orphans, per SQL FK
+    semantics).
+
+    Parent keys reduce to DISTINCT before the join; the orphan detection
+    is a left-anti equi-join (broadcast when the key set is small, SMJ on
+    the key otherwise — never a cross product), then a 1-row aggregate.
+    orphan_min/max render as strings so the report schema is type-stable.
+    """
+    keys = parent.select(F.col(pk).alias("_pk")).distinct()
+    orphans = (
+        child.where(F.col(fk).isNotNull())
+        .join(keys, F.col(fk) == F.col("_pk"), "left_anti")
+        .agg(
+            F.count("*").alias("n_orphans"),
+            F.min(fk).cast("string").alias("orphan_min"),
+            F.max(fk).cast("string").alias("orphan_max"),
+        )
+    )
+    totals = child.agg(F.count("*").alias("n_child"))
+    return totals.crossJoin(orphans).select(
+        "n_child", "n_orphans", "orphan_min", "orphan_max"
+    )

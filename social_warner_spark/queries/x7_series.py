@@ -154,6 +154,19 @@ def x59_salted_join(spark, sf_dir):
     )
 
 
+def x60_fk_check(spark, sf_dir):
+    """Referential-integrity audit (operators/audit.py:fk_check): orders →
+    customer with BUILDING-segment customers removed from the parent, so
+    the orphan path is observable (the raw testdata has full integrity)."""
+    from social_warner_spark.operators.audit import fk_check
+
+    orders = T(spark, sf_dir, "orders")
+    parent = T(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") != "BUILDING"
+    )
+    return fk_check(orders, parent, "o_custkey", "c_custkey")
+
+
 QUERIES = {
     "x52_source_caps": x52_source_caps,
     "x53_normalize_text": x53_normalize_text,
@@ -163,6 +176,7 @@ QUERIES = {
     "x57_table_checksum": x57_table_checksum,
     "x58_profile_table": x58_profile_table,
     "x59_salted_join": x59_salted_join,
+    "x60_fk_check": x60_fk_check,
 }
 
 ORACLES = {
@@ -240,6 +254,18 @@ ORACLES = {
         SELECT 'n_chars', CAST(COUNT(*) AS BIGINT), CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
                CAST(COUNT(DISTINCT n_chars) AS BIGINT),
                CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR) FROM documents
+    """,
+    "x60_fk_check": """
+        WITH keys AS (
+            SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment <> 'BUILDING'
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_child,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans,
+               CAST(MIN(o_custkey) AS VARCHAR) AS orphan_min,
+               CAST(MAX(o_custkey) AS VARCHAR) AS orphan_max
+        FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM keys k WHERE k.c_custkey = o.o_custkey)
     """,
     "x59_salted_join": """
         SELECT o_orderpriority,

@@ -218,3 +218,18 @@ def test_profile_table_single_scan_and_nulls(spark):
     # one scan NODE (each node appears twice in formatted output: tree + detail)
     assert len(re.findall(r"\(\d+\) Scan", p)) == 1, "profiling must be one pass"
     assert "Expand" in p  # multi-distinct planned via Expand, not extra passes
+
+
+def test_fk_check_orphans_and_null_fks(spark):
+    from social_warner_spark.operators.audit import fk_check
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None), (5, 98)], ["id", "fk"]
+    )
+    parent = spark.createDataFrame([(10,), (20,), (30,)], ["pk"])
+    r = fk_check(child, parent, "fk", "pk").collect()[0]
+    # NULL fk is not an orphan; 98/99 are
+    assert tuple(r) == (5, 2, "98", "99")
+
+    clean = fk_check(child.where(F.col("fk") < 50), parent, "fk", "pk").collect()[0]
+    assert clean["n_orphans"] == 0 and clean["orphan_min"] is None
