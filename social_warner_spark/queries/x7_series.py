@@ -1,11 +1,12 @@
-"""Seventh extension batch: corpus-hygiene operators — per-source caps,
-text normalization, segment-level dedup with reassembly, and int8
-embedding quantization.
+"""Seventh extension batch: corpus hygiene + warehouse audit tooling.
 
-The "crawl cleanup" quartet: cap what any one source contributes, scrub
-the bytes, drop repeated boilerplate segments, shrink the vectors.  All
-follow the standard determinism protocol (md5/fixed geometry, 6dp
-rounding, portable Java∩RE2 regexes).
+Hygiene (the crawl-cleanup pass): per-source caps (x52), text
+normalization (x53), segment-level dedup with reassembly (x54), int8
+embedding quantization (x55).  Audit/infrastructure: global index
+assignment (x56), table checksums (x57), column profiling (x58),
+skew-salted join (x59), FK orphan audit (x60).  All follow the standard
+determinism protocol (md5/fixed geometry, 6dp rounding, portable
+Java∩RE2 regexes).
 """
 
 from __future__ import annotations
