@@ -151,3 +151,106 @@ def test_sign_bit_recipes_consistent(spark):
         # flipping bit 0 inverts exactly the first character
         assert r.flip0[0] != r.a[0] and r.flip0[1:] == r.a[1:]
         assert len(r.band1) == 4
+
+
+# --- properties of the corpus-hygiene operators (random text corpora) ---
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+corpus_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=1, max_size=12).map(" ".join),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus_strategy)
+def test_segment_dedup_invariants(spark, texts):
+    """For any corpus: every segment survives exactly once corpus-wide
+    (union of kept segments == distinct segment set), counts are
+    consistent, and a doc's clean_text is the ordered concat of its kept
+    segments."""
+    from social_warner_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = segment_dedup(df, seg_tokens=2).collect()
+    assert {r["doc_id"] for r in rows} == set(range(len(texts)))
+
+    def segs(t):
+        toks = t.split(" ")
+        return [" ".join(toks[i : i + 2]) for i in range(0, len(toks), 2)]
+
+    all_distinct = {s for t in texts for s in segs(t)}
+    kept_total = sum(r["n_kept"] for r in rows)
+    assert kept_total == len(all_distinct)
+    for r in rows:
+        assert 0 <= r["n_kept"] <= r["n_segs"]
+        assert r["n_segs"] == len(segs(texts[r["doc_id"]]))
+        kept_segs = [s for s in r["clean_text"].split(" ") if s]
+        # clean_text tokens must be a subsequence of the original tokens
+        orig = texts[r["doc_id"]].split(" ")
+        it = iter(orig)
+        assert all(tok in it for tok in kept_segs)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-8.0,
+                max_value=8.0,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=2,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_quantize_error_bound(spark, vecs):
+    """Int8 quantization error is bounded per element by 0.5/scale, so
+    ‖v − q/scale‖ ≤ sqrt(d)·0.5/scale; scale is always positive."""
+    from social_warner_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(list(enumerate(vecs)), ["vec_id", "embedding"])
+    for r in quantize_embeddings(df).collect():
+        d = len(vecs[r["vec_id"]])
+        assert r["scale"] > 0
+        assert r["n_sat"] <= d
+        bound = (d**0.5) * 0.5 / r["scale"] + 1e-6
+        assert r["recon_err"] <= bound, (r, bound)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=corpus_strategy)
+def test_normalize_text_idempotent(spark, texts):
+    """normalize_text is idempotent, and output never contains doubled
+    spaces, tabs, or zero-width code points."""
+    from social_warner_spark.functions.text import normalize_text
+
+    noisy = [("​ " + t.replace(" ", "  ") + " \t") for t in texts]
+    df = spark.createDataFrame(list(enumerate(noisy)), ["id", "t"])
+    once = df.select("id", normalize_text(F.col("t")).alias("c"))
+    twice = once.select("id", normalize_text(F.col("c")).alias("c"))
+    a = {r["id"]: r["c"] for r in once.collect()}
+    b = {r["id"]: r["c"] for r in twice.collect()}
+    assert a == b
+    for v in a.values():
+        assert "  " not in v and "\t" not in v and "​" not in v
