@@ -27,3 +27,17 @@ def test_query_matches_oracle(spark, sf_correct, name):
         con.close()
     ok, msg = compare(sdf, ddf)
     assert ok, f"{name}: {msg}"
+
+
+def test_check_priority_window_spans_every_family():
+    """The driver verifies the first CHECKED_WINDOW queries in iteration
+    order; every series module must keep at least one representative
+    inside that window so no operator family silently loses its driver
+    correctness row in a future swap."""
+    from social_warner_spark import queries as q
+
+    window = set(q.CHECK_PRIORITY)
+    assert len(window) == q.CHECKED_WINDOW
+    for mod in q._SERIES:
+        inside = window & set(mod.QUERIES)
+        assert inside, f"{mod.__name__} has no query in the checked window"
