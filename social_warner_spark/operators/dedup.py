@@ -99,21 +99,42 @@ def segment_dedup(
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the input to Jaccard and MinHash.
+def doc_shingles_sized(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """(id, shingle, sz) rows — one row per DISTINCT shingle of each doc,
+    with the doc's shingle-set size attached.
 
-    Tokenization is staged into its own projection so the shingle lambda
-    operates on a bound array column (see shingles_from_tokens perf note).
+    Dedup happens per row with ``array_distinct`` BEFORE the explode, so
+    (id, shingle) is unique by construction — no global ``.distinct()``
+    shuffle (the old formulation's hidden Exchange).  ``sz`` rides the
+    explode for free, which lets Jaccard consumers skip the per-doc size
+    aggregation + join entirely.  Tokenization is staged into its own
+    projection (see shingles_from_tokens perf note).
     """
     from social_warner_spark.functions.text import shingles_from_tokens
 
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    return (
-        staged.select(
-            F.col(id_col), F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("shingle")
-        )
-        .distinct()
+    arred = staged.select(
+        F.col(id_col),
+        F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("_arr"),
     )
+    # CSE trap (see shingles_from_tokens): size(_arr) and explode(_arr) in
+    # ONE projection would each inline the whole shingle expression after
+    # projection collapse.  The Generate node is a collapse barrier, so
+    # explode first CARRYING the array attribute, then take size() of the
+    # materialized attribute above it — the expression evaluates once.
+    exploded = arred.select(F.col(id_col), "_arr", F.explode("_arr").alias("shingle"))
+    return exploded.select(id_col, "shingle", F.size("_arr").alias("sz"))
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the input to Jaccard and MinHash.
+
+    Per-row dedup via doc_shingles_sized: zero-shuffle, unlike a global
+    ``.distinct()``.
+    """
+    return doc_shingles_sized(df, text_col, id_col, n).select(id_col, "shingle")
 
 
 def exact_jaccard_pairs(
@@ -126,9 +147,13 @@ def exact_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard ≥ threshold, exactly.
 
-    Plan: distinct (id, shingle) → self equi-join on shingle (shuffle on
-    shingle) → count shared per pair → join per-doc sizes (broadcastable)
-    → J = shared / (|A|+|B|-shared).
+    Plan: per-doc-distinct (id, shingle, sz) rows → self equi-join on
+    shingle (shuffle on shingle) → SIZE-RATIO PREFILTER (J ≥ t requires
+    min(|A|,|B|) ≥ t·max(|A|,|B|) — a necessary condition, so dropping
+    violating join rows BEFORE the pair aggregation changes nothing) →
+    count shared per pair → J = shared / (|A|+|B|-shared).  Sizes ride
+    the shingle rows from the explode, so there is no size aggregation
+    and no size join at all.
 
     ``max_doc_freq`` is the hot-shingle skew knob: shingles appearing in
     more than that many documents (stopword runs, boilerplate) are dropped
@@ -142,24 +167,29 @@ def exact_jaccard_pairs(
     partition with df² join rows; the cap turns worst-case skew into a
     bounded per-shingle cost of max_doc_freq².
 
-    The shingle relation is consumed multiple times (join sides + sizes
-    + re-score); persisting it turns the explode+distinct recomputations
-    into one.  At cluster scale the equivalent is staging it to a temp
+    The shingle relation is consumed multiple times (join sides +
+    re-score); persisting it turns the explode recomputations into one.  At cluster scale the equivalent is staging it to a temp
     table — the lineage cut matters more than the storage level.  The
     persisted handle is registered for host-controlled release (see
     caching.py).
     """
     from social_warner_spark.caching import register_persisted
 
-    sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sh = register_persisted(
+        doc_shingles_sized(df, text_col, id_col, n).persist()
+    )
+    # necessary condition for J ≥ t (tiny epsilon only ever LOOSENS it, so
+    # no boundary pair is lost to float representation of t·sz)
+    ratio_ok = (
+        F.col("sz_b") >= F.col("sz_a") * threshold - F.lit(1e-9)
+    ) & (F.col("sz_a") >= F.col("sz_b") * threshold - F.lit(1e-9))
     if max_doc_freq is None:
-        a = sh.toDF("a", "shingle")
-        b = sh.toDF("b", "shingle")
+        a = sh.select(F.col(id_col).alias("a"), "shingle", F.col("sz").alias("sz_a"))
+        b = sh.select(F.col(id_col).alias("b"), "shingle", F.col("sz").alias("sz_b"))
         shared = (
             a.join(b, "shingle")
-            .where(F.col("a") < F.col("b"))
-            .groupBy("a", "b")
+            .where((F.col("a") < F.col("b")) & ratio_ok)
+            .groupBy("a", "b", "sz_a", "sz_b")
             .agg(F.count("*").alias("shared"))
         )
     else:
@@ -175,10 +205,15 @@ def exact_jaccard_pairs(
         # positional toDF renaming would swap (shingle, id) here.
         cooled = sh.join(F.broadcast(hot), "shingle", "left_anti")
         cands = (
-            cooled.select(F.col(id_col).alias("a"), "shingle")
-            .join(cooled.select(F.col(id_col).alias("b"), "shingle"), "shingle")
-            .where(F.col("a") < F.col("b"))
-            .select("a", "b")
+            cooled.select(F.col(id_col).alias("a"), "shingle", F.col("sz").alias("sz_a"))
+            .join(
+                cooled.select(
+                    F.col(id_col).alias("b"), "shingle", F.col("sz").alias("sz_b")
+                ),
+                "shingle",
+            )
+            .where((F.col("a") < F.col("b")) & ratio_ok)
+            .select("a", "b", "sz_a", "sz_b")
             .distinct()
         )
         # exact re-score: shared = |A ∩ B| over the FULL shingle sets.
@@ -187,13 +222,11 @@ def exact_jaccard_pairs(
         shared = (
             cands.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
             .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
-            .groupBy("a", "b")
+            .groupBy("a", "b", "sz_a", "sz_b")
             .agg(F.count("*").alias("shared"))
         )
     out = (
-        shared.join(F.broadcast(sizes.toDF("a", "sz_a")), "a")
-        .join(F.broadcast(sizes.toDF("b", "sz_b")), "b")
-        .withColumn(
+        shared.withColumn(
             "jaccard",
             F.round(
                 F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
