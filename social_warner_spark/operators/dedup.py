@@ -99,42 +99,31 @@ def segment_dedup(
     )
 
 
-def doc_shingles_sized(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
-) -> DataFrame:
-    """(id, shingle, sz) rows — one row per DISTINCT shingle of each doc,
-    with the doc's shingle-set size attached.
+def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the input to Jaccard and MinHash.
 
-    Dedup happens per row with ``array_distinct`` BEFORE the explode, so
-    (id, shingle) is unique by construction — no global ``.distinct()``
-    shuffle (the old formulation's hidden Exchange).  ``sz`` rides the
-    explode for free, which lets Jaccard consumers skip the per-doc size
-    aggregation + join entirely.  Tokenization is staged into its own
-    projection (see shingles_from_tokens perf note).
+    ``array_distinct`` runs INSIDE the generator expression, so (id,
+    shingle) is unique by construction with zero shuffle — the old
+    ``explode(...).distinct()`` formulation paid a full Exchange for the
+    same result.
+
+    The shape here is load-bearing (measured 40× on the shingle bench
+    queries): the whole ``array_distinct(shingles(...))`` expression must
+    live in the Generate node, with ``_toks`` staged in the projection
+    below it.  Materializing the array as its own Project column instead
+    lets CollapseProject inline ``tokens()`` into the shingle lambda's
+    ``element_at`` references (Catalyst does not CSE inside higher-order
+    function lambdas), re-splitting the text once per shingle.  Generate
+    is a collapse barrier, so the generator's references to ``_toks``
+    stay attribute reads.
     """
     from social_warner_spark.functions.text import shingles_from_tokens
 
     staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    arred = staged.select(
+    return staged.select(
         F.col(id_col),
-        F.array_distinct(shingles_from_tokens(F.col("_toks"), n)).alias("_arr"),
+        F.explode(F.array_distinct(shingles_from_tokens(F.col("_toks"), n))).alias("shingle"),
     )
-    # CSE trap (see shingles_from_tokens): size(_arr) and explode(_arr) in
-    # ONE projection would each inline the whole shingle expression after
-    # projection collapse.  The Generate node is a collapse barrier, so
-    # explode first CARRYING the array attribute, then take size() of the
-    # materialized attribute above it — the expression evaluates once.
-    exploded = arred.select(F.col(id_col), "_arr", F.explode("_arr").alias("shingle"))
-    return exploded.select(id_col, "shingle", F.size("_arr").alias("sz"))
-
-
-def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the input to Jaccard and MinHash.
-
-    Per-row dedup via doc_shingles_sized: zero-shuffle, unlike a global
-    ``.distinct()``.
-    """
-    return doc_shingles_sized(df, text_col, id_col, n).select(id_col, "shingle")
 
 
 def exact_jaccard_pairs(
@@ -147,13 +136,13 @@ def exact_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard ≥ threshold, exactly.
 
-    Plan: per-doc-distinct (id, shingle, sz) rows → self equi-join on
-    shingle (shuffle on shingle) → SIZE-RATIO PREFILTER (J ≥ t requires
-    min(|A|,|B|) ≥ t·max(|A|,|B|) — a necessary condition, so dropping
-    violating join rows BEFORE the pair aggregation changes nothing) →
-    count shared per pair → J = shared / (|A|+|B|-shared).  Sizes ride
-    the shingle rows from the explode, so there is no size aggregation
-    and no size join at all.
+    Plan: per-doc-distinct (id, shingle) rows → per-doc sizes (one small
+    agg over the cached relation, broadcast onto each join side) → self
+    equi-join on shingle (shuffle on shingle) → SIZE-RATIO PREFILTER
+    (J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|) — a necessary
+    condition, so dropping violating join rows BEFORE the pair
+    aggregation changes nothing) → count shared per pair →
+    J = shared / (|A|+|B|-shared).
 
     ``max_doc_freq`` is the hot-shingle skew knob: shingles appearing in
     more than that many documents (stopword runs, boilerplate) are dropped
@@ -167,25 +156,27 @@ def exact_jaccard_pairs(
     partition with df² join rows; the cap turns worst-case skew into a
     bounded per-shingle cost of max_doc_freq².
 
-    The shingle relation is consumed multiple times (join sides +
-    re-score); persisting it turns the explode recomputations into one.  At cluster scale the equivalent is staging it to a temp
+    The shingle relation is consumed multiple times (join sides + sizes
+    + re-score); persisting it turns the explode recomputations into
+    one.  At cluster scale the equivalent is staging it to a temp
     table — the lineage cut matters more than the storage level.  The
     persisted handle is registered for host-controlled release (see
     caching.py).
     """
     from social_warner_spark.caching import register_persisted
 
-    sh = register_persisted(
-        doc_shingles_sized(df, text_col, id_col, n).persist()
-    )
+    sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    sz_a = F.broadcast(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")))
+    sz_b = F.broadcast(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")))
     # necessary condition for J ≥ t (tiny epsilon only ever LOOSENS it, so
     # no boundary pair is lost to float representation of t·sz)
     ratio_ok = (
         F.col("sz_b") >= F.col("sz_a") * threshold - F.lit(1e-9)
     ) & (F.col("sz_a") >= F.col("sz_b") * threshold - F.lit(1e-9))
     if max_doc_freq is None:
-        a = sh.select(F.col(id_col).alias("a"), "shingle", F.col("sz").alias("sz_a"))
-        b = sh.select(F.col(id_col).alias("b"), "shingle", F.col("sz").alias("sz_b"))
+        a = sh.select(F.col(id_col).alias("a"), "shingle").join(sz_a, "a")
+        b = sh.select(F.col(id_col).alias("b"), "shingle").join(sz_b, "b")
         shared = (
             a.join(b, "shingle")
             .where((F.col("a") < F.col("b")) & ratio_ok)
@@ -205,11 +196,10 @@ def exact_jaccard_pairs(
         # positional toDF renaming would swap (shingle, id) here.
         cooled = sh.join(F.broadcast(hot), "shingle", "left_anti")
         cands = (
-            cooled.select(F.col(id_col).alias("a"), "shingle", F.col("sz").alias("sz_a"))
+            cooled.select(F.col(id_col).alias("a"), "shingle")
+            .join(sz_a, "a")
             .join(
-                cooled.select(
-                    F.col(id_col).alias("b"), "shingle", F.col("sz").alias("sz_b")
-                ),
+                cooled.select(F.col(id_col).alias("b"), "shingle").join(sz_b, "b"),
                 "shingle",
             )
             .where((F.col("a") < F.col("b")) & ratio_ok)
