@@ -108,3 +108,24 @@ def test_asof_join_single_shuffle(spark, sf_smoke):
     exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
     assert len(exchanges) == 1, p
     assert "Join" not in p
+
+
+def test_shingle_generator_evaluates_tokenizer_once(spark, sf_smoke):
+    """Pin the doc_shingles plan shape that prevented the measured 40×
+    regression: the whole array_distinct(shingles(_toks)) expression must
+    live INSIDE the Generate node (a collapse barrier), with tokenization
+    staged in the projection below it.  If the array is materialized as a
+    Project column instead, CollapseProject inlines tokens() into the
+    lambda's element_at references — Catalyst does not CSE inside
+    higher-order-function lambdas — and the text is re-split once per
+    shingle (12 split() copies in the optimized plan; x31 4.7→43s at
+    sf0.1)."""
+    from social_warner_spark.catalog import load_table
+    from social_warner_spark.operators.dedup import doc_shingles
+
+    docs = load_table(spark, sf_smoke, "documents")
+    plan = doc_shingles(docs)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    # and the generator consumes the staged token attribute, not inline text
+    gen = [l for l in plan.split("\n") if "Generate" in l]
+    assert gen and "_toks" in gen[0], plan
