@@ -622,3 +622,57 @@ def embedding_neardup_pairs(
         scored.where(F.col("cos") >= threshold)
         .select(F.col("a").alias("vec_id_a"), F.col("b").alias("vec_id_b"), "cos")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.35,
+    nlist: int = 8,
+    iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the deterministic IVF
+    centroids (similarity.py:ivf_centroids — seeded + 6dp-rounded Lloyd
+    means, so the whole pipeline stays oracle-checkable), then within each
+    cluster drop every vector that has a LOWER-id neighbor at rounded
+    cosine ≥ threshold.  Survivors: (id, cluster).
+
+    The cluster assignment IS the blocking structure — the pairwise
+    cosine join is an equi-join on ``cluster``, never corpus×corpus.
+    At 100 TB the knob is ``nlist``: SemDeDup's design point is
+    nlist ∝ |corpus| / target-cluster-size, which bounds the per-cluster
+    m² term to a constant while the clustering itself stays one broadcast
+    cross-score per Lloyd step (centroids are broadcast; the corpus never
+    shuffles on content).  A pathologically hot cluster is the residual
+    skew risk — AQE skew-join splits it, and raising nlist shrinks it
+    structurally.
+
+    The assignment is persisted: it feeds both sides of the pair join and
+    the final anti-join, and each recomputation would redo the centroid
+    cross-score.
+    """
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    centroids = register_persisted(
+        ivf_centroids(corpus, nlist, iters, vec_col, id_col).persist()
+    )
+    assigned = register_persisted(
+        ivf_assign(corpus, centroids, vec_col, id_col).persist()
+    )
+    a = assigned.select(
+        F.col(id_col).alias("a"), "cluster", F.col(vec_col).alias("va")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("b"), "cluster", F.col(vec_col).alias("vb")
+    )
+    dupes = (
+        a.join(b, "cluster")
+        .where(F.col("a") < F.col("b"))
+        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .select(F.col("b").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dupes, id_col, "left_anti").select(id_col, "cluster")

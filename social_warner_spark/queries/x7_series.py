@@ -15,7 +15,9 @@ import pyspark.sql.functions as F
 
 from social_warner_spark.functions.text import normalize_text, quality_score
 from social_warner_spark.queries.common import T
+from social_warner_spark.queries.x3_series import _IVF_COS
 from social_warner_spark.queries.x5_series import _QUALITY_SQL
+from social_warner_spark.queries.x_series import EMBED_NEARDUP_TAU
 
 #: x52 — per-source document cap.
 SOURCE_CAP = 10
@@ -168,6 +170,19 @@ def x60_fk_check(spark, sf_dir):
     return fk_check(orders, parent, "o_custkey", "c_custkey")
 
 
+def x61_semantic_dedup(spark, sf_dir):
+    """SemDeDup semantic dedup (operators/dedup.py:semantic_dedup):
+    deterministic IVF clustering (8 seed centroids, one 6dp-rounded Lloyd
+    step — the exact x24 machinery) blocks the corpus, then within-cluster
+    cosine ≥ τ drops the higher id of each near-dup pair.  τ matches x7's
+    EMBED_NEARDUP_TAU because the synthetic embeddings' max pairwise
+    cosine is ≈0.51 — a production 0.9 would be vacuous here."""
+    from social_warner_spark.operators.dedup import semantic_dedup
+
+    emb = T(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, threshold=EMBED_NEARDUP_TAU, nlist=8, iters=1)
+
+
 QUERIES = {
     "x52_source_caps": x52_source_caps,
     "x53_normalize_text": x53_normalize_text,
@@ -178,6 +193,7 @@ QUERIES = {
     "x58_profile_table": x58_profile_table,
     "x59_salted_join": x59_salted_join,
     "x60_fk_check": x60_fk_check,
+    "x61_semantic_dedup": x61_semantic_dedup,
 }
 
 ORACLES = {
@@ -309,5 +325,44 @@ ORACLES = {
                    list_transform(v, (x, i) -> (x - qv[i] / scale) ^ 2)
                )), 6) AS recon_err
         FROM q
+    """,
+    "x61_semantic_dedup": f"""
+        WITH seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                   embedding::DOUBLE[] AS cvec
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+        ), assign0 AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, s.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_COS.format(a='e.embedding', b='s.cvec')} DESC,
+                                    s.cluster) AS rk
+                FROM embeddings e CROSS JOIN seeds s
+            ) WHERE rk = 1
+        ), means AS (
+            SELECT cluster, i AS pos, ROUND(AVG(embedding[i]::DOUBLE), 6) AS m
+            FROM assign0, UNNEST(range(1, len(embedding) + 1)) u(i)
+            GROUP BY cluster, i
+        ), cent1 AS (
+            SELECT cluster, list(m ORDER BY pos) AS cvec FROM means GROUP BY cluster
+        ), assign1 AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, c.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_IVF_COS.format(a='e.embedding', b='c.cvec')} DESC,
+                                    c.cluster) AS rk
+                FROM embeddings e CROSS JOIN cent1 c
+            ) WHERE rk = 1
+        ), dups AS (
+            SELECT DISTINCT b.vec_id
+            FROM assign1 a JOIN assign1 b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {_IVF_COS.format(a='a.embedding', b='b.embedding')}
+                  >= {EMBED_NEARDUP_TAU}
+        )
+        SELECT s.vec_id, s.cluster FROM assign1 s
+        WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = s.vec_id)
     """,
 }

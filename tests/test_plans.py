@@ -129,3 +129,23 @@ def test_shingle_generator_evaluates_tokenizer_once(spark, sf_smoke):
     # and the generator consumes the staged token attribute, not inline text
     gen = [l for l in plan.split("\n") if "Generate" in l]
     assert gen and "_toks" in gen[0], plan
+
+
+def test_semantic_dedup_pairs_join_on_cluster(spark, sf_smoke):
+    """x61's pairwise cosine must be an equi-join on the cluster key —
+    the IVF assignment IS the blocking structure.  The only nested-loop
+    joins allowed are the centroid cross-scores (broadcast of the ≤nlist
+    centroid rows, one per ivf_assign call site); a third would mean the
+    corpus×corpus pair join regressed to the x7 anti-pattern."""
+    import re
+
+    p = plan_of(spark, sf_smoke, "x61_semantic_dedup")
+    bnlj = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", p, flags=re.MULTILINE)
+    assert len(bnlj) <= 2, p  # seed-assign + final assign (iters=1)
+    # pair + anti joins are hash/sort equi-joins
+    equi = re.findall(
+        r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)",
+        p,
+        flags=re.MULTILINE,
+    )
+    assert len(equi) >= 2, p
