@@ -195,3 +195,56 @@ def compression_ratio(text: Column) -> Column:
         return batch.map(one)
 
     return _ratio(text)
+
+
+#: The Gopher-rules stopword list (Rae et al. 2021, arXiv:2112.11446,
+#: table A1: "must contain ≥2 of the, be, to, of, and, that, have, with").
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+
+def gopher_metrics(toks: Column, text: Column) -> dict[str, Column]:
+    """Per-document Gopher quality-rule metrics (Rae et al. 2021,
+    arXiv:2112.11446 appendix A1.1) as pure narrow-map expressions.
+
+    ``toks`` must be a bound attribute (stage ``tokens(text)`` in a prior
+    projection — the shingles_from_tokens CSE rule applies to every
+    higher-order-function consumer, including these filters).
+
+    Metrics: word count, mean word length, fraction of words containing
+    an alphabetic character, symbol-to-word ratio ('#' and ellipsis),
+    stopword hits.  All ratios rounded to 6dp so the rule comparisons
+    evaluate identically cross-engine.
+    """
+    n = F.size(toks)
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]")))
+    n_sym = F.length(F.regexp_replace(text, "[^#…]", "")) + F.lit(3) * F.size(
+        F.split(text, r"\.\.\.", -1)
+    ) - F.lit(3)
+    n_stop = F.size(F.filter(toks, lambda x: F.lower(x).isin(*GOPHER_STOPWORDS)))
+    return {
+        "n_words": n,
+        "mean_word_len": F.round(total_len / nd, 6),
+        "frac_alpha": F.round(n_alpha / nd, 6),
+        "symbol_ratio": F.round(n_sym / nd, 6),
+        "n_stop": n_stop,
+    }
+
+
+def gopher_pass(m: dict[str, Column]) -> Column:
+    """The conjunction of the Gopher rules over ``gopher_metrics`` output:
+    50 ≤ words ≤ 100 000, mean word length in [3, 10], ≥80% alphabetic
+    words, symbol ratio ≤ 0.1, ≥2 stopwords.  Comparisons run on the
+    6dp-rounded metrics so both engines agree at rule boundaries."""
+    return (
+        (m["n_words"] >= 50)
+        & (m["n_words"] <= 100_000)
+        & (m["mean_word_len"] >= 3.0)
+        & (m["mean_word_len"] <= 10.0)
+        & (m["frac_alpha"] >= 0.8)
+        & (m["symbol_ratio"] <= 0.1)
+        & (m["n_stop"] >= 2)
+    ).cast("int")

@@ -28,7 +28,7 @@ re-expression of that filter step.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 #: 3 hex chars = 4096 slots per sub-filter.
 _NIBBLES = 3
@@ -70,3 +70,102 @@ def bloom_prune(
             "left_semi",
         )
     return out
+
+
+def cms_cells(
+    items: DataFrame, item_col: str = "token", depth: int = 4, width: int = 64
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) over an item
+    stream: ``depth`` independent md5-derived hash rows × ``width``
+    buckets, one count per touched cell.
+
+    The whole sketch is at most depth·width rows regardless of stream
+    cardinality, and it reduces via map-side partial aggregation — the
+    shuffle carries ≤ depth·width pre-combined rows per task.  Cells are
+    mergeable by addition, which is what makes the sketch the right
+    heavy-hitter structure for streaming ingestion (sum cells across
+    epochs) and for 100 TB batch (sum cells across partitions).
+
+    md5 positions (audit.py:row_hash60 idiom) keep the construction
+    engine-portable: any SQL engine reproduces the exact cells.
+    """
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    return (
+        items.select(F.col(item_col).alias("item"), F.explode(rows).alias("r"))
+        .select(
+            "r",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", F.col("r"), F.col("item"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).cast("int").alias("bucket"),
+        )
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 64,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k token heavy hitters with count-min estimates: (token, exact,
+    est, overcount, rk).  ``est ≥ exact`` always (the one-sided CMS
+    error); ``overcount`` makes the collision error observable and
+    testable.
+
+    The exact per-token counts here are the VERIFICATION baseline — the
+    sketch path itself never shuffles the token stream beyond depth·width
+    cells (broadcast back onto the candidates).  At 100 TB the candidate
+    set comes from a cheap sample or a prior epoch's hitters, not from a
+    full distinct — the sketch answers point queries for any candidate
+    set without re-scanning.
+    """
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.functions.text import tokens
+
+    tok = register_persisted(
+        df.select(F.explode(tokens(F.col(text_col))).alias("token")).persist()
+    )
+    cells = cms_cells(tok, "token", depth, width)
+    exact = tok.groupBy("token").agg(F.count("*").alias("exact"))
+    rows = F.array(*[F.lit(r) for r in range(depth)])
+    probes = exact.select("token", "exact", F.explode(rows).alias("r")).select(
+        "token",
+        "exact",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("r"), F.col("token"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).cast("int").alias("bucket"),
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("token", "exact")
+        .agg(F.min("cnt").alias("est"))
+    )
+    # top-k via sort+limit (TakeOrderedAndProject — no single-partition
+    # global window); the rank window then touches only k rows.
+    top = est.orderBy(F.desc("est"), "token").limit(k)
+    w = Window.orderBy(F.desc("est"), "token")
+    return top.select(
+        "token",
+        "exact",
+        "est",
+        (F.col("est") - F.col("exact")).alias("overcount"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )

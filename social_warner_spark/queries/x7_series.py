@@ -2,11 +2,12 @@
 
 Hygiene (the crawl-cleanup pass): per-source caps (x52), text
 normalization (x53), segment-level dedup with reassembly (x54), int8
-embedding quantization (x55).  Audit/infrastructure: global index
-assignment (x56), table checksums (x57), column profiling (x58),
-skew-salted join (x59), FK orphan audit (x60).  All follow the standard
-determinism protocol (md5/fixed geometry, 6dp rounding, portable
-Java∩RE2 regexes).
+embedding quantization (x55), SemDeDup semantic dedup (x61), Gopher-rules
+quality gate (x62), count-min-sketch heavy hitters (x63).
+Audit/infrastructure: global index assignment (x56), table checksums
+(x57), column profiling (x58), skew-salted join (x59), FK orphan audit
+(x60).  All follow the standard determinism protocol (md5/fixed
+geometry, 6dp rounding, portable Java∩RE2 regexes).
 """
 
 from __future__ import annotations
@@ -183,6 +184,45 @@ def x61_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, threshold=EMBED_NEARDUP_TAU, nlist=8, iters=1)
 
 
+def x62_gopher_rules(spark, sf_dir):
+    """Gopher-rules quality gate (functions/text.py:gopher_metrics /
+    gopher_pass — Rae et al. 2021 appendix A1.1): per-doc word count,
+    mean word length, alpha-word fraction, symbol ratio, stopword hits,
+    and the conjunction flag.  Pure narrow map, zero shuffle; the paper
+    thresholds are kept verbatim (the synthetic corpus fails mostly on
+    word count < 50 and stopword hits < 2, which makes the gate
+    observable)."""
+    from social_warner_spark.functions.text import (
+        gopher_metrics,
+        gopher_pass,
+        tokens,
+    )
+
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "text", tokens(F.col("text")).alias("_toks"))
+    m = gopher_metrics(F.col("_toks"), F.col("text"))
+    return staged.select(
+        "doc_id",
+        m["n_words"].alias("n_words"),
+        m["mean_word_len"].alias("mean_word_len"),
+        m["frac_alpha"].alias("frac_alpha"),
+        m["symbol_ratio"].alias("symbol_ratio"),
+        m["n_stop"].alias("n_stop"),
+        gopher_pass(m).alias("gopher_ok"),
+    )
+
+
+def x63_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketch.py:cms_heavy_
+    hitters): 4x64 md5-hashed cells over the document token stream,
+    min-over-rows estimates for every token, top-20 by estimate.  The
+    exact counts ride along as the verification baseline; `overcount`
+    exposes the sketch's one-sided collision error in the result itself."""
+    from social_warner_spark.operators.sketch import cms_heavy_hitters
+
+    return cms_heavy_hitters(T(spark, sf_dir, "documents"), depth=4, width=64, k=20)
+
+
 QUERIES = {
     "x52_source_caps": x52_source_caps,
     "x53_normalize_text": x53_normalize_text,
@@ -194,6 +234,8 @@ QUERIES = {
     "x59_salted_join": x59_salted_join,
     "x60_fk_check": x60_fk_check,
     "x61_semantic_dedup": x61_semantic_dedup,
+    "x62_gopher_rules": x62_gopher_rules,
+    "x63_cms_heavy_hitters": x63_cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -364,5 +406,60 @@ ORACLES = {
         )
         SELECT s.vec_id, s.cluster FROM assign1 s
         WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.vec_id = s.vec_id)
+    """,
+    "x62_gopher_rules": """
+        WITH toks AS (
+            SELECT doc_id, text, string_split(text, ' ') AS t FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(t) AS INT) AS n_words,
+                   ROUND(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+                         / GREATEST(len(t), 1), 6) AS mean_word_len,
+                   ROUND(CAST(len(list_filter(t, x -> regexp_matches(x, '[A-Za-z]')))
+                              AS DOUBLE) / GREATEST(len(t), 1), 6) AS frac_alpha,
+                   ROUND((CAST(length(regexp_replace(text, '[^#\u2026]', '', 'g')) AS DOUBLE)
+                          + 3 * (len(string_split(text, '...')) - 1))
+                         / GREATEST(len(t), 1), 6) AS symbol_ratio,
+                   CAST(len(list_filter(t, x -> list_contains(
+                       ['the','be','to','of','and','that','have','with'], lower(x)
+                   ))) AS INT) AS n_stop
+            FROM toks
+        )
+        SELECT doc_id, n_words, mean_word_len, frac_alpha, symbol_ratio, n_stop,
+               CAST(n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND frac_alpha >= 0.8 AND symbol_ratio <= 0.1
+                    AND n_stop >= 2 AS INT) AS gopher_ok
+        FROM m
+    """,
+    "x63_cms_heavy_hitters": """
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), rws AS (
+            SELECT unnest(range(0, 4)) AS r
+        ), cells AS (
+            SELECT r,
+                   CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15)
+                             AS BIGINT) % 64 AS INT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tok CROSS JOIN rws
+            GROUP BY 1, 2
+        ), exact AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS exact FROM tok GROUP BY token
+        ), probes AS (
+            SELECT token, exact, r,
+                   CAST(CAST('0x' || substr(md5(CAST(r AS VARCHAR) || '|' || token), 1, 15)
+                             AS BIGINT) % 64 AS INT) AS bucket
+            FROM exact CROSS JOIN rws
+        ), est AS (
+            SELECT token, exact, MIN(cnt) AS est
+            FROM probes JOIN cells USING (r, bucket)
+            GROUP BY token, exact
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY est DESC, token) AS INT) AS rk
+            FROM est
+        )
+        SELECT token, exact, est, est - exact AS overcount, rk
+        FROM ranked WHERE rk <= 20
     """,
 }

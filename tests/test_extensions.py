@@ -376,3 +376,57 @@ def test_featurize_binary_mapinpandas(spark, docs):
     assert sorted((x.item_id, tuple(x.feature)) for x in again) == sorted(
         (x.item_id, tuple(x.feature)) for x in out
     )
+
+
+def test_cms_estimate_is_one_sided(spark, docs):
+    """CMS invariant: est ≥ exact for EVERY token (not just the top-k) —
+    min-over-rows of bucket sums can only over-count."""
+    import pyspark.sql.functions as F
+
+    from social_warner_spark.operators.sketch import cms_cells, cms_heavy_hitters
+    from social_warner_spark.functions.text import tokens
+
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    cells = cms_cells(tok, depth=4, width=64).collect()
+    assert len(cells) <= 4 * 64
+    assert all(0 <= r.bucket < 64 and 0 <= r.r < 4 for r in cells)
+    # per-row cell sums must each equal the total stream length
+    total = tok.count()
+    by_row: dict[int, int] = {}
+    for c in cells:
+        by_row[c.r] = by_row.get(c.r, 0) + c.cnt
+    assert set(by_row) == {0, 1, 2, 3} and all(v == total for v in by_row.values())
+
+    top = cms_heavy_hitters(docs, depth=4, width=64, k=1000).collect()
+    assert all(r.overcount >= 0 for r in top)
+    assert all(r.est == r.exact + r.overcount for r in top)
+
+
+def test_gopher_rules_handcrafted(spark):
+    """Each Gopher rule fails on a row built to violate exactly it."""
+    import pyspark.sql.functions as F
+
+    from social_warner_spark.functions.text import (
+        gopher_metrics,
+        gopher_pass,
+        tokens,
+    )
+
+    good = "the cat sat with the dog and they have been to town " + " ".join(
+        ["word"] * 50
+    )
+    rows = [
+        (1, good, 1),                                      # all rules hold
+        (2, "the of and to short text", 0),                # < 50 words
+        (3, "the to " + " ".join(["a"] * 60), 0),          # mean word len < 3
+        (4, good + " " + "#" * 40, 0),                     # symbol ratio > 0.1
+        (5, " ".join(["lorem", "ipsum"] * 40), 0),         # no stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "expect"])
+    staged = df.select(
+        "doc_id", "expect", "text", tokens(F.col("text")).alias("_toks")
+    )
+    m = gopher_metrics(F.col("_toks"), F.col("text"))
+    out = staged.select("doc_id", "expect", gopher_pass(m).alias("ok")).collect()
+    for r in out:
+        assert r.ok == r.expect, r
