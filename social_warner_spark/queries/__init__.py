@@ -79,8 +79,11 @@ CHECK_PRIORITY = (
     "x36_sessionize",
     "x37_zscore_outliers",
     "x38_fuzzy_pairs",
-    "x47_winsorize",
-    "x48_histogram",
+    # (x47/x48 yield slots to x61/x63: winsorize and histogram are shape
+    # variants of the in-window x37 z-score and x12 percentiles, while
+    # SemDeDup's IVF-chain oracle and the CMS cells are new machinery)
+    "x61_semantic_dedup",
+    "x63_cms_heavy_hitters",
     "x11_grouped_pandas_udaf",
     "x12_percentiles",
     "x13_grouping_sets",
