@@ -87,3 +87,92 @@ def per_group_cap(
 
     w = Window.partitionBy(group_col).orderBy(F.desc(order_col), F.asc(id_col))
     return df.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= cap)
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    n_select: int = 50,
+    buckets: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """DSIR-style importance-weighted data selection (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by the mean
+    log-importance-ratio of its tokens under hashed-unigram language
+    models of the target domain vs the raw corpus, then keep the top
+    ``n_select``.  Returns (id, n_tokens, logratio, rk).
+
+    Hashing (md5 mod ``buckets``, the audit.py idiom) bounds BOTH feature
+    tables at ``buckets`` rows regardless of vocabulary size — that is
+    DSIR's trick, and it is exactly what makes the 100 TB plan work: the
+    two smoothed distributions collapse to ≤``buckets``-row broadcasts,
+    so the corpus token stream is joined map-side and shuffles only once,
+    partially aggregated, for the per-doc mean.  Add-1 smoothing keeps
+    unseen buckets finite; 6dp rounding keeps the ranking cross-engine
+    stable.
+    """
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.functions.text import tokens
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        # explode is a generator — it must sit at the select's top level;
+        # the md5 bucketing is applied to the materialized token attribute
+        tok = df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        return tok.select(
+            id_col,
+            (
+                F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast(
+                    "long"
+                )
+                % buckets
+            ).cast("int").alias("bk"),
+        )
+
+    raw_tok = register_persisted(bucketed(raw).persist())
+    tgt_tok = bucketed(target)
+
+    def smoothed(tok: DataFrame, p_name: str) -> DataFrame:
+        cnt = tok.groupBy("bk").agg(F.count("*").alias("c"))
+        tot = cnt.agg(F.sum("c").alias("total"))
+        return (
+            cnt.crossJoin(F.broadcast(tot))
+            .select(
+                "bk",
+                ((F.col("c") + 1) / (F.col("total") + buckets)).alias(p_name),
+            )
+        )
+
+    # unseen-bucket floor: each distribution falls back to 1/(total+B)
+    p_tgt = smoothed(tgt_tok, "p_t")
+    p_raw = smoothed(raw_tok, "p_r")
+    scored = (
+        raw_tok.join(F.broadcast(p_tgt), "bk", "left")
+        .join(F.broadcast(p_raw), "bk", "left")
+    )
+    tgt_floor = tgt_tok.groupBy().agg(
+        (F.lit(1.0) / (F.count("*") + buckets)).alias("floor_t")
+    )
+    per_doc = (
+        scored.crossJoin(F.broadcast(tgt_floor))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(F.coalesce(F.col("p_t"), F.col("floor_t")))
+                    - F.log(F.col("p_r"))
+                ),
+                6,
+            ).alias("logratio"),
+        )
+    )
+    from pyspark.sql import Window
+
+    top = per_doc.orderBy(F.desc("logratio"), id_col).limit(n_select)
+    w = Window.orderBy(F.desc("logratio"), id_col)
+    return top.select(
+        id_col, "n_tokens", "logratio", F.row_number().over(w).cast("int").alias("rk")
+    )

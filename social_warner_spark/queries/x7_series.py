@@ -3,7 +3,8 @@
 Hygiene (the crawl-cleanup pass): per-source caps (x52), text
 normalization (x53), segment-level dedup with reassembly (x54), int8
 embedding quantization (x55), SemDeDup semantic dedup (x61), Gopher-rules
-quality gate (x62), count-min-sketch heavy hitters (x63).
+quality gate (x62), count-min-sketch heavy hitters (x63), DSIR
+importance-weighted selection (x64).
 Audit/infrastructure: global index assignment (x56), table checksums
 (x57), column profiling (x58), skew-salted join (x59), FK orphan audit
 (x60).  All follow the standard determinism protocol (md5/fixed
@@ -223,6 +224,19 @@ def x63_cms_heavy_hitters(spark, sf_dir):
     return cms_heavy_hitters(T(spark, sf_dir, "documents"), depth=4, width=64, k=20)
 
 
+def x64_dsir_select(spark, sf_dir):
+    """DSIR importance-weighted selection (operators/corpus.py:
+    dsir_select): hashed-unigram LMs (1024 md5 buckets) of the English
+    subset (target domain) vs the whole corpus, mean per-token
+    log-importance-ratio per doc, top-50 kept.  Both distributions are
+    bounded broadcasts; the token stream shuffles once for the per-doc
+    mean."""
+    from social_warner_spark.operators.corpus import dsir_select
+
+    d = T(spark, sf_dir, "documents")
+    return dsir_select(d, d.where(F.col("lang") == "en"), n_select=50)
+
+
 QUERIES = {
     "x52_source_caps": x52_source_caps,
     "x53_normalize_text": x53_normalize_text,
@@ -236,6 +250,7 @@ QUERIES = {
     "x61_semantic_dedup": x61_semantic_dedup,
     "x62_gopher_rules": x62_gopher_rules,
     "x63_cms_heavy_hitters": x63_cms_heavy_hitters,
+    "x64_dsir_select": x64_dsir_select,
 }
 
 ORACLES = {
@@ -461,5 +476,43 @@ ORACLES = {
         )
         SELECT token, exact, est, est - exact AS overcount, rk
         FROM ranked WHERE rk <= 20
+    """,
+    "x64_dsir_select": """
+        WITH raw_tok AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT)
+                        % 1024 AS INT) AS bk
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        ), tgt_tok AS (
+            SELECT doc_id,
+                   CAST(CAST('0x' || substr(md5(t.tok), 1, 15) AS BIGINT)
+                        % 1024 AS INT) AS bk
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+            WHERE lang = 'en'
+        ), p_t AS (
+            SELECT bk, (COUNT(*) + 1)
+                       / ((SELECT COUNT(*) FROM tgt_tok) + 1024.0) AS p_t
+            FROM tgt_tok GROUP BY bk
+        ), p_r AS (
+            SELECT bk, (COUNT(*) + 1)
+                       / ((SELECT COUNT(*) FROM raw_tok) + 1024.0) AS p_r
+            FROM raw_tok GROUP BY bk
+        ), per_doc AS (
+            SELECT r.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(
+                       ln(COALESCE(p.p_t,
+                            1.0 / ((SELECT COUNT(*) FROM tgt_tok) + 1024)))
+                       - ln(pr.p_r)), 6) AS logratio
+            FROM raw_tok r
+            LEFT JOIN p_t p USING (bk)
+            LEFT JOIN p_r pr USING (bk)
+            GROUP BY r.doc_id
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY logratio DESC, doc_id)
+                           AS INT) AS rk
+            FROM per_doc
+        )
+        SELECT doc_id, n_tokens, logratio, rk FROM ranked WHERE rk <= 50
     """,
 }
