@@ -70,3 +70,57 @@ def screen_and_append_stream(
         )
 
     stream_foreach_batch(new_docs, screen, checkpoint, timeout_sec)
+
+
+def cms_cells_stream(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    cells_path: str,
+    checkpoint: str,
+    depth: int = 4,
+    width: int = 64,
+    text_col: str = "text",
+    timeout_sec: float = 120.0,
+) -> None:
+    """Maintain a count-min sketch over a document stream.
+
+    Each micro-batch reduces to its own ≤ depth·width cell rows
+    (operators/sketch.py:cms_cells) and lands in an ``epoch=<id>``
+    partition with dynamic overwrite — the same exactly-once epoch
+    contract as screen_and_append_stream, so a retried epoch replaces
+    its own cells instead of double-counting.
+
+    The live sketch is ``merged_cms_cells`` — the SUM of cells across
+    epochs, exact because CMS cells merge by addition.  That is the whole
+    point of sketching the stream: heavy-hitter estimates over the full
+    history cost a scan of epochs·depth·width tiny rows, never a replay
+    of the raw stream.
+    """
+    from social_warner_spark.functions.text import tokens
+    from social_warner_spark.operators.sketch import cms_cells
+
+    def build(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        tok = batch_df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        (
+            cms_cells(tok, "token", depth, width)
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(cells_path)
+        )
+
+    stream_foreach_batch(docs_stream, build, checkpoint, timeout_sec)
+
+
+def merged_cms_cells(spark: SparkSession, cells_path: str) -> DataFrame:
+    """The live sketch: per-(r, bucket) sums across all epochs — identical
+    to the batch sketch over the concatenated stream (cells are additive),
+    which the parity test asserts exactly."""
+    return (
+        spark.read.parquet(cells_path)
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )

@@ -82,3 +82,47 @@ def test_growing_accepted_set_screens_later_batches(spark, tmp_path):
     got = {r["doc_id"]: r["epoch"] for r in spark.read.parquet(accepted).collect()}
     assert set(got) == {10, 21}, got  # 11 dup-of-corpus, 20 dup-of-accepted
     assert got[10] != got[21], "acceptances must carry their epoch"
+
+
+def test_cms_stream_epochs_merge_to_batch_sketch(spark, tmp_path):
+    """Stream the docs in several micro-batches; the epoch-merged sketch
+    must equal the batch sketch over the whole corpus EXACTLY (CMS cells
+    are additive), and so must every heavy-hitter estimate."""
+    import pyspark.sql.functions as F
+
+    from social_warner_spark.functions.text import tokens
+    from social_warner_spark.operators.sketch import cms_cells
+    from social_warner_spark.streaming.corpus import (
+        cms_cells_stream,
+        merged_cms_cells,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(90)
+    )
+    src = str(tmp_path / "src")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    cells_path = str(tmp_path / "cells")
+    cms_cells_stream(
+        spark, stream, cells_path, str(tmp_path / "ckpt"), depth=4, width=64
+    )
+
+    # >1 epoch actually ran (else the merge claim is untested)
+    epochs = spark.read.parquet(cells_path).select("epoch").distinct().count()
+    assert epochs >= 2, epochs
+
+    merged = {
+        (r.r, r.bucket): r.cnt
+        for r in merged_cms_cells(spark, cells_path).collect()
+    }
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    batch = {(r.r, r.bucket): r.cnt for r in cms_cells(tok, "token", 4, 64).collect()}
+    assert merged == batch
