@@ -27,7 +27,8 @@ def test_user_session_features_matches_window_sql(spark, sf_smoke):
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.withColumn(
         "gap_s",
-        F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w),
+        F.col("ts").cast("timestamp").cast("double")
+        - F.lag(F.col("ts").cast("timestamp").cast("double")).over(w),
     )
     expected = (
         gaps.groupBy("user_id")
