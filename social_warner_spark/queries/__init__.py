@@ -27,6 +27,7 @@ from social_warner_spark.queries import (
     x5_series,
     x6_series,
     x7_series,
+    x8_series,
     x_series,
 )
 
@@ -42,6 +43,7 @@ _SERIES = (
     x5_series,
     x6_series,
     x7_series,
+    x8_series,
     sql_series,
 )
 
@@ -69,7 +71,9 @@ CHECK_PRIORITY = (
     "x10_asof_join",
     "x44_scd2_history",
     "x45_merge_upsert",
-    "x46_snapshot_diff",
+    # (x46 snapshot-diff yields its slot to x68: the full-outer compare
+    # reuses x45's machinery, while the quantile sketch is new cells)
+    "x68_quantile_sketch",
     "x34_stratified_split",
     "x40_mixture_rebalance",
     "x41_chunking",
@@ -77,7 +81,9 @@ CHECK_PRIORITY = (
     "x43_unigram_logprob",
     "x33_gapfill_interpolate",
     "x36_sessionize",
-    "x37_zscore_outliers",
+    # (x37 z-score yields its slot to x66: winsorize/percentiles cover
+    # the moment-stats shape; the bigram LM is new model machinery)
+    "x66_bigram_logprob",
     "x38_fuzzy_pairs",
     # (x47/x48 yield slots to x61/x63: winsorize and histogram are shape
     # variants of the in-window x37 z-score and x12 percentiles, while

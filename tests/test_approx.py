@@ -50,3 +50,32 @@ def test_asof_join_equal_ts_matches(spark):
         "user_id long, ts_s string, v double"
     ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
     assert asof_join(left, right, "user_id").first().v_asof == 7.5
+
+
+def test_log_histogram_quantiles_within_design_bound(spark, sf_smoke):
+    """DDSketch-style bound: in-bucket interpolation keeps every estimate
+    within the e^(1/k)-1 relative bucket width of the exact rank-based
+    percentile (x68's contract)."""
+    import math
+
+    from social_warner_spark.queries.x8_series import x68_quantile_sketch
+
+    rows = x68_quantile_sketch(spark, sf_smoke).collect()
+    assert len(rows) == 9  # 3 return flags x 3 quantiles
+    bound = math.exp(1 / 20) - 1
+    for r in rows:
+        assert abs(r.est - r.exact) / r.exact <= bound, (r.l_returnflag, r.q)
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_smoke):
+    """The corpus-minimum doc_id can never have seen any shingle before."""
+    import pyspark.sql.functions as F
+
+    from social_warner_spark.queries.x8_series import x67_ngram_novelty
+
+    out = x67_ngram_novelty(spark, sf_smoke)
+    first = out.orderBy("doc_id").first()
+    assert first.n_seen == 0 and first.novelty == 1.0
+    # novelty is a proper fraction everywhere
+    bad = out.where((F.col("novelty") < 0) | (F.col("novelty") > 1)).count()
+    assert bad == 0
