@@ -236,12 +236,107 @@ def x70_cooccur_pmi(spark, sf_dir):
     )
 
 
+#: x71 — vocabulary size for id encoding.
+VOCAB_SIZE = 64
+#: x71 — how many leading ids form the printable fingerprint.
+IDS_PREFIX = 8
+#: x72 — sample size for the weighted draw.
+SAMPLE_K = 30
+
+
+def x71_vocab_encode(spark, sf_dir):
+    """Tokenizer-shaped vocabulary-id encoding: build the top-VOCAB_SIZE
+    frequency vocabulary (tie: token asc → ids 0..V-1), re-encode every
+    document as an id sequence (OOV → -1), report the OOV ratio and the
+    first IDS_PREFIX ids — the vocab-fitting + encoding pass that turns
+    cleaned text into model-ready token ids.
+
+    Scale shape: the vocabulary is rank-bounded → broadcast; encoding is
+    posexplode → broadcast left join → one groupBy(doc) re-assembly
+    ordered by position.  The corpus shuffles once (the re-assembly); the
+    vocab fit partial-aggregates token counts.
+    """
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    tok = staged.select(
+        "doc_id", F.posexplode("_toks").alias("pos", "w")
+    )
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    vocab = (
+        counts.orderBy(F.desc("c"), "w")
+        .limit(VOCAB_SIZE)
+        .select(
+            "w",
+            (
+                F.row_number().over(Window.orderBy(F.desc("c"), "w")) - 1
+            ).alias("tid"),
+        )
+    )
+    encoded = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce(F.col("tid"), F.lit(-1)).cast("int").alias("tid"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            r6(
+                F.sum((F.col("tid") < 0).cast("long")) / F.count("*")
+            ).alias("oov_ratio"),
+            F.concat_ws(
+                ",",
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                        lambda s: s["tid"].cast("string"),
+                    ),
+                    1,
+                    IDS_PREFIX,
+                ),
+            ).alias("ids_prefix"),
+        )
+    )
+    return encoded
+
+
+def x72_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis & Spirakis 2006):
+    per doc a deterministic md5-uniform u ∈ (0,1), sort key ln(u)/weight
+    (weight = n_chars — longer docs proportionally likelier), top
+    SAMPLE_K by key — the one-pass distributed weighted draw used to
+    subsample corpora to a token budget.
+
+    No shuffle beyond the top-k (TakeOrderedAndProject): the key is a
+    narrow map, and the draw is reproducible row-for-row on any engine.
+    """
+    d = T(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("ws|"), F.col("doc_id").cast("string"))), 1, 15), 16, 10).cast("double")
+    u = (h + 1.0) / (2.0 ** 60 + 1.0)
+    keyed = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("weight"),
+        (F.log(u) / F.col("n_chars")).alias("_key"),
+    )
+    top = keyed.orderBy(F.desc("_key"), "doc_id").limit(SAMPLE_K)
+    w = Window.orderBy(F.desc("_key"), "doc_id")
+    return top.select(
+        "doc_id",
+        "weight",
+        r6(F.col("_key") * 1000.0).alias("key_x1000"),
+        F.row_number().over(w).cast("int").alias("rk"),
+    )
+
+
 QUERIES = {
     "x66_bigram_logprob": x66_bigram_logprob,
     "x67_ngram_novelty": x67_ngram_novelty,
     "x68_quantile_sketch": x68_quantile_sketch,
     "x69_embed_center_norm": x69_embed_center_norm,
     "x70_cooccur_pmi": x70_cooccur_pmi,
+    "x71_vocab_encode": x71_vocab_encode,
+    "x72_weighted_sample": x72_weighted_sample,
 }
 
 ORACLES = {
@@ -382,5 +477,44 @@ ORACLES = {
             FROM scored
         )
         SELECT w1, w2, c_ab, pmi, rk FROM ranked WHERE rk <= {PMI_TOP_K}
+    """,
+    "x71_vocab_encode": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, CAST(u.i AS INT) AS pos, t[i] AS w
+            FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+        ), counts AS (
+            SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ), vocab AS (
+            SELECT w, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w) - 1 AS INT)
+                       AS tid
+            FROM counts ORDER BY c DESC, w LIMIT {VOCAB_SIZE}
+        ), enc AS (
+            SELECT doc_id, pos, COALESCE(v.tid, -1) AS tid
+            FROM tok LEFT JOIN vocab v USING (w)
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(SUM(CASE WHEN tid < 0 THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS oov_ratio,
+               array_to_string(
+                   (list(CAST(tid AS VARCHAR) ORDER BY pos))[1:{IDS_PREFIX}], ','
+               ) AS ids_prefix
+        FROM enc GROUP BY doc_id
+    """,
+    "x72_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+                   ln((CAST(CAST('0x' || substr(md5('ws|' || doc_id), 1, 15)
+                                 AS BIGINT) AS DOUBLE) + 1.0)
+                      / (1152921504606846976.0 + 1.0)) / n_chars AS k
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, weight, k,
+                   CAST(ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS INT) AS rk
+            FROM keyed
+        )
+        SELECT doc_id, weight, ROUND(k * 1000.0, 6) AS key_x1000, rk
+        FROM ranked WHERE rk <= {SAMPLE_K}
     """,
 }
