@@ -329,6 +329,86 @@ def x72_weighted_sample(spark, sf_dir):
     )
 
 
+#: x73 — shared-span gram length (tokens).
+SPAN_K = 8
+
+
+def x73_shared_span_coverage(spark, sf_dir):
+    """Exact-substring dedup signal (the Spark-shaped approximation of
+    suffix-array substring dedup, Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better"): positions covered by any
+    SPAN_K-token gram that also occurs in an EARLIER document.  Per doc:
+    token count, covered-position count, covered fraction — the signal a
+    substring-dedup pass cuts on.
+
+    Plan shape: grams explode ∝ tokens (sliding windows, not pairs); the
+    shared-gram set comes from one min-doc_id agg + equi-join back (the
+    x67 novelty machinery), and coverage union-of-ranges is a bounded
+    K-position explode + per-doc distinct — no corpus self-join anywhere.
+    """
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    n_tok = staged.select("doc_id", F.size("_toks").alias("n_tokens"))
+    # (doc, start_pos, gram) — positions are 0-based gram starts
+    grams = staged.select(
+        "doc_id",
+        F.posexplode(shingles_from_tokens(F.col("_toks"), SPAN_K)).alias(
+            "pos", "gram"
+        ),
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    shared = grams.join(first, "gram").where(
+        F.col("first_doc") < F.col("doc_id")
+    )
+    covered = (
+        shared.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_K - 1))
+            ).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.countDistinct("cpos").alias("n_covered"))
+    )
+    return (
+        n_tok.join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_covered"), F.lit(0)).alias("n_covered"),
+            r6(
+                F.coalesce(F.col("n_covered"), F.lit(0))
+                / F.col("n_tokens").cast("double")
+            ).alias("covered_frac"),
+        )
+    )
+
+
+def x74_stats_aggregates(spark, sf_dir):
+    """Statistical aggregate family over lineitem per return flag:
+    Pearson correlation, sample covariance, sample stddev, and the
+    least-squares regression slope/intercept of extendedprice against
+    quantity — the column-profiling statistics every feature-engineering
+    pass computes.  All are single-pass partial-aggregable (sum/sum-of-
+    products moments), so the plan is one map-side-combined groupBy.
+
+    Determinism: normalized stats (corr) round at 6dp; scale-carrying
+    stats (covar/stddev/slope/intercept) at 2dp, where float-accumulation
+    order across engines is far below the rounding grain.
+    """
+    li = T(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("double")
+    y = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        r6(F.corr(x, y)).alias("corr_qty_price"),
+        F.round(F.covar_samp(x, y), 2).alias("covar"),
+        F.round(F.stddev_samp(y), 2).alias("stddev_price"),
+        F.round(F.regr_slope(y, x), 2).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+    )
+
+
 QUERIES = {
     "x66_bigram_logprob": x66_bigram_logprob,
     "x67_ngram_novelty": x67_ngram_novelty,
@@ -337,6 +417,8 @@ QUERIES = {
     "x70_cooccur_pmi": x70_cooccur_pmi,
     "x71_vocab_encode": x71_vocab_encode,
     "x72_weighted_sample": x72_weighted_sample,
+    "x73_shared_span_coverage": x73_shared_span_coverage,
+    "x74_stats_aggregates": x74_stats_aggregates,
 }
 
 ORACLES = {
@@ -516,5 +598,38 @@ ORACLES = {
         )
         SELECT doc_id, weight, ROUND(k * 1000.0, 6) AS key_x1000, rk
         FROM ranked WHERE rk <= {SAMPLE_K}
+    """,
+    "x73_shared_span_coverage": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), grams AS (
+            SELECT doc_id, CAST(u.i - 1 AS BIGINT) AS pos,
+                   array_to_string(t[u.i : u.i + {SPAN_K} - 1], ' ') AS gram
+            FROM toks, UNNEST(range(1, len(t) - {SPAN_K} + 2)) AS u(i)
+            WHERE len(t) >= {SPAN_K}
+        ), first AS (
+            SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram
+        ), shared AS (
+            SELECT g.doc_id, g.pos FROM grams g
+            JOIN first f USING (gram) WHERE f.first_doc < g.doc_id
+        ), covered AS (
+            SELECT doc_id, COUNT(DISTINCT pos + u.o) AS n_covered
+            FROM shared, UNNEST(range(0, {SPAN_K})) AS u(o)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               COALESCE(c.n_covered, 0) AS n_covered,
+               ROUND(COALESCE(c.n_covered, 0) / CAST(len(t) AS DOUBLE), 6)
+                 AS covered_frac
+        FROM toks d LEFT JOIN covered c USING (doc_id)
+    """,
+    "x74_stats_aggregates": """
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_qty_price,
+               ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar,
+               ROUND(stddev_samp(l_extendedprice), 2) AS stddev_price,
+               ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+               ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+        FROM lineitem GROUP BY l_returnflag
     """,
 }

@@ -114,3 +114,28 @@ def test_chunking_geometry(spark, tmp_path):
         for r in x41_chunking(spark, str(tmp_path)).collect()
     )
     assert rows == [(0, 0, 64, 64), (1, 48, 100, 52), (2, 96, 100, 4)]
+
+
+def test_shared_span_coverage_handcrafted(spark, tmp_path):
+    """Doc 2 repeats doc 1's first 8 tokens: exactly one shared 8-gram,
+    covering positions 0..7 of a 10-token doc (frac 0.8); the earlier doc
+    is never penalized for grams it introduced."""
+    import pyspark.sql.functions as F
+
+    from social_warner_spark.queries.x8_series import x73_shared_span_coverage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h i j", "en", "s", 19),
+            (2, "a b c d e f g h x y", "en", "s", 19),
+            (3, "p q r s t u v", "en", "s", 13),  # < 8 tokens: no grams
+        ],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r for r in x73_shared_span_coverage(spark, str(tmp_path)).collect()
+    }
+    assert out[1].n_covered == 0 and out[1].covered_frac == 0.0
+    assert out[2].n_covered == 8 and abs(out[2].covered_frac - 0.8) < 1e-9
+    assert out[3].n_covered == 0 and out[3].n_tokens == 7
