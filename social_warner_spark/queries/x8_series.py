@@ -409,6 +409,26 @@ def x74_stats_aggregates(spark, sf_dir):
     )
 
 
+#: x75 — EWMA decay.
+EWMA_DECAY = 0.9
+
+
+def x75_ewma(spark, sf_dir):
+    """Per-user exponentially-weighted moving average of event values
+    (operators/timeseries.py:ewma): the sequential recurrence
+    s_t = x_t + 0.9·s_{t-1} re-expressed as one window cumsum via the
+    closed form decay^t·Σ x_i/decay^i — no Python, no iteration, one
+    user_id shuffle whose sort both window expressions share.  Both
+    engines accumulate in the same order, so 6dp rounding is safe."""
+    from social_warner_spark.operators.timeseries import ewma
+
+    e = T(spark, sf_dir, "events")
+    out = ewma(e, decay=EWMA_DECAY)
+    return out.select(
+        "user_id", "event_id", F.col("_x").alias("value"), r6(F.col("ewma")).alias("ewma")
+    )
+
+
 QUERIES = {
     "x66_bigram_logprob": x66_bigram_logprob,
     "x67_ngram_novelty": x67_ngram_novelty,
@@ -419,6 +439,7 @@ QUERIES = {
     "x72_weighted_sample": x72_weighted_sample,
     "x73_shared_span_coverage": x73_shared_span_coverage,
     "x74_stats_aggregates": x74_stats_aggregates,
+    "x75_ewma": x75_ewma,
 }
 
 ORACLES = {
@@ -631,5 +652,23 @@ ORACLES = {
                ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
                ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "x75_ewma": f"""
+        WITH pos AS (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) - 1 AS p
+            FROM events
+        ), s AS (
+            SELECT user_id, event_id, value, p,
+                   SUM(value / power({EWMA_DECAY}, p)) OVER (
+                       PARTITION BY user_id ORDER BY p
+                   ) AS cs
+            FROM pos
+        )
+        SELECT user_id, event_id, value,
+               ROUND(power({EWMA_DECAY}, p) * cs, 6) AS ewma
+        FROM s
     """,
 }

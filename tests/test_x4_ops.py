@@ -139,3 +139,23 @@ def test_shared_span_coverage_handcrafted(spark, tmp_path):
     assert out[1].n_covered == 0 and out[1].covered_frac == 0.0
     assert out[2].n_covered == 8 and abs(out[2].covered_frac - 0.8) < 1e-9
     assert out[3].n_covered == 0 and out[3].n_tokens == 7
+
+
+def test_ewma_matches_naive_recurrence(spark):
+    """Closed-form window EWMA must equal the literal s_t = x + d*s_{t-1}
+    recurrence."""
+    from social_warner_spark.operators.timeseries import ewma
+
+    rows = [(i, f"2024-01-01 00:0{i}:00", 7, float(v)) for i, v in
+            enumerate([5.0, 1.0, 3.0, 0.0, 10.0])]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).selectExpr("event_id", "cast(ts_s as timestamp) ts", "user_id", "value")
+    got = {
+        r.event_id: r.ewma
+        for r in ewma(e, decay=0.5).collect()
+    }
+    s, d = 0.0, 0.5
+    for i, v in enumerate([5.0, 1.0, 3.0, 0.0, 10.0]):
+        s = v + d * s
+        assert abs(got[i] - s) < 1e-9, (i, got[i], s)
