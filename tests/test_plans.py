@@ -15,6 +15,14 @@ QUERIES = all_queries()
 
 
 def plan_of(spark, sf, name: str) -> str:
+    # Plan assertions are about the COLD plan.  Earlier tests may have
+    # left persisted intermediates (centroids, shingle relations) whose
+    # InMemoryRelation substitution changes join shapes — clear them so
+    # the asserted plan is order-independent.
+    from social_warner_spark.caching import release_persisted_intermediates
+
+    release_persisted_intermediates()
+    spark.catalog.clearCache()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         QUERIES[name](spark, sf).explain("formatted")
