@@ -248,3 +248,38 @@ def gopher_pass(m: dict[str, Column]) -> Column:
         & (m["symbol_ratio"] <= 0.1)
         & (m["n_stop"] >= 2)
     ).cast("int")
+
+
+def char_entropy(text: Column) -> Column:
+    """Character-level Shannon entropy (nats), fully JVM-side: fold over
+    the SORTED distinct-char array, counting occurrences of each char as
+    ``len(s) - len(replace(s, ch))`` — O(alphabet × len) string ops, no
+    explode, no shuffle.  The sort pins the float summation order so any
+    engine folding the same sorted alphabet produces the same double;
+    ``0.0 - Σ`` (not unary minus) keeps the all-one-char case at +0.0.
+    """
+    n = F.length(text).cast("double")
+    chars = F.array_sort(F.array_distinct(F.split(text, "")))
+
+    def term(acc, ch):
+        p = (F.length(text) - F.length(F.replace(text, ch))) / n
+        return acc + p * F.log(p)
+
+    return F.lit(0.0) - F.aggregate(chars, F.lit(0.0), term)
+
+
+def char_class_profile(text: Column) -> dict[str, Column]:
+    """Character-class composition ratios (digit / uppercase / space) —
+    the cheap junk detectors (number dumps, shouty boilerplate, ascii
+    art) that complement token-level quality rules.  Pure narrow-map
+    regexp arithmetic; rounded 6dp for cross-engine comparability."""
+    nd = F.length(text).cast("double")
+
+    def ratio(pattern: str) -> Column:
+        return F.round(F.length(F.regexp_replace(text, pattern, "")) / nd, 6)
+
+    return {
+        "digit_ratio": ratio(r"[^0-9]"),
+        "upper_ratio": ratio(r"[^A-Z]"),
+        "space_ratio": ratio(r"[^ ]"),
+    }

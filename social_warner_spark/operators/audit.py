@@ -108,3 +108,41 @@ def fk_check(
     return totals.crossJoin(orphans).select(
         "n_child", "n_orphans", "orphan_min", "orphan_max"
     )
+
+
+def expectations(
+    df: DataFrame, rules: list[tuple[str, Column, float]]
+) -> DataFrame:
+    """Deequ-style declarative data-quality suite: every rule is
+    (name, metric aggregate in [0,1], pass threshold); the result is one
+    long-format row per rule — ``rule, metric_value, threshold,
+    passed`` — the contract table a pipeline gates a publish on.
+
+    ALL metrics evaluate in a single aggregation pass over the table
+    (one job, map-side partial aggregation; a distinct-based metric adds
+    its Expand but no extra scan), then the 1-row result is unpivoted
+    driver-free via explode over a literal struct array.  Cost is one
+    scan regardless of rule count — never one job per rule.
+    """
+    agg_row = df.agg(
+        *[m.cast("double").alias(f"_m{i}") for i, (_, m, _t) in enumerate(rules)]
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.round(F.col(f"_m{i}"), 6).alias("metric_value"),
+                F.lit(float(threshold)).alias("threshold"),
+            )
+            for i, (name, _m, threshold) in enumerate(rules)
+        ]
+    )
+    return (
+        agg_row.select(F.explode(entries).alias("e"))
+        .select(
+            "e.rule",
+            "e.metric_value",
+            "e.threshold",
+            (F.col("e.metric_value") >= F.col("e.threshold")).alias("passed"),
+        )
+    )

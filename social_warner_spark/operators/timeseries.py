@@ -147,3 +147,42 @@ def ewma(
         "_x",
         (F.pow(F.lit(decay), F.col("_pos")) * F.sum("_xs").over(w)).alias("ewma"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "_start",
+    end_col: str = "_end",
+    order_cols: tuple[str, ...] = ("_start", "event_id"),
+) -> DataFrame:
+    """Merge overlapping/touching intervals per key (gaps-and-islands):
+    each row gains ``_island``, a 1-based per-key island index — rows in
+    the same island form one coalesced interval [min(start), max(end)].
+
+    An interval starts a new island iff its start exceeds the running
+    max end of every EARLIER interval (frame ``UNBOUNDED PRECEDING AND 1
+    PRECEDING``) — the cumulative-max formulation handles nested
+    intervals that a lag-1 comparison would wrongly split.  Both window
+    expressions share the one (key / order) sort, so the plan is a
+    single Exchange + Sort.  Tied starts are island-order-invariant:
+    whichever of the tie sorts second sees the first's end ≥ its own
+    start, so ties always land in the same island.
+
+    At scale this is one shuffle on the key; no driver state, no
+    iteration.  (Reference parity: the reference has no interval
+    algebra — its analysis window is one driver-side date range; this is
+    the distributed generalization a retention/availability pipeline
+    needs.)
+    """
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = df.withColumn(
+        "_new",
+        (prev_max_end.isNull() | (F.col(start_col) > prev_max_end)).cast("int"),
+    )
+    return flagged.withColumn(
+        "_island", F.sum("_new").over(w).cast("long")
+    ).drop("_new")

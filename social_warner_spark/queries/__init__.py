@@ -28,6 +28,7 @@ from social_warner_spark.queries import (
     x6_series,
     x7_series,
     x8_series,
+    x9_series,
     x_series,
 )
 
@@ -44,6 +45,7 @@ _SERIES = (
     x6_series,
     x7_series,
     x8_series,
+    x9_series,
     sql_series,
 )
 
@@ -97,11 +99,14 @@ CHECK_PRIORITY = (
     "x50_tfidf_topk",
     "x51_incremental_dedup",
     "x52_source_caps",
-    "x53_normalize_text",
+    # (x53 normalize / x57 checksum are r2-declared shapes whose modules
+    # keep other representatives in-window; slots go to the round-2 new
+    # families: interval algebra and the expectations suite)
+    "x76_interval_coalesce",
+    "x79_expectations",
     "x54_segment_dedup",
     "x55_embed_quantize",
     "x56_global_index",
-    "x57_table_checksum",
     "x58_profile_table",
     "x59_salted_join",
     # plan-richest TPC-H shapes (decorrelation, dual-EXISTS, anti-join)

@@ -8,6 +8,41 @@ from pyspark.sql import Window
 
 from social_warner_spark.queries.common import T, r6
 
+#: Recursive-CTE form of the transitive near-dup closure (Jaccard ≥ 0.5 on
+#: 3-gram shingles, min-reachable-id label) — shared by the x27 oracle and
+#: by downstream cluster consumers (x77 survivor selection).  Ends with a
+#: ``clusters(doc_id, cluster_id)`` relation.
+NEARDUP_CLUSTERS_CTE = """
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a, b FROM shared
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b, a FROM pairs
+        ), reach(id, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.id
+        ), clusters AS (
+            SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+        )
+"""
+
 
 def x17_range_frame(spark, sf_dir):
     """RANGE frame (value-bounded, not row-bounded): sum of order totals
@@ -440,34 +475,9 @@ ORACLES = {
                start % 512 AS pack_offset
         FROM laid
     """,
-    "x27_neardup_clusters": """
-        WITH RECURSIVE toks AS (
-            SELECT doc_id, string_split(text, ' ') AS t FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
-            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-            WHERE len(t) >= 3
-        ), sizes AS (
-            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
-        ), shared AS (
-            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ), pairs AS (
-            SELECT a, b FROM shared
-            JOIN sizes sa ON sa.doc_id = a
-            JOIN sizes sb ON sb.doc_id = b
-            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
-        ), edges AS (
-            SELECT a AS src, b AS dst FROM pairs
-            UNION ALL
-            SELECT b, a FROM pairs
-        ), reach(id, lab) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.id
-        )
-        SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+    "x27_neardup_clusters": NEARDUP_CLUSTERS_CTE
+    + """
+        SELECT doc_id, cluster_id FROM clusters
     """,
     "x25_repetition_metrics": """
         WITH toks AS (

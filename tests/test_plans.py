@@ -157,3 +157,25 @@ def test_semantic_dedup_pairs_join_on_cluster(spark, sf_smoke):
         flags=re.MULTILINE,
     )
     assert len(equi) >= 2, p
+
+
+def test_interval_coalesce_single_shuffle(spark, sf_smoke):
+    """x76's island flag, island id, and final aggregate must all ride ONE
+    user_id exchange — the gaps-and-islands design collapses to a single
+    shuffle or it loses its scale story."""
+    import re
+
+    p = plan_of(spark, sf_smoke, "x76_interval_coalesce")
+    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
+    assert len(exchanges) == 1, p
+    assert "hashpartitioning(user_id" in p
+
+
+def test_expectations_single_scan(spark, sf_smoke):
+    """x79 evaluates the whole rule suite in one aggregation pass: exactly
+    one file scan (one job), never a scan per rule."""
+    import re
+
+    p = plan_of(spark, sf_smoke, "x79_expectations")
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE)
+    assert len(scans) == 1, p
