@@ -54,3 +54,53 @@ def pagerank_fixed(
             ).alias("pr"),
         )
     return rank
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Global triangle count over an undirected simple graph (``edges``
+    must be distinct pairs with src < dst) — one row: n_nodes, n_edges,
+    n_triangles.
+
+    Compact-forward orientation: every edge is directed from its
+    lower-(degree, id) endpoint to the higher, turning the graph into a
+    DAG where each triangle appears EXACTLY once as a wedge
+    u→v, u→w (v before w in the same order) closed by v→w.  Orienting by
+    degree bounds every node's out-degree by O(√|E|), so the wedge
+    self-join — the quadratic step — is quadratic only in per-node
+    OUT-degree, never in a hub's full degree: the standard way a
+    power-law graph's triangle count survives at scale.  Three equi-join
+    shuffles total (degree attach ×2, wedge join, closing join — the
+    tiny degree table broadcasts)."""
+    deg = (
+        edges.select(F.col(src).alias("n"))
+        .unionAll(edges.select(F.col(dst).alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    with_deg = (
+        edges.join(deg.withColumnsRenamed({"n": src, "deg": "_ds"}), src)
+        .join(deg.withColumnsRenamed({"n": dst, "deg": "_dd"}), dst)
+    )
+    src_first = (F.col("_ds") < F.col("_dd")) | (
+        (F.col("_ds") == F.col("_dd")) & (F.col(src) < F.col(dst))
+    )
+    oriented = with_deg.select(
+        F.when(src_first, F.col(src)).otherwise(F.col(dst)).alias("u"),
+        F.when(src_first, F.col(dst)).otherwise(F.col(src)).alias("v"),
+        F.when(src_first, F.col("_dd")).otherwise(F.col("_ds")).alias("dv"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedge_lt = (F.col("o1.dv") < F.col("o2.dv")) | (
+        (F.col("o1.dv") == F.col("o2.dv")) & (F.col("o1.v") < F.col("o2.v"))
+    )
+    wedges = o1.join(o2, (F.col("o1.u") == F.col("o2.u")) & wedge_lt).select(
+        F.col("o1.v").alias("a"), F.col("o2.v").alias("b")
+    )
+    closing = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    tri = wedges.join(closing, ["a", "b"]).agg(
+        F.count("*").alias("n_triangles")
+    )
+    counts = edges.agg(F.count("*").alias("n_edges")).crossJoin(
+        deg.agg(F.count("*").alias("n_nodes"))
+    )
+    return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")

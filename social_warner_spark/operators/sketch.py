@@ -311,3 +311,60 @@ def hll_distinct(
         "n_present",
         F.round(est, 6).alias("est_distinct"),
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ----------------------------------
+#
+# The k smallest normalized hash values of a key set are a mergeable,
+# fixed-size summary of its distinct count: if the k-th smallest hash is
+# θ, the set held ≈ (k-1)/θ distinct keys.  Unlike HLL (hll_distinct
+# above), KMV sketches support SET ALGEBRA: the k smallest of a union of
+# sketches sketch the union, and the fraction of the union sketch's
+# members common to both inputs estimates Jaccard — giving an
+# INTERSECTION estimate, which inclusion-exclusion on HLL cannot do
+# stably.  Hashes are md5-derived (first 12 hex chars / 16^12 ∈ [0,1)),
+# so any engine reproduces the sketch bit-for-bit.
+
+#: Normalizing constant for 12 hex chars.
+_KMV_DENOM = float(16**12)
+
+
+def kmv_hash(key: Column) -> Column:
+    """Uniform-[0,1) deterministic hash of a key (12 hex chars of md5)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 12), 16, 10).cast("double")
+        / F.lit(_KMV_DENOM)
+    )
+
+
+def kmv_sketch(df: DataFrame, key_col: str, group_col: str, k: int) -> DataFrame:
+    """(group, h, rn ≤ k, n_distinct): the k smallest distinct-key hashes
+    per group, with the group's exact distinct count riding along (needed
+    for the small-set exact path: a sketch of a set with < k members IS
+    the set).  One distinct shuffle + one group window; the rank filter
+    pushes down as WindowGroupLimit so only k rows per group survive the
+    sort."""
+    d = df.select(group_col, key_col).distinct()
+    h = d.select(
+        group_col,
+        kmv_hash(F.col(key_col)).alias("h"),
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    wall = Window.partitionBy(group_col)
+    return (
+        h.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_distinct", F.count("*").over(wall))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int, group_col: str = "group") -> DataFrame:
+    """(group, est_distinct) from a kmv_sketch: (k-1)/θ_k when the group
+    saturated the sketch, else the exact count it carried."""
+    return sketch.groupBy(group_col).agg(
+        F.when(
+            F.max("n_distinct") >= k, (F.lit(float(k - 1)) / F.max("h"))
+        )
+        .otherwise(F.max("n_distinct").cast("double"))
+        .alias("est_distinct")
+    )

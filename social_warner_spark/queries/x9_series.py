@@ -257,3 +257,333 @@ ORACLES = {
                status_domain >= 1.0 FROM m
     """,
 }
+
+
+#: x80 — KMV sketch size.
+KMV_K = 64
+#: x80 — the two key sets whose union/intersection are estimated.
+KMV_TYPES = ("click", "view")
+
+
+def x80_kmv_set_sketch(spark, sf_dir):
+    """KMV (k-minimum-values) distinct sketches with SET ALGEBRA
+    (operators/sketch.py:kmv_sketch): sketch the click and view user
+    sets, estimate each cardinality, their union ((k-1)/θ of the merged
+    sketch), and their INTERSECTION (Jaccard from the merged sketch ×
+    union estimate) — the set operation HLL cannot answer stably.
+    Exact counts ride along as the error reference.  Everything after
+    the per-group distinct is sketch-sized (≤ k rows per side); the
+    merged-sketch window sorts ≤ 2k rows."""
+    from social_warner_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    e = T(spark, sf_dir, "events").where(F.col("event_type").isin(*KMV_TYPES))
+    sk = kmv_sketch(e, "user_id", "event_type", KMV_K)
+
+    est = kmv_estimate(sk, KMV_K, "event_type")
+    est_a = est.where(F.col("event_type") == KMV_TYPES[0]).select(
+        r6(F.col("est_distinct")).alias("est_click")
+    )
+    est_b = est.where(F.col("event_type") == KMV_TYPES[1]).select(
+        r6(F.col("est_distinct")).alias("est_view")
+    )
+
+    merged = (
+        sk.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .where(F.col("rn") <= KMV_K)
+    )
+    th = merged.agg(F.max("h").alias("theta"), F.count("*").alias("ku"))
+    union_est = th.select(
+        F.when(
+            F.col("ku") >= KMV_K, F.lit(float(KMV_K - 1)) / F.col("theta")
+        )
+        .otherwise(F.col("ku").cast("double"))
+        .alias("_eu")
+    )
+
+    in_both = (
+        sk.groupBy("h")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .where(F.col("nt") == 2)
+        .join(merged.select("h"), "h")
+        .agg(F.count("*").alias("n_match"))
+    )
+
+    d = e.select("event_type", "user_id").distinct()
+    exact = d.groupBy("event_type").agg(F.count("*").alias("c"))
+    exact_a = exact.where(F.col("event_type") == KMV_TYPES[0]).select(
+        F.col("c").alias("exact_click")
+    )
+    exact_b = exact.where(F.col("event_type") == KMV_TYPES[1]).select(
+        F.col("c").alias("exact_view")
+    )
+    exact_i = (
+        d.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .where(F.col("nt") == 2)
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(union_est)
+        .crossJoin(in_both)
+        .crossJoin(exact_a)
+        .crossJoin(exact_b)
+        .crossJoin(exact_i)
+        .select(
+            "est_click",
+            "est_view",
+            r6(F.col("_eu")).alias("est_union"),
+            r6(F.col("n_match") / F.lit(float(KMV_K)) * F.col("_eu")).alias(
+                "est_intersection"
+            ),
+            "exact_click",
+            "exact_view",
+            "exact_intersection",
+        )
+    )
+
+
+def x81_triangle_count(spark, sf_dir):
+    """Triangle census of the part co-purchase graph (parts sharing an
+    order are adjacent): operators/graph.py:triangle_count with
+    compact-forward degree orientation, so the wedge self-join is
+    quadratic in out-degree (≤ O(√E) by construction), never in a hub
+    part's raw degree."""
+    from social_warner_spark.operators.graph import triangle_count
+
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    return triangle_count(edges)
+
+
+#: x82 — robust z threshold (|0.6745·(x−med)/MAD| > 3.5 ⇔ |x−med| > 3.5·MAD/0.6745).
+MAD_Z = 3.5
+MAD_SCALE = 0.6745
+
+
+def x82_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier report per event_type — the
+    robust twin of x37's z-score (a few extreme values cannot drag the
+    threshold the way they drag a mean/stddev).  Two broadcast-stat
+    passes (median, then MAD) and a counting pass; the per-group stats
+    are single rows broadcast back, so the fact table never shuffles."""
+    e = T(spark, sf_dir, "events").select("event_type", "value")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        r6(F.first("med")).alias("med"),
+        r6(F.first("mad")).alias("mad"),
+        F.sum(
+            (
+                F.abs(F.col("value") - F.col("med"))
+                > F.lit(MAD_Z) * F.col("mad") / F.lit(MAD_SCALE)
+            ).cast("long")
+        ).alias("n_outliers"),
+    )
+
+
+def x83_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: for every source pair, the
+    number of shared distinct 3-gram shingles and their Jaccard — the
+    audit that catches one crawl feed duplicating another before both
+    are ingested.  The self-join is on shingle with source keys, so
+    per-shingle cost is bounded by (#sources carrying it)² — a constant
+    (sources², not corpus²) even for stopword shingles."""
+    from social_warner_spark.operators.dedup import doc_shingles
+
+    docs = T(spark, sf_dir, "documents")
+    sh = (
+        doc_shingles(docs, n=3)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_a", "sz": "_sa"})),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnsRenamed({"source": "source_b", "sz": "_sb"})),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            r6(
+                F.col("n_shared")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "x80_kmv_set_sketch": x80_kmv_set_sketch,
+        "x81_triangle_count": x81_triangle_count,
+        "x82_mad_outliers": x82_mad_outliers,
+        "x83_source_overlap": x83_source_overlap,
+    }
+)
+
+ORACLES.update(
+    {
+        "x80_kmv_set_sketch": f"""
+        WITH d AS (
+            SELECT DISTINCT event_type, user_id FROM events
+            WHERE event_type IN ('{KMV_TYPES[0]}', '{KMV_TYPES[1]}')
+        ), h AS (
+            SELECT event_type,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                       / {float(16**12)} AS h
+            FROM d
+        ), sk AS (
+            SELECT event_type, h,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS nd
+            FROM h
+        ), skk AS (
+            SELECT * FROM sk WHERE rn <= {KMV_K}
+        ), est AS (
+            SELECT event_type,
+                   CASE WHEN MAX(nd) >= {KMV_K} THEN {float(KMV_K - 1)} / MAX(h)
+                        ELSE CAST(MAX(nd) AS DOUBLE) END AS est
+            FROM skk GROUP BY event_type
+        ), merged AS (
+            SELECT h FROM (
+                SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+                FROM (SELECT DISTINCT h FROM skk)
+            ) WHERE rn <= {KMV_K}
+        ), th AS (
+            SELECT MAX(h) AS theta, COUNT(*) AS ku FROM merged
+        ), ue AS (
+            SELECT CASE WHEN ku >= {KMV_K} THEN {float(KMV_K - 1)} / theta
+                        ELSE CAST(ku AS DOUBLE) END AS eu
+            FROM th
+        ), m AS (
+            SELECT COUNT(*) AS n_match
+            FROM (
+                SELECT h FROM skk GROUP BY h HAVING COUNT(DISTINCT event_type) = 2
+            ) b JOIN merged USING (h)
+        ), ex AS (
+            SELECT event_type, COUNT(*) AS c FROM d GROUP BY event_type
+        ), exi AS (
+            SELECT COUNT(*) AS exact_intersection FROM (
+                SELECT user_id FROM d GROUP BY user_id
+                HAVING COUNT(DISTINCT event_type) = 2
+            )
+        )
+        SELECT ROUND(ea.est, 6) AS est_click,
+               ROUND(eb.est, 6) AS est_view,
+               ROUND(ue.eu, 6) AS est_union,
+               ROUND(m.n_match / {float(KMV_K)} * ue.eu, 6) AS est_intersection,
+               exa.c AS exact_click,
+               exb.c AS exact_view,
+               exi.exact_intersection
+        FROM est ea, est eb, ue, m, ex exa, ex exb, exi
+        WHERE ea.event_type = '{KMV_TYPES[0]}' AND eb.event_type = '{KMV_TYPES[1]}'
+          AND exa.event_type = '{KMV_TYPES[0]}' AND exb.event_type = '{KMV_TYPES[1]}'
+    """,
+        "x81_triangle_count": """
+        WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT n, COUNT(*) AS deg FROM (
+                SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0
+            ) GROUP BY n
+        ), wd AS (
+            SELECT e0.src, e0.dst, ds.deg AS ds, dd.deg AS dd
+            FROM e0 JOIN deg ds ON ds.n = e0.src JOIN deg dd ON dd.n = e0.dst
+        ), o AS (
+            SELECT CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN src ELSE dst END AS u,
+                   CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN dst ELSE src END AS v,
+                   CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN dd ELSE ds END AS dv
+            FROM wd
+        ), w AS (
+            SELECT o1.v AS a, o2.v AS b
+            FROM o o1 JOIN o o2 ON o1.u = o2.u
+                 AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        ), t AS (
+            SELECT COUNT(*) AS n_triangles FROM w JOIN o ON o.u = w.a AND o.v = w.b
+        )
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM e0) AS n_edges,
+               n_triangles
+        FROM t
+    """,
+        "x82_mad_outliers": f"""
+        WITH med AS (
+            SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, e.value, med.med
+            FROM events e JOIN med USING (event_type)
+        ), mad AS (
+            SELECT event_type, MEDIAN(ABS(value - med)) AS mad
+            FROM dev GROUP BY event_type
+        )
+        SELECT dev.event_type,
+               COUNT(*) AS n,
+               ROUND(ANY_VALUE(dev.med), 6) AS med,
+               ROUND(ANY_VALUE(mad.mad), 6) AS mad,
+               SUM(CASE WHEN ABS(dev.value - dev.med)
+                             > {MAD_Z} * mad.mad / {MAD_SCALE}
+                        THEN 1 ELSE 0 END) AS n_outliers
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY dev.event_type
+    """,
+        "x83_source_overlap": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh0 AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sh AS (
+            SELECT DISTINCT d.source, sh0.shingle
+            FROM sh0 JOIN documents d USING (doc_id)
+        ), sizes AS (
+            SELECT source, COUNT(*) AS sz FROM sh GROUP BY source
+        ), shared AS (
+            SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT source_a, source_b, n_shared,
+               ROUND(n_shared / CAST(sa.sz + sb.sz - n_shared AS DOUBLE), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.source = source_a
+        JOIN sizes sb ON sb.source = source_b
+    """,
+    }
+)

@@ -171,3 +171,77 @@ def test_dynamic_pivot_explicit_keys_skips_discovery(spark):
     piv = dynamic_pivot_map(parsed, "m", keys=["t.color", "t.missing"])
     assert piv.columns == ["id", "t.color", "t.missing"]
     assert all(r["t.missing"] is None for r in piv.collect())
+
+
+# --- round-2 operators: intervals, expectations, KMV, triangles --------------
+
+
+def test_coalesce_intervals_nested_interval_does_not_split(spark):
+    """A long interval fully containing later short ones must produce ONE
+    island — the running-max frame handles what a lag-1 comparison would
+    wrongly split (short B ends before long A, then C starts after B's
+    end but inside A's)."""
+    from social_warner_spark.operators.timeseries import coalesce_intervals
+
+    rows = [
+        (1, 1, 0.0, 100.0),   # long umbrella
+        (1, 2, 10.0, 20.0),   # nested short
+        (1, 3, 30.0, 40.0),   # after row 2's end, still inside row 1
+        (1, 4, 150.0, 160.0), # genuinely separate
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, _start double, _end double")
+    out = coalesce_intervals(df, "user_id", "_start", "_end", ("_start", "event_id"))
+    islands = {r.event_id: r._island for r in out.collect()}
+    assert islands[1] == islands[2] == islands[3] == 1
+    assert islands[4] == 2
+
+
+def test_expectations_failing_rule_reports_false(spark):
+    from social_warner_spark.operators.audit import expectations
+
+    df = spark.createDataFrame([(1, None), (2, "x")], "id int, v string")
+    out = expectations(
+        df,
+        [
+            ("v_complete", F.avg(F.col("v").isNotNull().cast("double")), 1.0),
+            ("id_positive", F.avg((F.col("id") > 0).cast("double")), 1.0),
+        ],
+    ).collect()
+    by_rule = {r.rule: r for r in out}
+    assert by_rule["v_complete"].metric_value == 0.5
+    assert by_rule["v_complete"].passed is False
+    assert by_rule["id_positive"].passed is True
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    """KMV with k=64 over 1000 distinct keys: the estimate must land
+    within ~3/sqrt(k) relative error (≈ 0.375) of the truth — far tighter
+    in practice; the loose bound keeps the test deterministic-stable."""
+    from social_warner_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.range(1000).select(
+        F.lit("g").alias("g"), F.col("id").alias("k")
+    )
+    sk = kmv_sketch(df, "k", "g", 64)
+    est = kmv_estimate(sk, 64, "g").collect()[0].est_distinct
+    assert abs(est - 1000) / 1000 < 0.375, est
+
+
+def test_kmv_small_group_is_exact(spark):
+    from social_warner_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.range(10).select(F.lit("g").alias("g"), F.col("id").alias("k"))
+    est = kmv_estimate(kmv_sketch(df, "k", "g", 64), 64, "g").collect()[0]
+    assert est.est_distinct == 10.0
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge has exactly 2 triangles; the isolated extra edge
+    adds none."""
+    from social_warner_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (5, 6)], "src int, dst int"
+    )
+    row = triangle_count(edges).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (6, 6, 2)
