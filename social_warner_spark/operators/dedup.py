@@ -676,3 +676,66 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dupes, id_col, "left_anti").select(id_col, "cluster")
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: pairs where the smaller document's
+    shingle set is ≥ ``threshold`` contained in the larger's —
+    C = |A∩B| / min(|A|,|B|).  Containment catches excerpts/quotations
+    (a 50-shingle doc fully inside a 5000-shingle doc has Jaccard ≈ 0.01
+    but containment 1.0), which symmetric Jaccard — and its size-ratio
+    candidate prefilter — deliberately ignores.
+
+    Same persisted-shingle machinery as exact_jaccard_pairs, but NO
+    size-ratio pruning (size-mismatched pairs are the whole point); the
+    optional ``max_doc_freq`` hot-shingle drop is the skew knob here
+    too.  Shuffle ∝ shared-shingle candidate pairs.
+    """
+    from social_warner_spark.caching import register_persisted
+
+    sh = doc_shingles(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sh = register_persisted(sh.persist())
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("doc_id_a"),
+            F.col(f"b.{id_col}").alias("doc_id_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.withColumnsRenamed({id_col: "doc_id_a", "sz": "_sa"})
+    sb = sizes.withColumnsRenamed({id_col: "doc_id_b", "sz": "_sb"})
+    return (
+        shared.join(F.broadcast(sa), "doc_id_a")
+        .join(F.broadcast(sb), "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "shared",
+            F.round(
+                F.col("shared") / F.least(F.col("_sa"), F.col("_sb")), 6
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

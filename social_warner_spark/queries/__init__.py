@@ -93,7 +93,9 @@ CHECK_PRIORITY = (
     "x61_semantic_dedup",
     "x63_cms_heavy_hitters",
     "x11_grouped_pandas_udaf",
-    "x12_percentiles",
+    # (x12 percentiles yields its slot to x80: x68's sketch + x11's UDAF
+    # keep the stats shapes in-window; KMV set algebra is new machinery)
+    "x80_kmv_set_sketch",
     "x13_grouping_sets",
     "x49_media_probe",
     "x50_tfidf_topk",
@@ -104,8 +106,11 @@ CHECK_PRIORITY = (
     # families: interval algebra and the expectations suite)
     "x76_interval_coalesce",
     "x79_expectations",
-    "x54_segment_dedup",
-    "x55_embed_quantize",
+    # (x54/x55 yield slots to x85/x81: the dedup family keeps l2/x51/x16/
+    # x27/x28/x31 in-window and x7_series keeps x52/x56/x58/x59; hybrid
+    # RRF fusion and triangle counting are round-2 new families)
+    "x85_hybrid_rrf_search",
+    "x81_triangle_count",
     "x56_global_index",
     "x58_profile_table",
     "x59_salted_join",

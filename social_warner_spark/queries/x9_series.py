@@ -587,3 +587,233 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x84 — result size for the merge-candidate table.
+BPE_TOP_PAIRS = 30
+#: x85 — RRF smoothing constant (Cormack et al.'s standard 60) and the
+#: per-modality candidate depth feeding the fusion.
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_TOPK = 20
+#: x86 — containment threshold.
+CONTAINMENT_T = 0.8
+
+
+def x84_bpe_merge_pairs(spark, sf_dir):
+    """One BPE-training iteration's statistics: corpus-wide frequency of
+    every adjacent character pair, top-30 merge candidates.  The scale
+    design is VOCAB-WEIGHTED: words are counted first (vocabulary-
+    bounded relation), then pairs explode off the DISTINCT word table
+    weighted by word count — the char-pair stream is ∝ vocabulary size,
+    never ∝ corpus size.  Multiplicity inside a word ('aaa' → 'a a' ×2)
+    is preserved by positional shingling."""
+    from social_warner_spark.functions.text import shingles_from_tokens, tokens
+
+    d = T(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    staged = wc.select("c", F.split(F.col("w"), "").alias("_ch"))
+    pairs = staged.select(
+        "c", F.explode(shingles_from_tokens(F.col("_ch"), 2)).alias("pair")
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("c").alias("n_occurrences"))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("pair"))
+    return (
+        agg.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= BPE_TOP_PAIRS)
+        .select("pair", "n_occurrences", "rk")
+    )
+
+
+def x85_hybrid_rrf_search(spark, sf_dir):
+    """Hybrid retrieval with reciprocal-rank fusion: BM25 keyword
+    ranking (x35's scorer) and cosine vector ranking against probe
+    vec_id 0 are fused as Σ 1/(60+rank) over the two lists (absent →
+    contributes 0), top-20 by fused score.  Ranks — exact integers — are
+    the only thing crossing modalities, so fusion is deterministic even
+    though the two scores live on different scales (the reason RRF is
+    the standard hybrid-search combiner).  Each candidate list is
+    depth-bounded (50) before the full-outer merge, so the fusion join
+    is rank-table-sized, not corpus-sized."""
+    from social_warner_spark.functions.vectors import dot, l2_norm
+    from social_warner_spark.operators.search import bm25_scores
+
+    docs = T(spark, sf_dir, "documents")
+    kw = bm25_scores(docs, ["spark", "hash", "window"])
+    wkw = Window.orderBy(F.desc("score"), "doc_id")
+    kw_ranked = (
+        kw.where(F.col("score") > 0)
+        .withColumn("rk_kw", F.row_number().over(wkw).cast("int"))
+        .where(F.col("rk_kw") <= RRF_DEPTH)
+        .select("doc_id", "rk_kw")
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    probe = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("_p")
+    )
+    scored = emb.where(F.col("vec_id") != 0).crossJoin(F.broadcast(probe)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            dot(F.col("embedding"), F.col("_p"))
+            / (l2_norm(F.col("embedding")) * l2_norm(F.col("_p"))),
+            6,
+        ).alias("cos"),
+    )
+    wv = Window.orderBy(F.desc("cos"), "doc_id")
+    vec_ranked = (
+        scored.withColumn("rk_vec", F.row_number().over(wv).cast("int"))
+        .where(F.col("rk_vec") <= RRF_DEPTH)
+        .select("doc_id", "rk_vec")
+    )
+
+    fused = kw_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        "rk_kw",
+        "rk_vec",
+        F.round(
+            F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rk_kw")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("rk_vec")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    wf = Window.orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rk", F.row_number().over(wf).cast("int"))
+        .where(F.col("rk") <= RRF_TOPK)
+        .select("doc_id", "rrf", "rk_kw", "rk_vec", "rk")
+    )
+
+
+def x86_containment_pairs(spark, sf_dir):
+    """Excerpt/quotation detection via asymmetric shingle containment
+    (operators/dedup.py:containment_pairs): pairs where the smaller
+    doc's 3-gram set is ≥ 0.8 inside the larger's — the duplicates
+    symmetric Jaccard structurally misses when sizes are mismatched."""
+    from social_warner_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        T(spark, sf_dir, "documents"), threshold=CONTAINMENT_T
+    )
+
+
+QUERIES.update(
+    {
+        "x84_bpe_merge_pairs": x84_bpe_merge_pairs,
+        "x85_hybrid_rrf_search": x85_hybrid_rrf_search,
+        "x86_containment_pairs": x86_containment_pairs,
+    }
+)
+
+
+def _x85_oracle() -> str:
+    """x85's oracle reuses x35's BM25 SQL builders so the keyword leg is
+    textually identical to the proven x35 scorer."""
+    from social_warner_spark.queries.x4_series import (
+        BM25_TERMS,
+        _bm25_term_score,
+        _bm25_tf,
+    )
+
+    tf_cols = ", ".join(f"{_bm25_tf(t)} AS tf_{i}" for i, t in enumerate(BM25_TERMS))
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(BM25_TERMS))
+    )
+    score = " + ".join(_bm25_term_score(i) for i in range(len(BM25_TERMS)))
+    return f"""
+        WITH staged AS (
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl,
+                   {tf_cols}
+            FROM documents
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl, {df_cols}
+            FROM staged
+        ), scored AS (
+            SELECT doc_id, ROUND({score}, 6) AS score FROM staged, stats
+        ), kwr AS (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+                       AS rk_kw
+            FROM scored WHERE score > 0
+        ), kw AS (
+            SELECT * FROM kwr WHERE rk_kw <= {RRF_DEPTH}
+        ), vs AS (
+            SELECT c.vec_id AS doc_id,
+                   ROUND(list_dot_product(c.embedding::DOUBLE[], p.embedding::DOUBLE[])
+                         / (sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))
+                            * sqrt(list_dot_product(p.embedding::DOUBLE[], p.embedding::DOUBLE[]))),
+                         6) AS cos
+            FROM embeddings c, embeddings p
+            WHERE p.vec_id = 0 AND c.vec_id != 0
+        ), vr0 AS (
+            SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS INT)
+                       AS rk_vec
+            FROM vs
+        ), vr AS (
+            SELECT * FROM vr0 WHERE rk_vec <= {RRF_DEPTH}
+        ), fused AS (
+            SELECT COALESCE(kw.doc_id, vr.doc_id) AS doc_id, rk_kw, rk_vec,
+                   ROUND(COALESCE(1.0 / ({RRF_K} + rk_kw), 0.0)
+                         + COALESCE(1.0 / ({RRF_K} + rk_vec), 0.0), 6) AS rrf
+            FROM kw FULL OUTER JOIN vr ON kw.doc_id = vr.doc_id
+        ), fr AS (
+            SELECT doc_id, rrf, rk_kw, rk_vec,
+                   CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk
+            FROM fused
+        )
+        SELECT doc_id, rrf, rk_kw, rk_vec, rk FROM fr WHERE rk <= {RRF_TOPK}
+    """
+
+
+ORACLES.update(
+    {
+        "x84_bpe_merge_pairs": f"""
+        WITH wc AS (
+            SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+            ) GROUP BY w
+        ), chars AS (
+            SELECT c, string_split(w, '') AS ch FROM wc
+        ), pairs AS (
+            SELECT c, ch[i] || ' ' || ch[i+1] AS pair
+            FROM chars, UNNEST(range(1, len(ch))) AS u(i)
+            WHERE len(ch) >= 2
+        ), agg AS (
+            SELECT pair, SUM(c) AS n_occurrences FROM pairs GROUP BY pair
+        ), ranked AS (
+            SELECT pair, n_occurrences,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS INT)
+                       AS rk
+            FROM agg
+        )
+        SELECT pair, n_occurrences, rk FROM ranked WHERE rk <= {BPE_TOP_PAIRS}
+    """,
+        "x85_hybrid_rrf_search": _x85_oracle(),
+        "x86_containment_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b, shared,
+               ROUND(shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) AS containment
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE ROUND(shared / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) >= {CONTAINMENT_T}
+    """,
+    }
+)
