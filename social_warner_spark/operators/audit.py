@@ -12,7 +12,7 @@ require adversarial input, not plausible drift.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 
 
 def row_hash60(*cols: Column) -> Column:
@@ -145,4 +145,61 @@ def expectations(
             "e.threshold",
             (F.col("e.metric_value") >= F.col("e.threshold")).alias("passed"),
         )
+    )
+
+
+def skew_report(df: DataFrame, key_col: str, top_k: int = 3) -> DataFrame:
+    """One-row skew diagnosis for a prospective shuffle key: key count,
+    row count, the hottest key's share, max/mean skew ratio, Gini
+    coefficient of the per-key distribution, and the top-k heavy keys —
+    the report that decides whether a join/agg on this key needs salting
+    (operators/grouped.py:salted_join) before it becomes a straggler.
+
+    Everything past the per-key count is |keys|-sized; the Gini rank
+    window sorts the count table, not the data.  Gini uses the standard
+    sorted-rank identity G = 2·Σ(i·cᵢ)/(n·Σcᵢ) − (n+1)/n with ties
+    broken by key so both engines rank identically."""
+    counts = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
+        F.count("*").alias("c")
+    )
+    ranked = counts.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.asc("c"), F.asc("k")))
+    )
+    stats = ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_cnt"),
+        F.sum(F.col("i") * F.col("c")).alias("_sic"),
+    )
+    top = (
+        counts.withColumn(
+            "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("k")))
+        )
+        .where(F.col("r") <= top_k)
+        # collect_list arrival order is nondeterministic — sort the
+        # (rank, key) structs inside the aggregate to pin it
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("r", "k"))),
+                    lambda s: s["k"],
+                ),
+            ).alias("top_keys")
+        )
+    )
+    return stats.crossJoin(top).select(
+        F.lit(key_col).alias("dim"),
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        F.round(
+            F.col("max_cnt") / (F.col("n_rows") / F.col("n_keys")), 6
+        ).alias("skew_ratio"),
+        F.round(
+            (F.lit(2.0) * F.col("_sic")) / (F.col("n_keys") * F.col("n_rows"))
+            - (F.col("n_keys") + F.lit(1.0)) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+        "top_keys",
     )

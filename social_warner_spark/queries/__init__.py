@@ -66,7 +66,9 @@ CHECK_PRIORITY = (
     "x7_embed_neardup",
     "x8_ann_bucketed",
     "x29_sequence_packing",
-    "x30_boilerplate_ngrams",
+    # (x30 boilerplate yields to x88: the ngram family keeps x16/x28/x31
+    # in-window; the corpus card is the round-2 composed summary)
+    "x88_corpus_card",
     "x35_bm25_search",
     "x32_bloom_prune_join",
     "x39_pagerank",
@@ -98,7 +100,9 @@ CHECK_PRIORITY = (
     "x80_kmv_set_sketch",
     "x13_grouping_sets",
     "x49_media_probe",
-    "x50_tfidf_topk",
+    # (x50 tf-idf yields to x89: x35 BM25 + x85 RRF keep the search
+    # family in-window; train/held-out LM eval is a new family)
+    "x89_heldout_eval",
     "x51_incremental_dedup",
     "x52_source_caps",
     # (x53 normalize / x57 checksum are r2-declared shapes whose modules

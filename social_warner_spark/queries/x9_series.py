@@ -817,3 +817,207 @@ ORACLES.update(
     """,
     }
 )
+
+
+def x87_skew_report(spark, sf_dir):
+    """Shuffle-key skew diagnosis (operators/audit.py:skew_report) for
+    the two natural event keys: per-key counts, hottest-key ratio, Gini
+    coefficient, top heavy keys.  The report that justifies (or spares)
+    an x59-style salted join BEFORE the straggler happens; everything
+    past the per-key count is |keys|-sized."""
+    from social_warner_spark.operators.audit import skew_report
+
+    e = T(spark, sf_dir, "events")
+    return skew_report(e, "user_id").unionByName(skew_report(e, "event_type"))
+
+
+def x88_corpus_card(spark, sf_dir):
+    """One-row dataset card — the summary block of a corpus release:
+    doc/source/lang counts, token totals, exact-duplicate rate, mean
+    quality score, and the dominant language's share.  One
+    multi-aggregate pass over the corpus (count_distincts share the
+    scan) plus a |langs|-sized top-1; every cross-joined relation is a
+    single row."""
+    from social_warner_spark.functions.text import quality_score, token_count_ws
+
+    d = T(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.sum(token_count_ws(F.col("text"))).alias("total_tokens"),
+        r6(F.avg(token_count_ws(F.col("text")))).alias("mean_doc_tokens"),
+        F.count_distinct(F.md5("text")).alias("_nd"),
+        r6(F.avg(quality_score(F.col("text")))).alias("mean_quality"),
+    )
+    top_lang = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("_lc"))
+        .withColumn(
+            "_r", F.row_number().over(Window.orderBy(F.desc("_lc"), F.asc("lang")))
+        )
+        .where(F.col("_r") == 1)
+        .select(F.col("lang").alias("top_lang"), "_lc")
+    )
+    return base.crossJoin(top_lang).select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "total_tokens",
+        "mean_doc_tokens",
+        r6(F.lit(1.0) - F.col("_nd") / F.col("n_docs")).alias("exact_dup_rate"),
+        "mean_quality",
+        "top_lang",
+        r6(F.col("_lc") / F.col("n_docs")).alias("top_lang_share"),
+    )
+
+
+def x89_heldout_eval(spark, sf_dir):
+    """Train/held-out language-model evaluation: fit the x43-style
+    unigram LM on the x34 train split (md5 < 'cc'), score the held-out
+    split with add-one smoothing p(w) = (c+1)/(T+V+1), report per-lang
+    token-level mean log-prob and OOV rate — the eval loop of a
+    data-quality ablation.  The LM is vocabulary-bounded; corpus stats
+    are ONE broadcast row; the held-out token stream shuffles once (the
+    model equi-join) and once more for the per-lang mean."""
+    from social_warner_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    h_split = F.substring(
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("lang"))), 1, 2
+    )
+    staged = d.select(
+        "doc_id",
+        "lang",
+        (h_split < "cc").alias("_is_train"),
+        tokens(F.col("text")).alias("_toks"),
+    )
+    train_tok = staged.where("_is_train").select(F.explode("_toks").alias("w"))
+    counts = train_tok.groupBy("w").agg(F.count("*").alias("c"))
+    stats = counts.agg(
+        F.sum("c").alias("_t"), F.count("*").alias("_v")
+    )
+    held = staged.where(~F.col("_is_train")).select(
+        "lang", "doc_id", F.explode("_toks").alias("w")
+    )
+    joined = held.join(counts, "w", "left").crossJoin(F.broadcast(stats))
+    lp = F.log(
+        (F.coalesce(F.col("c"), F.lit(0)) + F.lit(1)).cast("double")
+        / (F.col("_t") + F.col("_v") + F.lit(1)).cast("double")
+    )
+    return joined.groupBy("lang").agg(
+        F.count_distinct("doc_id").alias("n_heldout_docs"),
+        F.count("*").alias("n_tokens"),
+        r6(F.avg(lp)).alias("avg_logp"),
+        r6(F.avg(F.col("c").isNull().cast("double"))).alias("oov_rate"),
+    )
+
+
+QUERIES.update(
+    {
+        "x87_skew_report": x87_skew_report,
+        "x88_corpus_card": x88_corpus_card,
+        "x89_heldout_eval": x89_heldout_eval,
+    }
+)
+
+ORACLES.update(
+    {
+        "x87_skew_report": """
+        WITH c1 AS (
+            SELECT CAST(user_id AS VARCHAR) AS k, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ), r1 AS (
+            SELECT k, c, ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS r
+            FROM c1
+        ), s1 AS (
+            SELECT 'user_id' AS dim, COUNT(*) AS n_keys, SUM(c) AS n_rows,
+                   MAX(c) AS max_cnt, SUM(i * c) AS sic
+            FROM r1
+        ), t1 AS (
+            SELECT string_agg(k, ',' ORDER BY r) AS top_keys FROM r1 WHERE r <= 3
+        ), c2 AS (
+            SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ), r2 AS (
+            SELECT k, c, ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS i,
+                   ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS r
+            FROM c2
+        ), s2 AS (
+            SELECT 'event_type' AS dim, COUNT(*) AS n_keys, SUM(c) AS n_rows,
+                   MAX(c) AS max_cnt, SUM(i * c) AS sic
+            FROM r2
+        ), t2 AS (
+            SELECT string_agg(k, ',' ORDER BY r) AS top_keys FROM r2 WHERE r <= 3
+        )
+        SELECT dim, n_keys, n_rows, max_cnt,
+               ROUND(max_cnt / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_ratio,
+               ROUND((2.0 * sic) / (CAST(n_keys AS DOUBLE) * n_rows)
+                     - (n_keys + 1.0) / n_keys, 6) AS gini,
+               top_keys
+        FROM s1, t1
+        UNION ALL
+        SELECT dim, n_keys, n_rows, max_cnt,
+               ROUND(max_cnt / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew_ratio,
+               ROUND((2.0 * sic) / (CAST(n_keys AS DOUBLE) * n_rows)
+                     - (n_keys + 1.0) / n_keys, 6) AS gini,
+               top_keys
+        FROM s2, t2
+    """,
+        "x88_corpus_card": f"""
+        WITH base AS (
+            SELECT COUNT(*) AS n_docs,
+                   COUNT(DISTINCT source) AS n_sources,
+                   COUNT(DISTINCT lang) AS n_langs,
+                   SUM(len(string_split(trim(text), ' '))) AS total_tokens,
+                   ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS mean_doc_tokens,
+                   COUNT(DISTINCT md5(text)) AS nd,
+                   ROUND(AVG(ROUND({{q}}, 6)), 6) AS mean_quality
+            FROM documents
+        ), top AS (
+            SELECT lang AS top_lang, COUNT(*) AS lc,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang ASC) AS r
+            FROM documents GROUP BY lang
+        )
+        SELECT n_docs, n_sources, n_langs, total_tokens, mean_doc_tokens,
+               ROUND(1.0 - CAST(nd AS DOUBLE) / n_docs, 6) AS exact_dup_rate,
+               mean_quality, top_lang,
+               ROUND(CAST(lc AS DOUBLE) / n_docs, 6) AS top_lang_share
+        FROM base, top WHERE r = 1
+    """,
+        "x89_heldout_eval": """
+        WITH staged AS (
+            SELECT doc_id, lang,
+                   substr(md5(doc_id || '|' || lang), 1, 2) < 'cc' AS is_train,
+                   string_split(trim(text), ' ') AS t
+            FROM documents
+        ), train_tok AS (
+            SELECT u.w AS w FROM staged, UNNEST(t) AS u(w) WHERE is_train
+        ), counts AS (
+            SELECT w, COUNT(*) AS c FROM train_tok GROUP BY w
+        ), stats AS (
+            SELECT SUM(c) AS t_total, COUNT(*) AS v FROM counts
+        ), held AS (
+            SELECT lang, doc_id, u.w AS w
+            FROM staged, UNNEST(t) AS u(w) WHERE NOT is_train
+        ), joined AS (
+            SELECT held.lang, held.doc_id, counts.c, stats.t_total, stats.v
+            FROM held LEFT JOIN counts ON held.w = counts.w, stats
+        )
+        SELECT lang,
+               COUNT(DISTINCT doc_id) AS n_heldout_docs,
+               COUNT(*) AS n_tokens,
+               ROUND(AVG(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)
+                            / CAST(t_total + v + 1 AS DOUBLE))), 6) AS avg_logp,
+               ROUND(AVG(CASE WHEN c IS NULL THEN 1.0 ELSE 0.0 END), 6) AS oov_rate
+        FROM joined GROUP BY lang
+    """,
+    }
+)
+
+# x88's mean_quality must be textually the same scorer as x4/x42 — inject
+# the shared SQL form (kept in x5_series next to its other consumer).
+from social_warner_spark.queries.x5_series import _QUALITY_SQL  # noqa: E402
+
+ORACLES["x88_corpus_card"] = ORACLES["x88_corpus_card"].format(q=_QUALITY_SQL)
