@@ -1021,3 +1021,164 @@ ORACLES.update(
 from social_warner_spark.queries.x5_series import _QUALITY_SQL  # noqa: E402
 
 ORACLES["x88_corpus_card"] = ORACLES["x88_corpus_card"].format(q=_QUALITY_SQL)
+
+
+#: x91 — context-window cutoffs whose truncation cost is measured.
+TRUNC_CUTOFFS = (64, 256, 1024)
+#: x92 — a source is flagged when its mean quality sits this many
+#: source-level standard deviations below the cross-source mean.
+DRIFT_SIGMA = 2.0
+
+
+def x90_zipf_fit(spark, sf_dir):
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope /
+    intercept / correlation of ln(frequency) against ln(rank) — the
+    sanity check that a corpus (or a synthetic copy of one) has a
+    natural token distribution.  One token-count shuffle; the regression
+    runs on the vocabulary relation (corpus-independent size) via
+    single-pass moment aggregates (regr_slope/regr_intercept/corr)."""
+    from social_warner_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = vocab.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    )
+    lc, lr = F.log(F.col("c").cast("double")), F.log(F.col("rk").cast("double"))
+    return ranked.agg(
+        F.count("*").alias("n_vocab"),
+        r6(F.regr_slope(lc, lr)).alias("slope"),
+        r6(F.regr_intercept(lc, lr)).alias("intercept"),
+        r6(F.corr(lc, lr)).alias("corr_lnln"),
+    )
+
+
+def x91_truncation_cost(spark, sf_dir):
+    """Context-window truncation cost: for each candidate cutoff, the
+    tokens kept vs lost and the fraction of documents that would be
+    truncated — the capacity-planning table behind an x29-style packing
+    choice.  ONE scan: each doc's token count is exploded against the
+    (tiny, literal) cutoff array, so cost is |docs|×|cutoffs| narrow
+    rows into a |cutoffs|-group aggregate."""
+    from social_warner_spark.functions.text import token_count_ws
+
+    d = T(spark, sf_dir, "documents").select(
+        token_count_ws(F.col("text")).alias("_n")
+    )
+    per_cut = d.select(
+        "_n",
+        F.explode(F.array(*[F.lit(c) for c in TRUNC_CUTOFFS])).alias("cutoff"),
+    )
+    return per_cut.groupBy("cutoff").agg(
+        F.sum("_n").alias("total_tokens"),
+        F.sum(F.least(F.col("_n"), F.col("cutoff"))).alias("kept_tokens"),
+        r6(
+            F.lit(1.0)
+            - F.sum(F.least(F.col("_n"), F.col("cutoff")))
+            / F.sum("_n").cast("double")
+        ).alias("lost_frac"),
+        r6(F.avg((F.col("_n") > F.col("cutoff")).cast("double"))).alias(
+            "pct_docs_truncated"
+        ),
+    )
+
+
+def x92_source_quality_gate(spark, sf_dir):
+    """Per-source quality drift gate: every source's mean quality score
+    against the cross-source mean, flagged when it sits more than 2
+    source-level σ below — the shard-health check that drops a bad crawl
+    feed before it pollutes a training mix.  Fact scan aggregates once
+    to |sources| rows; the cross-source stats are ONE broadcast row."""
+    from social_warner_spark.functions.text import quality_score
+
+    d = T(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(quality_score(F.col("text"))), 6).alias("mean_q"),
+    )
+    global_stats = per_src.agg(
+        F.round(F.avg("mean_q"), 6).alias("_gmean"),
+        F.round(F.stddev_samp("mean_q"), 6).alias("_gstd"),
+    )
+    return per_src.crossJoin(F.broadcast(global_stats)).select(
+        "source",
+        "n_docs",
+        "mean_q",
+        F.col("_gmean").alias("global_mean_q"),
+        r6(F.col("mean_q") - F.col("_gmean")).alias("gap"),
+        (
+            F.col("mean_q")
+            < F.col("_gmean") - F.lit(DRIFT_SIGMA) * F.col("_gstd")
+        ).alias("flagged"),
+    )
+
+
+QUERIES.update(
+    {
+        "x90_zipf_fit": x90_zipf_fit,
+        "x91_truncation_cost": x91_truncation_cost,
+        "x92_source_quality_gate": x92_source_quality_gate,
+    }
+)
+
+ORACLES.update(
+    {
+        "x90_zipf_fit": """
+        WITH vocab AS (
+            SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents
+            ) GROUP BY w
+        ), ranked AS (
+            SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk FROM vocab
+        )
+        SELECT COUNT(*) AS n_vocab,
+               ROUND(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+                   AS slope,
+               ROUND(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+                   AS intercept,
+               ROUND(corr(ln(CAST(c AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+                   AS corr_lnln
+        FROM ranked
+    """,
+        "x91_truncation_cost": f"""
+        WITH d AS (
+            SELECT len(string_split(trim(text), ' ')) AS n FROM documents
+        ), per_cut AS (
+            SELECT n, cutoff FROM d,
+                 UNNEST([{", ".join(str(c) for c in TRUNC_CUTOFFS)}]) AS u(cutoff)
+        )
+        SELECT cutoff,
+               SUM(n) AS total_tokens,
+               SUM(LEAST(n, cutoff)) AS kept_tokens,
+               ROUND(1.0 - SUM(LEAST(n, cutoff)) / CAST(SUM(n) AS DOUBLE), 6)
+                   AS lost_frac,
+               ROUND(AVG(CASE WHEN n > cutoff THEN 1.0 ELSE 0.0 END), 6)
+                   AS pct_docs_truncated
+        FROM per_cut GROUP BY cutoff
+    """,
+        "x92_source_quality_gate": """
+        WITH per_src AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   ROUND(AVG(ROUND({q}, 6)), 6) AS mean_q
+            FROM documents GROUP BY source
+        ), g AS (
+            SELECT ROUND(AVG(mean_q), 6) AS gmean,
+                   ROUND(STDDEV_SAMP(mean_q), 6) AS gstd
+            FROM per_src
+        )
+        SELECT source, n_docs, mean_q,
+               gmean AS global_mean_q,
+               ROUND(mean_q - gmean, 6) AS gap,
+               mean_q < gmean - 2.0 * gstd AS flagged
+        FROM per_src, g
+    """,
+    }
+)
+
+ORACLES["x92_source_quality_gate"] = ORACLES["x92_source_quality_gate"].replace(
+    "{q}", _QUALITY_SQL
+)

@@ -47,3 +47,20 @@ def test_rate_source_stream(spark):
     out = run_stream_to_memory(stream, output_mode="complete")
     assert out.count() >= 0  # drained without error; schema as declared
     assert set(out.columns) == {"w", "cnt", "max_v"}
+
+
+def test_orc_roundtrip_matches_parquet(spark, sf_smoke, tmp_path):
+    """ORC is the third columnar container Spark ships a vectorized
+    reader for; the write/read contract (disposition, column order,
+    aggregate parity) must match the parquet path bit-for-bit."""
+    ev = load_table(spark, sf_smoke, "events")
+    expected = ev.agg(F.count("*"), F.round(F.sum("value"), 2)).first()
+
+    odir = str(tmp_path / "o")
+    write_table(ev, odir, WriteDisposition.WRITE_TRUNCATE, fmt="orc")
+    got = spark.read.orc(odir).agg(F.count("*"), F.round(F.sum("value"), 2)).first()
+    assert tuple(got) == tuple(expected)
+
+    # append disposition doubles the rows, same as parquet semantics
+    write_table(ev, odir, WriteDisposition.WRITE_APPEND, fmt="orc")
+    assert spark.read.orc(odir).count() == expected[0] * 2
