@@ -29,6 +29,7 @@ from social_warner_spark.queries import (
     x7_series,
     x8_series,
     x9_series,
+    x10_series,
     x_series,
 )
 
@@ -46,6 +47,7 @@ _SERIES = (
     x7_series,
     x8_series,
     x9_series,
+    x10_series,
     sql_series,
 )
 
@@ -83,7 +85,9 @@ CHECK_PRIORITY = (
     "x41_chunking",
     "x42_budget_selection",
     "x43_unigram_logprob",
-    "x33_gapfill_interpolate",
+    # (x33 gap-fill yields to x93: timeseries keeps x36/x76 in-window;
+    # the ordered funnel is the round-2 product-analytics family)
+    "x93_funnel",
     "x36_sessionize",
     # (x37 z-score yields its slot to x66: winsorize/percentiles cover
     # the moment-stats shape; the bigram LM is new model machinery)
