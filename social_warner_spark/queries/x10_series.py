@@ -160,3 +160,235 @@ ORACLES = {
         GROUP BY 1
     """,
 }
+
+
+#: x96 — KMV size per day cell and the trailing window (days).
+ROLLING_K = 32
+ROLLING_DAYS = 3
+#: x97 — path length and result size.
+PATH_STEPS = 3
+PATH_TOPK = 15
+
+
+def x96_rolling_distinct(spark, sf_dir):
+    """Trailing-3-day distinct users per day via MERGEABLE daily KMV
+    cells (operators/sketch.py:kmv_sketch grouped by day) — the sketch
+    answer to a query that is quadratic if done exactly (every day
+    re-scans its whole trailing window).  Daily cells are k rows each;
+    the rolling merge is a |days|×|window| range join over cell rows,
+    corpus-independent.  The exact rolling count rides along as the
+    error reference (affordable at test SF; the cells are the 100 TB
+    path)."""
+    from social_warner_spark.operators.sketch import kmv_sketch
+
+    e = T(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit(COHORT_EPOCH).cast("date")).alias("day"),
+        "user_id",
+    )
+    cells = kmv_sketch(e, "user_id", "day", ROLLING_K).select("day", "h")
+    days = cells.select("day").distinct()
+    d, c = days.alias("d"), cells.alias("c")
+    merged = d.join(
+        c,
+        (F.col("c.day") <= F.col("d.day"))
+        & (F.col("c.day") > F.col("d.day") - ROLLING_DAYS),
+    ).select(F.col("d.day").alias("day"), "h")
+    ranked = merged.distinct().withColumn(
+        "rn", F.row_number().over(Window.partitionBy("day").orderBy("h"))
+    )
+    est = (
+        ranked.where(F.col("rn") <= ROLLING_K)
+        .groupBy("day")
+        .agg(F.max("h").alias("_theta"), F.count("*").alias("_ku"))
+        .select(
+            "day",
+            r6(
+                F.when(
+                    F.col("_ku") >= ROLLING_K,
+                    F.lit(float(ROLLING_K - 1)) / F.col("_theta"),
+                ).otherwise(F.col("_ku").cast("double"))
+            ).alias("est_users"),
+        )
+    )
+    du = e.distinct()
+    d2, u = days.alias("d2"), du.alias("u")
+    exact = (
+        d2.join(
+            u,
+            (F.col("u.day") <= F.col("d2.day"))
+            & (F.col("u.day") > F.col("d2.day") - ROLLING_DAYS),
+        )
+        .groupBy(F.col("d2.day").alias("day"))
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return est.join(exact, "day")
+
+
+def x97_session_paths(spark, sf_dir):
+    """Top session opening paths: the ordered first-3 event types of
+    every >30-min-gap session (x36's sessionizer), counted and ranked —
+    the navigation-pattern report of product analytics.  The path pivot
+    is a conditional aggregate over the session rank (no collect_list
+    ordering hazards); sessions and paths are \\|sessions\\|-sized."""
+    from social_warner_spark.operators.timeseries import sessionize
+
+    s = sessionize(T(spark, sf_dir, "events"), gap_minutes=30)
+    rk = F.row_number().over(
+        Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    )
+    steps = s.select("user_id", "session_id", "event_type", rk.alias("rk")).where(
+        F.col("rk") <= PATH_STEPS
+    )
+    paths = steps.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            *[
+                F.max(F.when(F.col("rk") == i, F.col("event_type")))
+                for i in range(1, PATH_STEPS + 1)
+            ],
+        ).alias("path")
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    return (
+        counts.withColumn(
+            "rk",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n_sessions"), F.asc("path")))
+            .cast("int"),
+        )
+        .where(F.col("rk") <= PATH_TOPK)
+        .select("path", "n_sessions", "rk")
+    )
+
+
+def x98_transition_matrix(spark, sf_dir):
+    """First-order event-type transition matrix per user timeline:
+    (prev → curr) counts and row-normalized probabilities — the Markov
+    summary behind next-action prediction and bot detection.  One
+    user_id shuffle for the lag; the matrix itself is \\|types\\|²."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("curr_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "curr_type").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.groupBy("prev_type").agg(F.sum("n").alias("_tot"))
+    return (
+        counts.join(F.broadcast(totals), "prev_type")
+        .select(
+            "prev_type",
+            "curr_type",
+            "n",
+            r6(F.col("n") / F.col("_tot").cast("double")).alias("p"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "x96_rolling_distinct": x96_rolling_distinct,
+        "x97_session_paths": x97_session_paths,
+        "x98_transition_matrix": x98_transition_matrix,
+    }
+)
+
+ORACLES.update(
+    {
+        "x96_rolling_distinct": f"""
+        WITH e AS (
+            SELECT DISTINCT datediff('day', DATE '{COHORT_EPOCH}', CAST(ts AS DATE)) AS day,
+                   user_id
+            FROM events
+        ), h AS (
+            SELECT day,
+                   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                       / {float(16**12)} AS h
+            FROM e
+        ), cells AS (
+            SELECT day, h FROM (
+                SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+                FROM h
+            ) WHERE rn <= {ROLLING_K}
+        ), days AS (
+            SELECT DISTINCT day FROM cells
+        ), merged AS (
+            SELECT DISTINCT d.day AS day, c.h
+            FROM days d JOIN cells c
+              ON c.day <= d.day AND c.day > d.day - {ROLLING_DAYS}
+        ), ranked AS (
+            SELECT day, h, ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+            FROM merged
+        ), est AS (
+            SELECT day,
+                   ROUND(CASE WHEN COUNT(*) >= {ROLLING_K}
+                              THEN {float(ROLLING_K - 1)} / MAX(h)
+                              ELSE CAST(COUNT(*) AS DOUBLE) END, 6) AS est_users
+            FROM ranked WHERE rn <= {ROLLING_K} GROUP BY day
+        ), exact AS (
+            SELECT d.day AS day, COUNT(DISTINCT u.user_id) AS exact_users
+            FROM days d JOIN e u
+              ON u.day <= d.day AND u.day > d.day - {ROLLING_DAYS}
+            GROUP BY d.day
+        )
+        SELECT est.day, est.est_users, exact.exact_users
+        FROM est JOIN exact ON est.day = exact.day
+    """,
+        "x97_session_paths": f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                          OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS nf
+            FROM events
+        ), sess AS (
+            SELECT user_id, event_id, event_type, ts,
+                   SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                       AS session_id
+            FROM ordered
+        ), steps AS (
+            SELECT user_id, session_id, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+                                      ORDER BY ts, event_id) AS rk
+            FROM sess
+        ), paths AS (
+            SELECT user_id, session_id,
+                   concat_ws('>',
+                       {", ".join(f"MAX(CASE WHEN rk = {i} THEN event_type END)" for i in range(1, PATH_STEPS + 1))}
+                   ) AS path
+            FROM steps WHERE rk <= {PATH_STEPS}
+            GROUP BY user_id, session_id
+        ), counts AS (
+            SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
+        ), ranked AS (
+            SELECT path, n_sessions,
+                   CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path ASC) AS INT)
+                       AS rk
+            FROM counts
+        )
+        SELECT path, n_sessions, rk FROM ranked WHERE rk <= {PATH_TOPK}
+    """,
+        "x98_transition_matrix": """
+        WITH pairs AS (
+            SELECT LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_type,
+                   event_type AS curr_type
+            FROM events
+        ), counts AS (
+            SELECT prev_type, curr_type, COUNT(*) AS n
+            FROM pairs WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, curr_type
+        ), totals AS (
+            SELECT prev_type, SUM(n) AS tot FROM counts GROUP BY prev_type
+        )
+        SELECT counts.prev_type, curr_type, n,
+               ROUND(n / CAST(tot AS DOUBLE), 6) AS p
+        FROM counts JOIN totals ON counts.prev_type = totals.prev_type
+    """,
+    }
+)
