@@ -58,6 +58,12 @@ HEADLINE = [
     "x54_segment_dedup",     # segment-level dedup + document reassembly
     "x16_corpus_prep",       # composite corpus pipeline (gate+dedup+prune)
     "x31_full_pipeline",     # flagship: + decontamination + packing
+    # round-2 additions (totals therefore not comparable to r01/r02-early;
+    # compare per-query medians — see PERF.md)
+    "x76_interval_coalesce", # gaps-and-islands, single user shuffle
+    "x81_triangle_count",    # degree-oriented wedge join (graph heavy)
+    "x85_hybrid_rrf_search", # BM25 + vector rank fusion
+    "x96_rolling_distinct",  # mergeable KMV cells over trailing window
 ]
 
 
