@@ -254,3 +254,80 @@ def test_normalize_text_idempotent(spark, texts):
     assert a == b
     for v in a.values():
         assert "  " not in v and "\t" not in v and "​" not in v
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),   # start
+            st.integers(min_value=1, max_value=50),    # duration
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_coalesce_intervals_invariants(spark, ivs):
+    """For ANY interval set: islands partition the rows, every row's
+    interval fits inside its island's [min start, max end], and distinct
+    islands never overlap (island k's max end < island k+1's min start)."""
+    from social_warner_spark.operators.timeseries import coalesce_intervals
+
+    rows = [
+        (1, i, float(s), float(s + d)) for i, (s, d) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, _start double, _end double"
+    )
+    out = coalesce_intervals(
+        df, "user_id", "_start", "_end", ("_start", "event_id")
+    ).collect()
+    assert len(out) == len(rows)  # islands partition the rows
+    bounds: dict[int, list[float]] = {}
+    for r in out:
+        b = bounds.setdefault(r._island, [r._start, r._end])
+        b[0] = min(b[0], r._start)
+        b[1] = max(b[1], r._end)
+    ordered = [bounds[k] for k in sorted(bounds)]
+    for (s1, e1), (s2, e2) in zip(ordered, ordered[1:]):
+        assert e1 < s2, (ordered,)  # strictly disjoint, in order
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(n=st.integers(min_value=1, max_value=400))
+def test_kmv_estimate_exact_under_k_and_positive(spark, n):
+    """KMV must be EXACT for any set smaller than k, and positive/finite
+    always."""
+    from social_warner_spark.operators.sketch import kmv_estimate, kmv_sketch
+
+    df = spark.range(n).selectExpr("'g' as g", "id as k")
+    est = kmv_estimate(kmv_sketch(df, "k", "g", 64), 64, "g").collect()[0].est_distinct
+    if n < 64:
+        assert est == float(n)
+    else:
+        assert 0 < est < 10 * n
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one must surface in
+    containment_pairs even when its Jaccard is far below any usable
+    near-dup threshold."""
+    from social_warner_spark.operators.dedup import containment_pairs, exact_jaccard_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(120))
+    short_text = " ".join(f"w{i}" for i in range(40, 50))  # strict excerpt
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id long, text string"
+    )
+    cp = containment_pairs(df, threshold=0.9).collect()
+    assert len(cp) == 1 and cp[0].containment == 1.0
+    jp = exact_jaccard_pairs(df, threshold=0.5).collect()
+    assert jp == []  # symmetric Jaccard structurally misses it
