@@ -1182,3 +1182,102 @@ ORACLES.update(
 ORACLES["x92_source_quality_gate"] = ORACLES["x92_source_quality_gate"].replace(
     "{q}", _QUALITY_SQL
 )
+
+
+def x99_dedup_policy_report(spark, sf_dir):
+    """Dedup policy comparison — one row per policy (exact hash, Jaccard
+    ≥ 0.5, containment ≥ 0.8) with the pair count and the number of
+    documents implicated: the side-by-side a pipeline owner reads before
+    choosing how aggressively to dedup.  Composes the existing operators
+    (exact_dedup's hash groups, exact_jaccard_pairs, containment_pairs);
+    the shingle relation is persisted once and shared by both
+    shingle-based policies."""
+    from social_warner_spark.operators.dedup import (
+        containment_pairs,
+        content_hash,
+        exact_jaccard_pairs,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+
+    groups = (
+        docs.groupBy(content_hash(F.col("text")).alias("_h"))
+        .agg(F.count("*").alias("g"))
+        .where(F.col("g") > 1)
+    )
+    exact_row = groups.agg(
+        F.lit("exact_hash").alias("policy"),
+        F.coalesce(
+            F.sum(F.col("g") * (F.col("g") - 1) / 2).cast("long"), F.lit(0)
+        ).alias("n_pairs"),
+        F.coalesce(F.sum("g").cast("long"), F.lit(0)).alias("n_docs"),
+    )
+
+    def pair_row(pairs, policy):
+        docs_in = pairs.select(
+            F.col("doc_id_a").alias("d")
+        ).unionByName(pairs.select(F.col("doc_id_b").alias("d")))
+        n_docs = docs_in.distinct().agg(F.count("*").alias("n_docs"))
+        return (
+            pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+            .crossJoin(n_docs)
+            .select(
+                F.lit(policy).alias("policy"),
+                "n_pairs",
+                F.col("n_docs").cast("long").alias("n_docs"),
+            )
+        )
+
+    jac = exact_jaccard_pairs(docs, threshold=0.5).select("doc_id_a", "doc_id_b")
+    cont = containment_pairs(docs, threshold=0.8).select("doc_id_a", "doc_id_b")
+    return exact_row.unionByName(pair_row(jac, "jaccard_0.5")).unionByName(
+        pair_row(cont, "containment_0.8")
+    )
+
+
+QUERIES.update({"x99_dedup_policy_report": x99_dedup_policy_report})
+
+ORACLES.update(
+    {
+        "x99_dedup_policy_report": """
+        WITH groups AS (
+            SELECT md5(lower(trim(text))) AS h, COUNT(*) AS g
+            FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+        ), toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), jac AS (
+            SELECT a, b FROM shared
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+        ), cont AS (
+            SELECT a, b FROM shared
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE ROUND(c / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE), 6) >= 0.8
+        )
+        SELECT 'exact_hash' AS policy,
+               COALESCE(CAST(SUM(g * (g - 1) / 2) AS BIGINT), 0) AS n_pairs,
+               COALESCE(CAST(SUM(g) AS BIGINT), 0) AS n_docs
+        FROM groups
+        UNION ALL
+        SELECT 'jaccard_0.5', (SELECT COUNT(*) FROM jac),
+               (SELECT COUNT(*) FROM (
+                   SELECT a AS d FROM jac UNION SELECT b FROM jac))
+        UNION ALL
+        SELECT 'containment_0.8', (SELECT COUNT(*) FROM cont),
+               (SELECT COUNT(*) FROM (
+                   SELECT a AS d FROM cont UNION SELECT b FROM cont))
+    """,
+    }
+)
