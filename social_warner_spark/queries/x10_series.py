@@ -392,3 +392,124 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x100 — pointer-doubling rounds; covers depth up to 2^4 = 16 levels.
+POINTER_ROUNDS = 4
+#: x101 — deterministic sample keep-threshold on the first 2 md5 hex
+#: chars: '0d'/'100' ≈ 5.1%.
+SAMPLE_HEX = "0d"
+SAMPLE_RATE = 13.0 / 256.0
+
+
+def x100_hierarchy_depth(spark, sf_dir):
+    """Hierarchy traversal by POINTER DOUBLING: suppliers form an
+    implicit binary tree (parent = suppkey DIV 2, root = 1); each round
+    every node's ancestor pointer jumps to its ancestor's ancestor, so
+    depth-to-root resolves in O(log depth) self-joins — 4 rounds cover
+    depth 16, where the naive walk (and the oracle's recursive CTE)
+    takes one round PER LEVEL.  The per-round relation is |nodes| rows;
+    this is the scale recipe for org charts / thread trees / category
+    hierarchies.  Result: suppliers per depth."""
+    s = T(spark, sf_dir, "supplier").select(F.col("s_suppkey").alias("node"))
+    # nodes 0 and 1 are both roots under cur//2-with-cur>1-stop semantics
+    # (the oracle's walk halts immediately for them)
+    labels = s.select(
+        "node",
+        F.when(F.col("node") <= 1, F.lit(None).cast("bigint"))
+        .otherwise((F.col("node") / 2).cast("bigint"))
+        .alias("anc"),
+        F.when(F.col("node") <= 1, F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    for _ in range(POINTER_ROUNDS):
+        j = labels.alias("l").join(
+            labels.select(
+                F.col("node").alias("_n"),
+                F.col("anc").alias("_anc"),
+                F.col("d").alias("_d"),
+            ).alias("r"),
+            F.col("l.anc") == F.col("r._n"),
+            "left",
+        )
+        labels = j.select(
+            F.col("l.node").alias("node"),
+            F.coalesce(F.col("r._anc"), F.col("l.anc")).alias("anc"),
+            F.when(
+                F.col("l.anc").isNotNull() & F.col("r._anc").isNotNull(),
+                F.col("l.d") + F.col("r._d"),
+            )
+            .otherwise(F.col("l.d"))
+            .alias("d"),
+        )
+    return labels.groupBy(F.col("d").alias("depth")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+
+
+def x101_sampled_stats(spark, sf_dir):
+    """Profile-by-sampling: estimate orders row count and revenue from a
+    deterministic ~5% md5 sample (scale by the keep rate), with the
+    exact values and relative errors alongside — how table stats are
+    gathered at 100 TB, where a full profile pass is the expensive
+    exception.  The sample predicate is a pure narrow map pushed into
+    the scan projection; both engines pick the exact same rows."""
+    o = T(spark, sf_dir, "orders")
+    keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < SAMPLE_HEX
+    sample = o.where(keep).agg(
+        F.count("*").alias("_sn"), F.sum("o_totalprice").alias("_ss")
+    )
+    exact = o.agg(
+        F.count("*").alias("exact_rows"),
+        F.round(F.sum("o_totalprice"), 2).alias("exact_revenue"),
+    )
+    return sample.crossJoin(exact).select(
+        F.round(F.col("_sn") / F.lit(SAMPLE_RATE)).cast("long").alias("est_rows"),
+        "exact_rows",
+        F.round(F.col("_ss") / F.lit(SAMPLE_RATE), 2).alias("est_revenue"),
+        "exact_revenue",
+        r6(
+            F.abs(F.col("_sn") / F.lit(SAMPLE_RATE) - F.col("exact_rows"))
+            / F.col("exact_rows")
+        ).alias("rows_rel_err"),
+    )
+
+
+QUERIES.update(
+    {
+        "x100_hierarchy_depth": x100_hierarchy_depth,
+        "x101_sampled_stats": x101_sampled_stats,
+    }
+)
+
+ORACLES.update(
+    {
+        "x100_hierarchy_depth": """
+        WITH RECURSIVE walk(node, cur, depth) AS (
+            SELECT s_suppkey, s_suppkey, 0 FROM supplier
+            UNION ALL
+            SELECT node, cur // 2, depth + 1 FROM walk WHERE cur > 1
+        ), depths AS (
+            SELECT node, MAX(depth) AS d FROM walk GROUP BY node
+        )
+        SELECT d AS depth, COUNT(*) AS n_suppliers FROM depths GROUP BY d
+    """,
+        "x101_sampled_stats": f"""
+        WITH sample AS (
+            SELECT COUNT(*) AS sn, SUM(o_totalprice) AS ss
+            FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '{SAMPLE_HEX}'
+        ), exact AS (
+            SELECT COUNT(*) AS exact_rows,
+                   ROUND(SUM(o_totalprice), 2) AS exact_revenue
+            FROM orders
+        )
+        SELECT CAST(ROUND(sn / {SAMPLE_RATE}) AS BIGINT) AS est_rows,
+               exact_rows,
+               ROUND(ss / {SAMPLE_RATE}, 2) AS est_revenue,
+               exact_revenue,
+               ROUND(ABS(sn / {SAMPLE_RATE} - exact_rows)
+                     / CAST(exact_rows AS DOUBLE), 6) AS rows_rel_err
+        FROM sample, exact
+    """,
+    }
+)
