@@ -513,3 +513,132 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x102 — relative-gap threshold for the tie-out report.
+TIEOUT_TOL = 0.05
+#: x103 — the reducer count being simulated.
+BALANCE_BUCKETS = 32
+
+
+def x102_revenue_tieout(spark, sf_dir):
+    """Cross-fact reconciliation: every order's header total against the
+    revenue derived from its line items — one summary row with how many
+    orders tie within 5%, the worst relative gap, and the total absolute
+    drift.  The audit a migration runs between a source-of-truth table
+    and a derived one.  One co-keyed join + one aggregate; the detail
+    relation never leaves the executors."""
+    # The whole audit runs in integer CENTS via floor(x*100 + 0.5) — pure
+    # BINARY double arithmetic, identical in any engine.  A float
+    # formulation is out twice over: a 2.3e9 sum is accumulation-order-
+    # sensitive even at 2dp, and Spark's round() goes through a
+    # decimal-string HALF_UP that disagrees with a binary ROUND exactly
+    # at representation boundaries.
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("_tc"),
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5)
+        .cast("long")
+        .alias("_rc"),
+    )
+    derived = li.groupBy("l_orderkey").agg(F.sum("_rc").alias("_dc"))
+    j = o.join(derived, o["o_orderkey"] == derived["l_orderkey"]).select(
+        "_tc",
+        "_dc",
+        (F.abs(F.col("_dc") - F.col("_tc")) / F.col("_tc").cast("double")).alias(
+            "_rel"
+        ),
+    )
+    return j.agg(
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("_rel") <= TIEOUT_TOL).cast("long")).alias("n_within_tol"),
+        F.sum((F.col("_rel") > TIEOUT_TOL).cast("long")).alias("n_beyond_tol"),
+        r6(F.max("_rel")).alias("max_rel_gap"),
+        F.sum(F.abs(F.col("_dc") - F.col("_tc"))).alias("total_abs_gap_cents"),
+    )
+
+
+def x103_partition_balance(spark, sf_dir):
+    """Reducer-balance forecast for a prospective shuffle: rows per
+    simulated hash bucket (md5-derived, engine-portable) for 32
+    reducers, on both candidate event keys — max/mean balance ratio
+    near 1.0 means the shuffle spreads; x87's KEY-level skew report
+    says why when it doesn't.  Everything past the bucket count is
+    |buckets|-sized."""
+    e = T(spark, sf_dir, "events")
+
+    def report(key_col: str):
+        bucket = (
+            F.conv(
+                F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+            ).cast("long")
+            % BALANCE_BUCKETS
+        )
+        per = e.groupBy(bucket.alias("b")).agg(F.count("*").alias("c"))
+        return per.agg(
+            F.lit(key_col).alias("dim"),
+            F.count("*").alias("n_buckets"),
+            F.min("c").alias("min_rows"),
+            F.max("c").alias("max_rows"),
+            r6(F.max("c") / (F.sum("c") / F.count("*"))).alias("balance_ratio"),
+        )
+
+    return report("user_id").unionByName(report("event_type"))
+
+
+QUERIES.update(
+    {
+        "x102_revenue_tieout": x102_revenue_tieout,
+        "x103_partition_balance": x103_partition_balance,
+    }
+)
+
+ORACLES.update(
+    {
+        "x102_revenue_tieout": f"""
+        WITH derived AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS dc
+            FROM lineitem GROUP BY l_orderkey
+        ), j AS (
+            SELECT CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS tc, derived.dc,
+                   ABS(derived.dc - CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                       / CAST(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS DOUBLE)
+                       AS rel
+            FROM orders o JOIN derived ON o.o_orderkey = derived.l_orderkey
+        )
+        SELECT COUNT(*) AS n_orders,
+               CAST(SUM(CASE WHEN rel <= {TIEOUT_TOL} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_within_tol,
+               CAST(SUM(CASE WHEN rel > {TIEOUT_TOL} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_beyond_tol,
+               ROUND(MAX(rel), 6) AS max_rel_gap,
+               CAST(SUM(ABS(dc - tc)) AS BIGINT) AS total_abs_gap_cents
+        FROM j
+    """,
+        "x103_partition_balance": f"""
+        WITH b1 AS (
+            SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))::BIGINT
+                       % {BALANCE_BUCKETS} AS b, COUNT(*) AS c
+            FROM events GROUP BY 1
+        ), b2 AS (
+            SELECT ('0x' || substr(md5(CAST(event_type AS VARCHAR)), 1, 4))::BIGINT
+                       % {BALANCE_BUCKETS} AS b, COUNT(*) AS c
+            FROM events GROUP BY 1
+        )
+        SELECT 'user_id' AS dim, COUNT(*) AS n_buckets, MIN(c) AS min_rows,
+               MAX(c) AS max_rows,
+               ROUND(MAX(c) / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6)
+                   AS balance_ratio
+        FROM b1
+        UNION ALL
+        SELECT 'event_type', COUNT(*), MIN(c), MAX(c),
+               ROUND(MAX(c) / (CAST(SUM(c) AS DOUBLE) / COUNT(*)), 6)
+        FROM b2
+    """,
+    }
+)
