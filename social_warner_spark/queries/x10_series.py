@@ -642,3 +642,115 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x104 — md5-split threshold: first hex char < '8' → arm A (50/50).
+AB_SPLIT_HEX = "8"
+
+
+def x104_ab_experiment(spark, sf_dir):
+    """Experiment readout: users deterministically split 50/50 by md5
+    (the hash-bucket assignment every experimentation platform uses),
+    per-user purchase totals compared across arms with a Welch t
+    statistic.  The t is computed FROM the 6dp-rounded per-arm moments,
+    so both engines derive it from identical inputs.  Per-user totals
+    are one user_id shuffle; everything after is two rows."""
+    e = T(spark, sf_dir, "events")
+    per_user = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("_v"))
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < AB_SPLIT_HEX,
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            "_v",
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        r6(F.avg("_v")).alias("mean"),
+        r6(F.var_samp("_v")).alias("var"),
+    )
+    a = arms.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("_va")
+    )
+    b = arms.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("_vb")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        "mean_b",
+        r6(
+            (F.col("mean_a") - F.col("mean_b"))
+            / F.sqrt(F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b"))
+        ).alias("t_welch"),
+    )
+
+
+def x105_seasonality_profile(spark, sf_dir):
+    """Weekly seasonality profile: mean event value per (ISO weekday,
+    hour-of-day) cell with the seasonal index (cell mean / global
+    mean) — the shape behind anomaly baselines and staffing curves.
+    One groupBy to a 7×24-bounded grid; the global mean is one
+    broadcast row.  Weekday uses Monday=0 in both engines (Spark
+    weekday(), DuckDB isodow-1)."""
+    e = T(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.weekday("ts").alias("dow"), F.hour("ts").alias("hour")
+    ).agg(F.count("*").alias("n"), r6(F.avg("value")).alias("mean_value"))
+    g = e.agg(r6(F.avg("value")).alias("_gm"))
+    return cells.crossJoin(F.broadcast(g)).select(
+        "dow",
+        "hour",
+        "n",
+        "mean_value",
+        r6(F.col("mean_value") / F.col("_gm")).alias("seasonal_index"),
+    )
+
+
+QUERIES.update(
+    {
+        "x104_ab_experiment": x104_ab_experiment,
+        "x105_seasonality_profile": x105_seasonality_profile,
+    }
+)
+
+ORACLES.update(
+    {
+        "x104_ab_experiment": f"""
+        WITH per_user AS (
+            SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '{AB_SPLIT_HEX}'
+                        THEN 'A' ELSE 'B' END AS arm,
+                   SUM(value) AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), arms AS (
+            SELECT arm, COUNT(*) AS n, ROUND(AVG(v), 6) AS mean,
+                   ROUND(VAR_SAMP(v), 6) AS var
+            FROM per_user GROUP BY arm
+        )
+        SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+               ROUND((a.mean - b.mean)
+                     / sqrt(a.var / a.n + b.var / b.n), 6) AS t_welch
+        FROM arms a, arms b WHERE a.arm = 'A' AND b.arm = 'B'
+    """,
+        "x105_seasonality_profile": """
+        WITH cells AS (
+            SELECT isodow(ts) - 1 AS dow, hour(ts) AS hour,
+                   COUNT(*) AS n, ROUND(AVG(value), 6) AS mean_value
+            FROM events GROUP BY 1, 2
+        ), g AS (
+            SELECT ROUND(AVG(value), 6) AS gm FROM events
+        )
+        SELECT dow, hour, n, mean_value,
+               ROUND(mean_value / gm, 6) AS seasonal_index
+        FROM cells, g
+    """,
+    }
+)
