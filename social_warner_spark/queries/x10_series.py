@@ -1,15 +1,17 @@
-"""Tenth extension batch: product-analytics over the event stream — the
-reference's own domain (social-media engagement analytics) generalized
-to the distributed event-funnel toolkit.
+"""Tenth extension batch (x93–x105): product analytics over the event
+stream — the reference's own domain (social-media engagement analytics)
+generalized to the distributed toolkit — plus hierarchy traversal,
+sampling-based profiling, reconciliation, and experimentation.
 
-- x93 ordered funnel: view → click → purchase with strict ordering
-  (each stage's first timestamp must follow the previous stage's).
-- x94 cohort retention: first-activity-day cohorts × day offset.
-- x95 last-touch attribution: every purchase credited to the user's
-  most recent preceding non-purchase event type.
+Funnel (x93), cohort retention (x94), last-touch attribution (x95),
+sketch-merged rolling distinct (x96), session paths (x97), transition
+matrix (x98), pointer-doubling hierarchy depth (x100), profile by
+sampling (x101), cents-exact revenue tie-out (x102), reducer-balance
+forecast (x103), A/B readout with Welch t (x104), weekly seasonality
+profile (x105).
 
-All are single-key (user_id) shuffles; stage tables and cohort matrices
-are |users|- or |days²|-sized, never event-sized.
+Everything past the first aggregation is |users|-, |sessions|-,
+|days²|- or |types|²-sized, never event-sized.
 """
 
 from __future__ import annotations

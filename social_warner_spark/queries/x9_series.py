@@ -1,22 +1,14 @@
-"""Ninth extension batch: interval algebra, cluster-aware canonical
-selection, character-level quality signals, and a declarative
-data-quality constraint suite.
-
-- x76 coalesces overlapping per-user activity intervals (gaps-and-
-  islands with a running-max frame — the availability/retention shape).
-- x77 picks the canonical survivor per transitive near-dup cluster
-  (keep-the-longest policy), composing x27's connected components with
-  a per-cluster window rank — the step that turns dedup CLUSTERS into a
-  kept CORPUS.
-- x78 profiles documents at the character level (Shannon entropy +
-  digit/upper/space ratios): the cheap junk detectors for number dumps,
-  ascii art, and shouty boilerplate.
-- x79 runs a Deequ-style expectations suite over ``orders`` in ONE
-  aggregation pass: completeness, uniqueness, domain, and format rules
-  as long-format (rule, metric, threshold, passed) rows.
+"""Ninth extension batch (x76–x92, x99): interval algebra, cluster-aware
+canonical selection, character-level quality signals, a declarative
+constraint suite, KMV set-algebra sketches, triangle counting, robust
+outliers, cross-source overlap, BPE pair mining, hybrid RRF retrieval,
+containment dedup, skew diagnosis, the corpus dataset card, held-out LM
+evaluation, Zipf fitting, truncation-cost planning, the per-source
+quality gate, and the dedup policy comparison report.
 
 All follow the determinism protocol (6dp rounding, aliased columns on
-both engines, order-pinned float folds).
+both engines, order-pinned float folds); scale notes live on each query
+and in COVERAGE.md / PERF.md.
 """
 
 from __future__ import annotations
