@@ -756,3 +756,160 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x106 — minimum pair support count and result size.
+RULES_MIN_PAIRS = 3
+RULES_TOPK = 20
+
+
+def x106_association_rules(spark, sf_dir):
+    """Market-basket association rules over part co-purchases: for the
+    strongest pairs, support / confidence / lift — the classic frequent-
+    itemset statistics.  Baskets are orders; the pair table comes from
+    the same bounded self-join as x81's edge construction (within-order
+    pairs, never corpus×corpus), item supports broadcast onto it.
+    Rules are emitted in both directions (confidence is asymmetric),
+    top-20 by lift."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = li.select("ok").distinct().agg(F.count("*").alias("_no"))
+    item = li.groupBy("pk").agg(F.count("*").alias("_ci"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("x"), F.col("b.pk").alias("y"))
+        .agg(F.count("*").alias("_cp"))
+        .where(F.col("_cp") >= RULES_MIN_PAIRS)
+    )
+    both = pairs.select("x", "y", "_cp").unionByName(
+        pairs.select(F.col("y").alias("x"), F.col("x").alias("y"), "_cp")
+    )
+    scored = (
+        both.join(F.broadcast(item.withColumnsRenamed({"pk": "x", "_ci": "_cx"})), "x")
+        .join(F.broadcast(item.withColumnsRenamed({"pk": "y", "_ci": "_cy"})), "y")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("x").alias("antecedent"),
+            F.col("y").alias("consequent"),
+            F.col("_cp").alias("n_pairs"),
+            r6(F.col("_cp") / F.col("_no").cast("double")).alias("support"),
+            r6(F.col("_cp") / F.col("_cx").cast("double")).alias("confidence"),
+            r6(
+                (F.col("_cp") / F.col("_cx").cast("double"))
+                / (F.col("_cy") / F.col("_no").cast("double"))
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("lift"), F.asc("antecedent"), F.asc("consequent"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= RULES_TOPK)
+    )
+
+
+def x107_funnel_durations(spark, sf_dir):
+    """Time-to-convert distribution: for users completing the full
+    view→click→purchase funnel (x93's strict ordering), the view→
+    purchase duration in minutes at min/median/p90/max — the latency
+    companion to x93's conversion counts.  Stage tables are |users|
+    rows; the percentile aggregate runs on the |converters| relation."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+
+    s1 = (
+        e.where(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == FUNNEL_STAGES[1])
+        .join(s1, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"), F.first("t1").alias("t1"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == FUNNEL_STAGES[2])
+        .join(s2, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"), F.first("t1").alias("t1"))
+    )
+    # events.ts is TIMESTAMP_NTZ — unix_micros() rejects it; timestampdiff
+    # operates on either flavor
+    durations = s3.select(
+        (F.expr("timestampdiff(MICROSECOND, t1, t3)") / 60_000_000.0).alias("_mins")
+    )
+    return durations.agg(
+        F.count("*").alias("n_converters"),
+        r6(F.min("_mins")).alias("min_mins"),
+        r6(F.median("_mins")).alias("median_mins"),
+        r6(F.percentile("_mins", F.lit(0.9))).alias("p90_mins"),
+        r6(F.max("_mins")).alias("max_mins"),
+    )
+
+
+QUERIES.update(
+    {
+        "x106_association_rules": x106_association_rules,
+        "x107_funnel_durations": x107_funnel_durations,
+    }
+)
+
+ORACLES.update(
+    {
+        "x106_association_rules": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), no AS (
+            SELECT COUNT(DISTINCT ok) AS n FROM li
+        ), item AS (
+            SELECT pk, COUNT(*) AS ci FROM li GROUP BY pk
+        ), pairs AS (
+            SELECT a.pk AS x, b.pk AS y, COUNT(*) AS cp
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= {RULES_MIN_PAIRS}
+        ), bi AS (
+            SELECT x, y, cp FROM pairs
+            UNION ALL SELECT y, x, cp FROM pairs
+        ), scored AS (
+            SELECT bi.x AS antecedent, bi.y AS consequent, cp AS n_pairs,
+                   ROUND(cp / CAST(no.n AS DOUBLE), 6) AS support,
+                   ROUND(cp / CAST(ix.ci AS DOUBLE), 6) AS confidence,
+                   ROUND((cp / CAST(ix.ci AS DOUBLE))
+                         / (iy.ci / CAST(no.n AS DOUBLE)), 6) AS lift
+            FROM bi
+            JOIN item ix ON ix.pk = bi.x
+            JOIN item iy ON iy.pk = bi.y, no
+        )
+        SELECT antecedent, consequent, n_pairs, support, confidence, lift,
+               CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, antecedent, consequent)
+                    AS INT) AS rk
+        FROM scored
+        QUALIFY rk <= {RULES_TOPK}
+    """,
+        "x107_funnel_durations": f"""
+        WITH s1 AS (
+            SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, MIN(e.ts) AS t2, ANY_VALUE(s1.t1) AS t1
+            FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+            WHERE e.event_type = '{FUNNEL_STAGES[1]}' GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, MIN(e.ts) AS t3, ANY_VALUE(s2.t1) AS t1
+            FROM events e JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+            WHERE e.event_type = '{FUNNEL_STAGES[2]}' GROUP BY e.user_id
+        ), durations AS (
+            SELECT epoch_us(t3 - t1) / 60000000.0 AS mins FROM s3
+        )
+        SELECT COUNT(*) AS n_converters,
+               ROUND(MIN(mins), 6) AS min_mins,
+               ROUND(MEDIAN(mins), 6) AS median_mins,
+               ROUND(QUANTILE_CONT(mins, 0.9), 6) AS p90_mins,
+               ROUND(MAX(mins), 6) AS max_mins
+        FROM durations
+    """,
+    }
+)
