@@ -913,3 +913,110 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x108 — probe parts for the bounded-hop traversal.
+HOP_PROBES = (0, 1, 2, 3, 4)
+
+
+def x108_two_hop_neighborhood(spark, sf_dir):
+    """Bounded-hop graph traversal: for five probe parts, the 1-hop and
+    2-hop distinct neighborhood sizes in the co-purchase graph — the
+    recommendation-candidate expansion every 'customers also bought'
+    feature computes.  Edges come from the bounded within-order
+    self-join; the probe frontier starts at 5 rows, so both hop joins
+    are frontier×edges equi-joins whose left side never exceeds the
+    neighborhood itself — the corpus-size edge relation is probed, not
+    enumerated."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    from social_warner_spark.caching import register_persisted
+
+    edges = register_persisted(edges.persist())
+    probes = [int(p) for p in HOP_PROBES]
+    frontier0 = edges.where(F.col("src").isin(probes)).select(
+        F.col("src").alias("probe"), F.col("dst").alias("n1")
+    )
+    hop1 = frontier0.groupBy("probe").agg(
+        F.count_distinct("n1").alias("n_1hop")
+    )
+    two = (
+        frontier0.join(edges, frontier0["n1"] == edges["src"])
+        .select("probe", F.col("dst").alias("n2"))
+        .where(F.col("n2") != F.col("probe"))
+        .unionByName(frontier0.select("probe", F.col("n1").alias("n2")))
+    )
+    hop2 = two.groupBy("probe").agg(F.count_distinct("n2").alias("n_2hop"))
+    return hop1.join(hop2, "probe")
+
+
+def x109_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language: BPE-ish regex tokens per
+    whitespace word — the compression metric that decides whether a
+    tokenizer suits a language/domain (fertility ≫ 1 means the corpus
+    costs disproportionate context length).  Pure narrow-map counting;
+    one |langs|-group aggregate."""
+    from social_warner_spark.functions.text import token_count_bpe, token_count_ws
+
+    d = T(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count_ws(F.col("text"))).alias("ws_tokens"),
+        F.sum(token_count_bpe(F.col("text"))).alias("bpe_tokens"),
+        r6(
+            F.sum(token_count_bpe(F.col("text")))
+            / F.sum(token_count_ws(F.col("text"))).cast("double")
+        ).alias("fertility"),
+    )
+
+
+QUERIES.update(
+    {
+        "x108_two_hop_neighborhood": x108_two_hop_neighborhood,
+        "x109_tokenizer_fertility": x109_tokenizer_fertility,
+    }
+)
+
+ORACLES.update(
+    {
+        "x108_two_hop_neighborhood": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), edges AS (
+            SELECT DISTINCT a.pk AS src, b.pk AS dst
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk != b.pk
+        ), f0 AS (
+            SELECT src AS probe, dst AS n1 FROM edges
+            WHERE src IN ({", ".join(str(p) for p in HOP_PROBES)})
+        ), hop1 AS (
+            SELECT probe, COUNT(DISTINCT n1) AS n_1hop FROM f0 GROUP BY probe
+        ), two AS (
+            SELECT f0.probe, e.dst AS n2
+            FROM f0 JOIN edges e ON f0.n1 = e.src
+            WHERE e.dst != f0.probe
+            UNION ALL
+            SELECT probe, n1 FROM f0
+        ), hop2 AS (
+            SELECT probe, COUNT(DISTINCT n2) AS n_2hop FROM two GROUP BY probe
+        )
+        SELECT hop1.probe, n_1hop, n_2hop FROM hop1 JOIN hop2 ON hop1.probe = hop2.probe
+    """,
+        "x109_tokenizer_fertility": r"""
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS ws_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                   AS BIGINT) AS bpe_tokens,
+               ROUND(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))
+                     / CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE), 6)
+                   AS fertility
+        FROM documents GROUP BY lang
+    """,
+    }
+)
