@@ -1273,3 +1273,41 @@ ORACLES.update(
     """,
     }
 )
+
+
+def x110_embed_dim_health(spark, sf_dir):
+    """Per-dimension embedding health: mean, standard deviation, and
+    near-zero fraction for every vector dimension — the dead/collapsed-
+    dimension check run before any similarity index is trusted.  One
+    posexplode to (dim, value) rows and one |dims|-group aggregate;
+    dimension count (64) bounds the result regardless of corpus size."""
+    emb = T(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        F.posexplode(F.col("embedding"))
+    ).select(F.col("pos").alias("dim"), F.col("col").cast("double").alias("v"))
+    return dv.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        r6(F.avg("v")).alias("mean_v"),
+        r6(F.stddev_samp("v")).alias("std_v"),
+        r6(F.avg((F.abs(F.col("v")) < 0.01).cast("double"))).alias("near_zero_frac"),
+    )
+
+
+QUERIES.update({"x110_embed_dim_health": x110_embed_dim_health})
+
+ORACLES.update(
+    {
+        "x110_embed_dim_health": """
+        WITH dv AS (
+            SELECT i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        )
+        SELECT dim, COUNT(*) AS n,
+               ROUND(AVG(v), 6) AS mean_v,
+               ROUND(STDDEV_SAMP(v), 6) AS std_v,
+               ROUND(AVG(CASE WHEN ABS(v) < 0.01 THEN 1.0 ELSE 0.0 END), 6)
+                   AS near_zero_frac
+        FROM dv GROUP BY dim
+    """,
+    }
+)
