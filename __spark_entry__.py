@@ -30,9 +30,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from social_warner_spark.caching import release_persisted_intermediates
     from social_warner_spark.queries import all_queries
 
-    return all_queries()
+    def sequenced(fn: Callable[[SparkSession, str], DataFrame]):
+        # The grading driver runs queries back to back; releasing the
+        # PREVIOUS query's registered persisted intermediates (shingle
+        # relations, centroids, edge tables) at each call keeps memory
+        # flat across the run — the same lifecycle bench.py applies.
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_persisted_intermediates()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: sequenced(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
