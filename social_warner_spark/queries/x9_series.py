@@ -1311,3 +1311,210 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x111 — thresholds swept from one shared candidate relation.
+SWEEP_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+#: x112 — sketch sizes swept from one hashed distinct relation.
+KMV_SWEEP = (16, 32, 64, 128)
+#: x113 — mixture temperature (P_s ∝ w_s^alpha).
+MIX_ALPHA = 0.5
+
+
+def x111_jaccard_threshold_sweep(spark, sf_dir):
+    """Dedup threshold sweep: near-dup pair and implicated-doc counts at
+    every candidate Jaccard threshold, computed from ONE pass over the
+    shared shingle/size/shared-count relations — the curve a pipeline
+    owner reads to pick the threshold, at the cost of a single l2 run
+    (the per-threshold work is an |pairs|-row filter, not a re-join)."""
+    from social_warner_spark.operators.dedup import exact_jaccard_pairs
+
+    pairs = exact_jaccard_pairs(
+        T(spark, sf_dir, "documents"), threshold=min(SWEEP_THRESHOLDS)
+    ).select("doc_id_a", "doc_id_b", "jaccard")
+    thresholds = F.explode(
+        F.array(*[F.lit(float(t)) for t in SWEEP_THRESHOLDS])
+    ).alias("threshold")
+    swept = pairs.select("jaccard", "doc_id_a", "doc_id_b").select(
+        thresholds, "jaccard", "doc_id_a", "doc_id_b"
+    ).where(F.col("jaccard") >= F.col("threshold"))
+    per = swept.groupBy("threshold").agg(F.count("*").alias("n_pairs"))
+    docs_in = (
+        swept.select("threshold", F.col("doc_id_a").alias("d"))
+        .unionByName(swept.select("threshold", F.col("doc_id_b").alias("d")))
+        .distinct()
+        .groupBy("threshold")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    return per.join(docs_in, "threshold")
+
+
+def x112_kmv_accuracy_sweep(spark, sf_dir):
+    """Sketch-size tuning: KMV distinct-count estimates of the event
+    user set at k ∈ {{16,32,64,128}} against the exact count, with
+    relative errors — how a sketch budget is picked.  ONE distinct+hash
+    pass feeds every k (the k-th smallest hash is a filter over the same
+    ranked relation, not a re-scan)."""
+    from social_warner_spark.operators.sketch import kmv_hash
+
+    e = T(spark, sf_dir, "events")
+    ranked = (
+        e.select("user_id")
+        .distinct()
+        .select(kmv_hash(F.col("user_id")).alias("h"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    )
+    exact = e.select("user_id").distinct().agg(F.count("*").alias("exact"))
+    ks = F.explode(F.array(*[F.lit(k) for k in KMV_SWEEP])).alias("k")
+    per_k = (
+        ranked.select(ks, "h", "rn")
+        .where(F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.max("h").alias("_theta"), F.count("*").alias("_ku"))
+    )
+    return per_k.crossJoin(F.broadcast(exact)).select(
+        "k",
+        r6(
+            F.when(
+                F.col("_ku") >= F.col("k"),
+                (F.col("k") - 1).cast("double") / F.col("_theta"),
+            ).otherwise(F.col("_ku").cast("double"))
+        ).alias("est_users"),
+        "exact",
+        r6(
+            F.abs(
+                F.when(
+                    F.col("_ku") >= F.col("k"),
+                    (F.col("k") - 1).cast("double") / F.col("_theta"),
+                ).otherwise(F.col("_ku").cast("double"))
+                - F.col("exact")
+            )
+            / F.col("exact")
+        ).alias("rel_err"),
+    )
+
+
+def x113_mixture_temperature(spark, sf_dir):
+    """Temperature-scaled mixture weights: per-source token shares
+    raised to α=0.5 and renormalized — the standard up-weighting of
+    small high-quality sources in a training mix (multilingual sampling
+    à la XLM-R).  One |sources| aggregate; the normalizer is the only
+    cross-group term and is a 1-row broadcast."""
+    from social_warner_spark.functions.text import token_count_ws
+
+    d = T(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(token_count_ws(F.col("text"))).alias("tokens")
+    )
+    tot = src.agg(F.sum("tokens").alias("_tt"))
+    shared = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        r6(F.col("tokens") / F.col("_tt").cast("double")).alias("natural_share"),
+        F.pow(
+            F.round(F.col("tokens") / F.col("_tt").cast("double"), 6), MIX_ALPHA
+        ).alias("_scaled"),
+    )
+    z = shared.agg(F.round(F.sum("_scaled"), 6).alias("_z"))
+    return shared.crossJoin(F.broadcast(z)).select(
+        "source",
+        "tokens",
+        "natural_share",
+        r6(F.col("_scaled") / F.col("_z")).alias("alpha_share"),
+    )
+
+
+QUERIES.update(
+    {
+        "x111_jaccard_threshold_sweep": x111_jaccard_threshold_sweep,
+        "x112_kmv_accuracy_sweep": x112_kmv_accuracy_sweep,
+        "x113_mixture_temperature": x113_mixture_temperature,
+    }
+)
+
+ORACLES.update(
+    {
+        "x111_jaccard_threshold_sweep": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a, b, ROUND(c / (sa.sz + sb.sz - c), 6) AS jaccard
+            FROM shared
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= {min(SWEEP_THRESHOLDS)}
+        ), swept AS (
+            SELECT u.threshold, jaccard, a, b
+            FROM pairs, UNNEST([{", ".join(str(t) for t in SWEEP_THRESHOLDS)}])
+                 AS u(threshold)
+            WHERE jaccard >= u.threshold
+        ), per AS (
+            SELECT threshold, COUNT(*) AS n_pairs FROM swept GROUP BY threshold
+        ), docs_in AS (
+            SELECT threshold, COUNT(*) AS n_docs FROM (
+                SELECT DISTINCT threshold, d FROM (
+                    SELECT threshold, a AS d FROM swept
+                    UNION ALL SELECT threshold, b FROM swept
+                )
+            ) GROUP BY threshold
+        )
+        SELECT per.threshold, n_pairs, n_docs
+        FROM per JOIN docs_in ON per.threshold = docs_in.threshold
+    """,
+        "x112_kmv_accuracy_sweep": f"""
+        WITH d AS (
+            SELECT DISTINCT user_id FROM events
+        ), ranked AS (
+            SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                       / {float(16**12)} AS h,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT
+                   ) AS rn
+            FROM d
+        ), exact AS (
+            SELECT COUNT(*) AS exact FROM d
+        ), per_k AS (
+            SELECT u.k, MAX(h) AS theta, COUNT(*) AS ku
+            FROM ranked, UNNEST([{", ".join(str(k) for k in KMV_SWEEP)}]) AS u(k)
+            WHERE rn <= u.k GROUP BY u.k
+        )
+        SELECT k,
+               ROUND(CASE WHEN ku >= k THEN (k - 1) / theta
+                          ELSE CAST(ku AS DOUBLE) END, 6) AS est_users,
+               exact,
+               ROUND(ABS(CASE WHEN ku >= k THEN (k - 1) / theta
+                              ELSE CAST(ku AS DOUBLE) END - exact)
+                     / CAST(exact AS DOUBLE), 6) AS rel_err
+        FROM per_k, exact
+    """,
+        "x113_mixture_temperature": f"""
+        WITH src AS (
+            SELECT source, CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                       AS tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(tokens) AS tt FROM src
+        ), shared AS (
+            SELECT source, tokens,
+                   ROUND(tokens / CAST(tt AS DOUBLE), 6) AS natural_share,
+                   POWER(ROUND(tokens / CAST(tt AS DOUBLE), 6), {MIX_ALPHA}) AS scaled
+            FROM src, tot
+        ), z AS (
+            SELECT ROUND(SUM(scaled), 6) AS z FROM shared
+        )
+        SELECT source, tokens, natural_share,
+               ROUND(scaled / z, 6) AS alpha_share
+        FROM shared, z
+    """,
+    }
+)
