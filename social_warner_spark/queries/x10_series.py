@@ -457,14 +457,16 @@ def x101_sampled_stats(spark, sf_dir):
     the scan projection; both engines pick the exact same rows."""
     o = T(spark, sf_dir, "orders")
     keep = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < SAMPLE_HEX
-    sample = o.where(keep).agg(
-        F.count("*").alias("_sn"), F.sum("o_totalprice").alias("_ss")
-    )
-    exact = o.agg(
+    # sample AND exact moments in ONE aggregation pass (conditional
+    # aggregates) — the point of profiling by sampling is not paying for
+    # two scans
+    both = o.agg(
+        F.count(F.when(keep, 1)).alias("_sn"),
+        F.sum(F.when(keep, F.col("o_totalprice"))).alias("_ss"),
         F.count("*").alias("exact_rows"),
         F.round(F.sum("o_totalprice"), 2).alias("exact_revenue"),
     )
-    return sample.crossJoin(exact).select(
+    return both.select(
         F.round(F.col("_sn") / F.lit(SAMPLE_RATE)).cast("long").alias("est_rows"),
         "exact_rows",
         F.round(F.col("_ss") / F.lit(SAMPLE_RATE), 2).alias("est_revenue"),
@@ -1017,6 +1019,145 @@ ORACLES.update(
                      / CAST(SUM(len(string_split(trim(text), ' '))) AS DOUBLE), 6)
                    AS fertility
         FROM documents GROUP BY lang
+    """,
+    }
+)
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Distinct src<dst part pairs sharing an order (x81/x114/x115's
+    shared graph construction)."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+
+
+def x114_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-purchase graph: Pearson
+    correlation of endpoint degrees over the symmetrized edge list —
+    positive means hubs buy with hubs (the topology question behind
+    recommendation fan-out planning).  Degrees are a |nodes| relation
+    broadcast onto the edges; the correlation is one single-pass moment
+    aggregate."""
+    edges = _copurchase_edges(spark, sf_dir)
+    from social_warner_spark.caching import register_persisted
+
+    edges = register_persisted(edges.persist())
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    sym = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    paired = (
+        sym.join(F.broadcast(deg.withColumnsRenamed({"n": "src", "deg": "_dx"})), "src")
+        .join(F.broadcast(deg.withColumnsRenamed({"n": "dst", "deg": "_dy"})), "dst")
+    )
+    return paired.agg(
+        (F.count("*") / 2).cast("long").alias("n_edges"),
+        r6(F.corr(F.col("_dx").cast("double"), F.col("_dy").cast("double"))).alias(
+            "assortativity"
+        ),
+    )
+
+
+def x115_clustering_coefficient(spark, sf_dir):
+    """Global clustering coefficient: 3·triangles / wedges, composing
+    x81's adjacency-intersect triangle count with the Σ C(deg,2) wedge
+    total — the one-number transitivity summary of the co-purchase
+    graph.  Wedges are a |nodes|-relation aggregate; triangles reuse the
+    bounded-out-degree machinery."""
+    from social_warner_spark.operators.graph import triangle_count
+
+    edges = _copurchase_edges(spark, sf_dir)
+    tri = triangle_count(edges)
+    deg = (
+        edges.select(F.col("src").alias("n"))
+        .unionAll(edges.select(F.col("dst").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("long").alias("n_wedges")
+    )
+    return tri.crossJoin(wedges).select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        r6(
+            F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges").cast("double")
+        ).alias("global_cc"),
+    )
+
+
+QUERIES.update(
+    {
+        "x114_degree_assortativity": x114_degree_assortativity,
+        "x115_clustering_coefficient": x115_clustering_coefficient,
+    }
+)
+
+_EDGES_CTE = """
+        WITH e0 AS (
+            SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+            FROM lineitem a
+            JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+                           AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT n, COUNT(*) AS deg FROM (
+                SELECT src AS n FROM e0 UNION ALL SELECT dst FROM e0
+            ) GROUP BY n
+        )
+"""
+
+ORACLES.update(
+    {
+        "x114_degree_assortativity": _EDGES_CTE
+        + """
+        , sym AS (
+            SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+        ), paired AS (
+            SELECT dx.deg AS a, dy.deg AS b
+            FROM sym JOIN deg dx ON dx.n = sym.src JOIN deg dy ON dy.n = sym.dst
+        )
+        SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+               ROUND(corr(CAST(a AS DOUBLE), CAST(b AS DOUBLE)), 6) AS assortativity
+        FROM paired
+    """,
+        "x115_clustering_coefficient": _EDGES_CTE
+        + """
+        , wd AS (
+            SELECT e0.src, e0.dst, ds.deg AS ds, dd.deg AS dd
+            FROM e0 JOIN deg ds ON ds.n = e0.src JOIN deg dd ON dd.n = e0.dst
+        ), o AS (
+            SELECT CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN src ELSE dst END AS u,
+                   CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN dst ELSE src END AS v,
+                   CASE WHEN ds < dd OR (ds = dd AND src < dst) THEN dd ELSE ds END AS dv
+            FROM wd
+        ), w AS (
+            SELECT o1.v AS a, o2.v AS b
+            FROM o o1 JOIN o o2 ON o1.u = o2.u
+                 AND (o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v))
+        ), t AS (
+            SELECT COUNT(*) AS n_triangles FROM w JOIN o ON o.u = w.a AND o.v = w.b
+        ), wedges AS (
+            SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg
+        )
+        SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+               (SELECT COUNT(*) FROM e0) AS n_edges,
+               n_triangles, n_wedges,
+               ROUND(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6) AS global_cc
+        FROM t, wedges
     """,
     }
 )

@@ -179,3 +179,14 @@ def test_expectations_single_scan(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "x79_expectations")
     scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE)
     assert len(scans) == 1, p
+
+
+def test_sampled_stats_single_scan(spark, sf_smoke):
+    """x101 computes the sampled AND exact moments as conditional
+    aggregates in one pass — a second scan would defeat profiling by
+    sampling."""
+    import re
+
+    p = plan_of(spark, sf_smoke, "x101_sampled_stats")
+    scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE)
+    assert len(scans) == 1, p
