@@ -1518,3 +1518,190 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x116 — the screening blocklist (terms that would gate a doc out).
+BLOCKLIST = ("error", "slow", "big")
+
+
+def x116_blocklist_screen(spark, sf_dir):
+    """Blocklist screening: per-source document hit rate and mean hits
+    per kilotoken for a fixed term blocklist — the safety/denylist gate
+    every ingest runs before training.  Token membership via
+    size(filter()) over the staged token array (zero explode); one
+    |sources| aggregate."""
+    from social_warner_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    staged = d.select(
+        "source", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "source",
+        F.size("_toks").alias("_n"),
+        F.size(
+            F.filter(F.col("_toks"), lambda x: x.isin(*BLOCKLIST))
+        ).alias("_hits"),
+    )
+    return staged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_hits").alias("n_hits"),
+        r6(F.avg((F.col("_hits") > 0).cast("double"))).alias("doc_hit_rate"),
+        r6(F.sum("_hits") * 1000.0 / F.sum("_n").cast("double")).alias(
+            "hits_per_kilotoken"
+        ),
+    )
+
+
+def x117_quality_by_length(spark, sf_dir):
+    """Quality-vs-length confound check: mean quality score per document
+    length decile — the diagnostic that catches a 'quality' signal that
+    is really just a length proxy before it drives selection (x42).
+    One ntile window (single range-partitionable sort) + a 10-group
+    aggregate."""
+    from social_warner_spark.functions.text import quality_score
+
+    d = T(spark, sf_dir, "documents").select(
+        F.col("n_chars"),
+        quality_score(F.col("text")).alias("_q"),
+        F.col("doc_id"),
+    )
+    decile = F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    return (
+        d.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            r6(F.avg("_q")).alias("mean_quality"),
+        )
+    )
+
+
+def x118_label_separability(spark, sf_dir):
+    """Embedding label separability: per label, the within-class mean
+    squared distance to the label centroid and the between-class
+    distance of that centroid to the global centroid — the Fisher-style
+    ratio that says whether labels are recoverable from the embedding
+    space at all.  Centroids are |labels|×dims aggregates collected to
+    arrays (6dp-pinned) and broadcast; per-vector distances are one
+    zip_with fold, no explode on the distance pass."""
+    emb = T(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        "label", "vec_id", F.posexplode(F.col("embedding"))
+    ).select("label", "vec_id", F.col("pos").alias("dim"), F.col("col").cast("double").alias("v"))
+    cent = dv.groupBy("label", "dim").agg(F.round(F.avg("v"), 6).alias("cm"))
+    cent_arr = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "cm"))),
+                lambda s: s["cm"],
+            ).alias("_cvec")
+        )
+    )
+    gcent = dv.groupBy("dim").agg(F.round(F.avg("v"), 6).alias("gm"))
+    gcent_arr = gcent.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "gm"))),
+            lambda s: s["gm"],
+        ).alias("_gvec")
+    )
+
+    def sqdist(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+
+    joined = emb.select(
+        "label", F.col("embedding").cast("array<double>").alias("_e")
+    ).join(F.broadcast(cent_arr), "label")
+    within = joined.select(
+        "label", sqdist(F.col("_e"), F.col("_cvec")).alias("_d2")
+    ).groupBy("label").agg(
+        F.count("*").alias("n_vecs"), r6(F.avg("_d2")).alias("within_ms")
+    )
+    between = cent_arr.crossJoin(F.broadcast(gcent_arr)).select(
+        "label", r6(sqdist(F.col("_cvec"), F.col("_gvec"))).alias("between_d2")
+    )
+    return within.join(between, "label").select(
+        "label",
+        "n_vecs",
+        "within_ms",
+        "between_d2",
+        r6(F.col("between_d2") / F.col("within_ms")).alias("fisher_ratio"),
+    )
+
+
+QUERIES.update(
+    {
+        "x116_blocklist_screen": x116_blocklist_screen,
+        "x117_quality_by_length": x117_quality_by_length,
+        "x118_label_separability": x118_label_separability,
+    }
+)
+
+ORACLES.update(
+    {
+        "x116_blocklist_screen": f"""
+        WITH staged AS (
+            SELECT source,
+                   len(string_split(trim(text), ' ')) AS n,
+                   len(list_filter(string_split(trim(text), ' '),
+                       x -> x IN ({", ".join(f"'{t}'" for t in BLOCKLIST)}))) AS hits
+            FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(hits) AS BIGINT) AS n_hits,
+               ROUND(AVG(CASE WHEN hits > 0 THEN 1.0 ELSE 0.0 END), 6) AS doc_hit_rate,
+               ROUND(SUM(hits) * 1000.0 / CAST(SUM(n) AS DOUBLE), 6)
+                   AS hits_per_kilotoken
+        FROM staged GROUP BY source
+    """,
+        "x117_quality_by_length": """
+        WITH d AS (
+            SELECT n_chars, doc_id, {q} AS q FROM documents
+        ), ranked AS (
+            SELECT n_chars, ROUND(q, 6) AS q,
+                   NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+            FROM d
+        )
+        SELECT decile, COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+               ROUND(AVG(q), 6) AS mean_quality
+        FROM ranked GROUP BY decile
+    """,
+        "x118_label_separability": """
+        WITH dv AS (
+            SELECT label, vec_id, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v
+            FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+        ), cent AS (
+            SELECT label, dim, ROUND(AVG(v), 6) AS cm FROM dv GROUP BY label, dim
+        ), gcent AS (
+            SELECT dim, ROUND(AVG(v), 6) AS gm FROM dv GROUP BY dim
+        ), within0 AS (
+            SELECT dv.label, dv.vec_id, SUM((dv.v - cent.cm) * (dv.v - cent.cm)) AS d2
+            FROM dv JOIN cent ON dv.label = cent.label AND dv.dim = cent.dim
+            GROUP BY dv.label, dv.vec_id
+        ), within AS (
+            SELECT label, COUNT(*) AS n_vecs, ROUND(AVG(d2), 6) AS within_ms
+            FROM within0 GROUP BY label
+        ), between AS (
+            SELECT cent.label,
+                   ROUND(SUM((cent.cm - gcent.gm) * (cent.cm - gcent.gm)), 6)
+                       AS between_d2
+            FROM cent JOIN gcent ON cent.dim = gcent.dim
+            GROUP BY cent.label
+        )
+        SELECT within.label, n_vecs, within_ms, between_d2,
+               ROUND(between_d2 / within_ms, 6) AS fisher_ratio
+        FROM within JOIN between ON within.label = between.label
+    """,
+    }
+)
+
+ORACLES["x117_quality_by_length"] = ORACLES["x117_quality_by_length"].replace(
+    "{q}", _QUALITY_SQL
+)
