@@ -1705,3 +1705,151 @@ ORACLES.update(
 ORACLES["x117_quality_by_length"] = ORACLES["x117_quality_by_length"].replace(
     "{q}", _QUALITY_SQL
 )
+
+
+def x119_split_leakage(spark, sf_dir):
+    """Train/test leakage through near-duplicates: pairs of documents in
+    the SAME near-dup cluster (x27) that land on OPPOSITE sides of the
+    x34 md5 train split — the eval-hygiene check that catches inflated
+    held-out scores before anyone trusts them.  One summary row: split
+    sizes, leaking pair count, and distinct held-out docs compromised.
+    Cluster labels are a |docs| relation; the leak join is cluster-keyed."""
+    from social_warner_spark.operators.dedup import neardup_clusters
+
+    docs = T(spark, sf_dir, "documents")
+    h_split = F.substring(
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("lang"))), 1, 2
+    )
+    labeled = docs.select(
+        "doc_id", (h_split < "cc").alias("_is_train")
+    )
+    clusters = neardup_clusters(docs, threshold=0.5).join(labeled, "doc_id")
+    a = clusters.select(
+        F.col("cluster_id"), F.col("doc_id").alias("a"), F.col("_is_train").alias("ta")
+    )
+    b = clusters.select(
+        F.col("cluster_id"), F.col("doc_id").alias("b"), F.col("_is_train").alias("tb")
+    )
+    leaks = (
+        a.join(b, "cluster_id")
+        .where((F.col("a") < F.col("b")) & (F.col("ta") != F.col("tb")))
+        .select(
+            "a", "b", F.when(F.col("ta"), F.col("b")).otherwise(F.col("a")).alias("_held")
+        )
+    )
+    sizes = labeled.agg(
+        F.sum(F.col("_is_train").cast("long")).alias("n_train"),
+        F.sum((~F.col("_is_train")).cast("long")).alias("n_heldout"),
+    )
+    stats = leaks.agg(
+        F.count("*").alias("n_leaking_pairs"),
+        F.count_distinct("_held").alias("n_compromised_heldout"),
+    )
+    return sizes.crossJoin(stats)
+
+
+def x120_cross_source_dups(spark, sf_dir):
+    """Duplicate topology by source: of all Jaccard-≥0.5 near-dup pairs,
+    how many join documents from the SAME source vs DIFFERENT sources —
+    same-source dups mean a feed re-crawls itself; cross-source dups
+    mean feeds mirror each other (and per-source contribution caps
+    won't dedup them).  One broadcast of the doc→source map onto the
+    pair relation."""
+    from social_warner_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.5).select("doc_id_a", "doc_id_b")
+    src = docs.select("doc_id", "source")
+    tagged = (
+        pairs.join(
+            F.broadcast(src.withColumnsRenamed({"doc_id": "doc_id_a", "source": "_sa"})),
+            "doc_id_a",
+        )
+        .join(
+            F.broadcast(src.withColumnsRenamed({"doc_id": "doc_id_b", "source": "_sb"})),
+            "doc_id_b",
+        )
+    )
+    return tagged.agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("_sa") == F.col("_sb")).cast("long")).alias("n_same_source"),
+        F.sum((F.col("_sa") != F.col("_sb")).cast("long")).alias("n_cross_source"),
+        r6(
+            F.sum((F.col("_sa") != F.col("_sb")).cast("long"))
+            / F.count("*").cast("double")
+        ).alias("cross_source_frac"),
+    )
+
+
+QUERIES.update(
+    {
+        "x119_split_leakage": x119_split_leakage,
+        "x120_cross_source_dups": x120_cross_source_dups,
+    }
+)
+
+ORACLES.update(
+    {
+        "x119_split_leakage": NEARDUP_CLUSTERS_CTE
+        + """
+        , labeled AS (
+            SELECT doc_id,
+                   substr(md5(doc_id || '|' || lang), 1, 2) < 'cc' AS is_train
+            FROM documents
+        ), cl AS (
+            SELECT clusters.doc_id, cluster_id, is_train
+            FROM clusters JOIN labeled ON clusters.doc_id = labeled.doc_id
+        ), leaks AS (
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CASE WHEN a.is_train THEN b.doc_id ELSE a.doc_id END AS held
+            FROM cl a JOIN cl b ON a.cluster_id = b.cluster_id
+                 AND a.doc_id < b.doc_id AND a.is_train != b.is_train
+        ), split_sizes AS (
+            SELECT CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_train,
+                   CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_heldout
+            FROM labeled
+        ), stats AS (
+            SELECT COUNT(*) AS n_leaking_pairs,
+                   COUNT(DISTINCT held) AS n_compromised_heldout
+            FROM leaks
+        )
+        SELECT n_train, n_heldout, n_leaking_pairs, n_compromised_heldout
+        FROM split_sizes, stats
+    """,
+        "x120_cross_source_dups": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a, b FROM shared
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+        ), tagged AS (
+            SELECT da.source AS sa, db.source AS sb
+            FROM pairs
+            JOIN documents da ON da.doc_id = pairs.a
+            JOIN documents db ON db.doc_id = pairs.b
+        )
+        SELECT COUNT(*) AS n_pairs,
+               CAST(SUM(CASE WHEN sa = sb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_same_source,
+               CAST(SUM(CASE WHEN sa != sb THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cross_source,
+               ROUND(SUM(CASE WHEN sa != sb THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS cross_source_frac
+        FROM tagged
+    """,
+    }
+)
