@@ -119,7 +119,9 @@ CHECK_PRIORITY = (
     # RRF fusion and triangle counting are round-2 new families)
     "x85_hybrid_rrf_search",
     "x81_triangle_count",
-    "x56_global_index",
+    # (x56 global-index yields to x119: x7_series keeps x52/x58/x59
+    # in-window; the split-leakage audit is the round-2 capstone composite)
+    "x119_split_leakage",
     "x58_profile_table",
     "x59_salted_join",
     # plan-richest TPC-H shapes (decorrelation, dual-EXISTS, anti-join)
