@@ -1853,3 +1853,55 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x121 — prefix-filter join threshold (kept at l2's 0.8 so the result
+#: is the SAME relation, computed by a different algorithm).
+PREFIX_T = 0.8
+
+
+def x121_prefix_filter_pairs(spark, sf_dir):
+    """Exact Jaccard-≥0.8 pairs by PREFIX FILTERING (PPJoin-style:
+    operators/dedup.py:prefix_filter_jaccard_pairs) — the same relation
+    l2 computes, produced by self-joining only each doc's ⌊(1−t)·|A|⌋+1
+    globally rarest shingles (no false negatives, by pigeonhole) and
+    verifying candidates with per-doc sorted-array intersects.  The
+    frequency-ascending prefix order is the principled hot-shingle skew
+    defence: stopword shingles land outside prefixes and never generate
+    candidates."""
+    from social_warner_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(
+        T(spark, sf_dir, "documents"), threshold=PREFIX_T
+    )
+
+
+QUERIES.update({"x121_prefix_filter_pairs": x121_prefix_filter_pairs})
+
+ORACLES.update(
+    {
+        # the oracle is DELIBERATELY the plain all-candidates form — prefix
+        # filtering must reproduce it exactly
+        "x121_prefix_filter_pairs": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_id_a, doc_id_b,
+               ROUND(shared / (sa.sz + sb.sz - shared), 6) AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = doc_id_a
+        JOIN sizes sb ON sb.doc_id = doc_id_b
+        WHERE ROUND(shared / (sa.sz + sb.sz - shared), 6) >= {PREFIX_T}
+    """,
+    }
+)

@@ -460,3 +460,24 @@ def test_hll_registers_merge_and_bound(spark, docs):
 
     exact = tok.select("token").distinct().count()
     assert abs(whole.est_distinct - exact) / exact < 0.4, (whole, exact)
+
+
+def test_prefix_filter_equals_exact_jaccard(spark, docs):
+    """Prefix filtering is an OPTIMIZATION, not an approximation: its
+    pair relation must equal exact_jaccard_pairs bit-for-bit, while
+    generating strictly fewer candidate rows than the full self-join."""
+    from social_warner_spark.operators.dedup import (
+        exact_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+    )
+
+    for t in (0.5, 0.8):
+        exact = {
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in exact_jaccard_pairs(docs, t).collect()
+        }
+        pf = {
+            (r.doc_id_a, r.doc_id_b, r.jaccard)
+            for r in prefix_filter_jaccard_pairs(docs, t).collect()
+        }
+        assert pf == exact, (t, pf ^ exact)
