@@ -1905,3 +1905,114 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x122 — result size.
+TFIDF_PAIR_TOPK = 10
+
+
+def x122_tfidf_doc_similarity(spark, sf_dir):
+    """Document-pair cosine over TF-IDF weights via an INVERTED INDEX:
+    pair dot products accumulate only over SHARED terms (join on term,
+    group by pair) — the sparse-vector similarity join that never
+    materializes dense vectors.  Weights and norms are 6dp-pinned before
+    the pair stage so the (unordered) per-pair accumulation sums the
+    same rounded doubles in both engines; top-10 pairs by cosine.
+    Candidate volume is bounded by shared-term pairs — the same envelope
+    as the Jaccard join, with idf down-weighting exactly the hot terms
+    that would otherwise dominate it."""
+    from social_warner_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = staged.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    n_docs = d.agg(F.count("*").alias("_n"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    w = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)), 6
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.round(F.sqrt(F.sum(F.col("w") * F.col("w"))), 6).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_a"), F.col("b.doc_id").alias("doc_id_b")
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("_dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(norms.withColumnsRenamed({"doc_id": "doc_id_a", "nrm": "_na"})),
+            "doc_id_a",
+        )
+        .join(
+            F.broadcast(norms.withColumnsRenamed({"doc_id": "doc_id_b", "nrm": "_nb"})),
+            "doc_id_b",
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(F.col("_dot") / (F.col("_na") * F.col("_nb")), 6).alias("cos"),
+        )
+    )
+    wtop = Window.orderBy(F.desc("cos"), "doc_id_a", "doc_id_b")
+    return (
+        scored.withColumn("rk", F.row_number().over(wtop).cast("int"))
+        .where(F.col("rk") <= TFIDF_PAIR_TOPK)
+    )
+
+
+QUERIES.update({"x122_tfidf_doc_similarity": x122_tfidf_doc_similarity})
+
+ORACLES.update(
+    {
+        "x122_tfidf_doc_similarity": f"""
+        WITH staged AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term
+            FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM staged GROUP BY 1, 2
+        ), nd AS (
+            SELECT COUNT(*) AS n FROM documents
+        ), df AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ), w AS (
+            SELECT doc_id, tf.term,
+                   ROUND(tf * ln((nd.n + 1.0) / (df.df + 1.0)), 6) AS w
+            FROM tf JOIN df ON tf.term = df.term, nd
+        ), norms AS (
+            SELECT doc_id, ROUND(sqrt(SUM(w * w)), 6) AS nrm FROM w GROUP BY doc_id
+        ), dots AS (
+            SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                   SUM(a.w * b.w) AS dot
+            FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT doc_id_a, doc_id_b,
+                   ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+            FROM dots
+            JOIN norms na ON na.doc_id = doc_id_a
+            JOIN norms nb ON nb.doc_id = doc_id_b
+        )
+        SELECT doc_id_a, doc_id_b, cos,
+               CAST(ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id_a, doc_id_b) AS INT)
+                   AS rk
+        FROM scored
+        QUALIFY rk <= {TFIDF_PAIR_TOPK}
+    """,
+    }
+)
