@@ -1161,3 +1161,76 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x123 — recommendation list size.
+REC_K = 50
+
+
+def x123_popularity_hitrate(spark, sf_dir):
+    """Leave-one-out recommender evaluation of the popularity baseline:
+    per multi-item order, hold out the max-partkey item, recommend the
+    top-50 globally most-ordered parts computed WITHOUT the held-out
+    occurrences, and report hit-rate@50 — the sanity floor every
+    recommender must beat, evaluated the way the real thing would be.
+    Popularity is a |parts| aggregate; the hit test is one broadcast
+    semi-join of the |orders|-sized holdout against 50 rows."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    multi = (
+        li.groupBy("ok").agg(F.count("*").alias("_n"), F.max("pk").alias("_held"))
+        .where(F.col("_n") >= 2)
+        .select("ok", "_held")
+    )
+    train = li.join(F.broadcast(multi), "ok", "left").where(
+        F.col("_held").isNull() | (F.col("pk") != F.col("_held"))
+    )
+    pop = (
+        train.groupBy("pk")
+        .agg(F.count("*").alias("_c"))
+        .withColumn(
+            "rk", F.row_number().over(Window.orderBy(F.desc("_c"), F.asc("pk")))
+        )
+        .where(F.col("rk") <= REC_K)
+        .select(F.col("pk").alias("_rec"))
+    )
+    hits = multi.join(
+        F.broadcast(pop), multi["_held"] == pop["_rec"], "left"
+    ).select((F.col("_rec").isNotNull()).cast("long").alias("_hit"))
+    return hits.agg(
+        F.count("*").alias("n_eval_orders"),
+        F.sum("_hit").alias("n_hits"),
+        r6(F.avg(F.col("_hit").cast("double"))).alias("hit_rate"),
+    )
+
+
+QUERIES.update({"x123_popularity_hitrate": x123_popularity_hitrate})
+
+ORACLES.update(
+    {
+        "x123_popularity_hitrate": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), multi AS (
+            SELECT ok, MAX(pk) AS held FROM li
+            GROUP BY ok HAVING COUNT(*) >= 2
+        ), train AS (
+            SELECT li.ok, li.pk FROM li LEFT JOIN multi ON li.ok = multi.ok
+            WHERE multi.held IS NULL OR li.pk != multi.held
+        ), pop AS (
+            SELECT pk FROM (
+                SELECT pk, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pk ASC) AS rk
+                FROM train GROUP BY pk
+            ) WHERE rk <= {REC_K}
+        ), hits AS (
+            SELECT CASE WHEN pop.pk IS NOT NULL THEN 1 ELSE 0 END AS hit
+            FROM multi LEFT JOIN pop ON multi.held = pop.pk
+        )
+        SELECT COUNT(*) AS n_eval_orders,
+               CAST(SUM(hit) AS BIGINT) AS n_hits,
+               ROUND(AVG(CAST(hit AS DOUBLE)), 6) AS hit_rate
+        FROM hits
+    """,
+    }
+)
