@@ -1234,3 +1234,69 @@ ORACLES.update(
     """,
     }
 )
+
+
+from social_warner_spark.queries.x9_series import INTERVAL_MINUTES  # noqa: E402
+
+
+def x124_peak_concurrency(spark, sf_dir):
+    """Concurrency sweep over activity intervals: each event opens a
+    10-minute window (x76's intervals); +1/−1 boundary deltas sorted by
+    time give a running concurrency count — reported as the peak and
+    per-day maxima.  The classic capacity question ('how many users are
+    active at once?') answered without expanding intervals to samples.
+    The sweep is one ordered cumulative sum (range-partitionable by time
+    at scale with per-partition offsets, same recipe as x56's global
+    index); boundary rows are 2×|events|."""
+    e = T(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("ts").alias("_s"),
+        (F.col("ts") + F.expr(f"INTERVAL {INTERVAL_MINUTES} MINUTES")).alias("_e"),
+    )
+    # end-before-start at ties: a window ending exactly when another
+    # starts does not overlap it ([s, e) semantics); delta sorts ensure
+    # -1 applies first via (ts, delta) ordering (-1 < +1)
+    deltas = e.select(F.col("_s").alias("t"), F.lit(1).alias("d"), "event_id").unionByName(
+        e.select(F.col("_e").alias("t"), F.lit(-1).alias("d"), "event_id")
+    )
+    w = Window.orderBy("t", "d", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = deltas.select(
+        "t", F.sum("d").over(w).cast("long").alias("concurrency")
+    )
+    per_day = swept.groupBy(
+        F.date_format("t", "yyyy-MM-dd").alias("day")
+    ).agg(F.max("concurrency").alias("peak_concurrency"))
+    peak = swept.agg(F.max("concurrency").alias("_gp"))
+    return per_day.crossJoin(F.broadcast(peak)).select(
+        "day", "peak_concurrency", F.col("_gp").alias("global_peak")
+    )
+
+
+QUERIES.update({"x124_peak_concurrency": x124_peak_concurrency})
+
+ORACLES.update(
+    {
+        "x124_peak_concurrency": f"""
+        WITH e AS (
+            SELECT event_id, ts AS s, ts + INTERVAL {{im}} MINUTE AS e FROM events
+        ), deltas AS (
+            SELECT s AS t, 1 AS d, event_id FROM e
+            UNION ALL
+            SELECT e.e, -1, event_id FROM e
+        ), swept AS (
+            SELECT t, CAST(SUM(d) OVER (ORDER BY t, d, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS concurrency
+            FROM deltas
+        ), per_day AS (
+            SELECT strftime(t, '%Y-%m-%d') AS day, MAX(concurrency) AS peak_concurrency
+            FROM swept GROUP BY 1
+        ), g AS (
+            SELECT MAX(concurrency) AS gp FROM swept
+        )
+        SELECT day, peak_concurrency, gp AS global_peak FROM per_day, g
+    """.replace("{im}", str(INTERVAL_MINUTES)),
+    }
+)
