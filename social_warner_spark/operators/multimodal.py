@@ -126,7 +126,9 @@ def parse_media_header(payload: bytes) -> dict:
     """Sniff + parse container metadata from raw bytes (pure Python).
 
     Formats: PNG (IHDR width/height), JPEG (SOF0/1/2 frame dims), GIF
-    (logical screen), WAV (fmt chunk + data-size-derived duration).
+    (logical screen), WAV (fmt chunk + data-size-derived duration), BMP
+    (BITMAPINFOHEADER dims), FLAC (STREAMINFO rate/channels/bit-depth +
+    total-samples-derived duration).
     Returns {"media_type": None} for unrecognized payloads — callers keep
     the opaque-binary contract instead of failing the batch.
     """
@@ -180,6 +182,26 @@ def parse_media_header(payload: bytes) -> dict:
                 i += 8 + chunk_size + (chunk_size % 2)  # chunks are word-aligned
             if byte_rate and data_size is not None:
                 out["duration_ms"] = data_size * 1000 // byte_rate
+        elif payload[:2] == b"BM" and len(payload) >= 26:
+            # BITMAPINFOHEADER: signed little-endian dims at offsets 18/22
+            out["media_type"] = "image/bmp"
+            out["width"] = int.from_bytes(payload[18:22], "little", signed=True)
+            # negative height = top-down row order; magnitude is the height
+            out["height"] = abs(
+                int.from_bytes(payload[22:26], "little", signed=True)
+            )
+        elif payload[:4] == b"fLaC" and len(payload) >= 42:
+            # METADATA_BLOCK_STREAMINFO is mandatory-first: 4-byte header
+            # then 34 bytes; rate(20b)/channels-1(3b)/bps-1(5b)/samples(36b)
+            # packed big-endian starting at byte 18 of the block body
+            out["media_type"] = "audio/flac"
+            bits = int.from_bytes(payload[18:26], "big")
+            out["sample_rate"] = bits >> 44
+            out["n_channels"] = ((bits >> 41) & 0x7) + 1
+            out["bits_per_sample"] = ((bits >> 36) & 0x1F) + 1
+            total_samples = bits & ((1 << 36) - 1)
+            if out["sample_rate"]:
+                out["duration_ms"] = total_samples * 1000 // out["sample_rate"]
     except (IndexError, ValueError):
         out = {k: None for k in out}
     return out

@@ -481,3 +481,26 @@ def test_prefix_filter_equals_exact_jaccard(spark, docs):
             for r in prefix_filter_jaccard_pairs(docs, t).collect()
         }
         assert pf == exact, (t, pf ^ exact)
+
+
+def test_parse_media_header_bmp_flac():
+    """BMP (incl. top-down negative height) and FLAC STREAMINFO bit
+    unpacking against handcrafted byte headers."""
+    import struct
+
+    from social_warner_spark.operators.multimodal import parse_media_header
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 640, -480) + b"\x00" * 10
+    r = parse_media_header(bmp)
+    assert (r["media_type"], r["width"], r["height"]) == ("image/bmp", 640, 480)
+
+    rate, ch, bps, samples = 44100, 2, 16, 88200  # 2 seconds
+    bits = (rate << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | samples
+    flac = (
+        b"fLaC" + b"\x00\x00\x00\x22" + b"\x00" * 10
+        + bits.to_bytes(8, "big") + b"\x00" * 16
+    )
+    r = parse_media_header(flac)
+    assert r["media_type"] == "audio/flac"
+    assert (r["sample_rate"], r["n_channels"], r["bits_per_sample"]) == (44100, 2, 16)
+    assert r["duration_ms"] == 2000
