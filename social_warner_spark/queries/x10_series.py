@@ -1300,3 +1300,87 @@ ORACLES.update(
     """.replace("{im}", str(INTERVAL_MINUTES)),
     }
 )
+
+
+#: x125 — the deletion cohort (stands in for a GDPR request list).
+DELETE_USERS = (0, 1, 2, 3, 4)
+
+
+def x125_deletion_impact(spark, sf_dir):
+    """Right-to-be-forgotten impact audit: for a deletion cohort, the
+    matching-row counts and post-purge sizes across every table keyed by
+    the subject (events by user_id, orders by custkey, lineitem through
+    the order join) — the blast-radius report run BEFORE executing a
+    purge.  Each table contributes one aggregate row; the lineitem reach
+    goes through a broadcast semi-join on the (small) affected-order
+    set, so no fact table shuffles."""
+    ids = [int(i) for i in DELETE_USERS]
+
+    e = T(spark, sf_dir, "events")
+    ev = e.agg(
+        F.lit("events").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("user_id").isin(ids).cast("long")).alias("n_matching"),
+    )
+    o = T(spark, sf_dir, "orders")
+    orr = o.agg(
+        F.lit("orders").alias("table_name"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_custkey").isin(ids).cast("long")).alias("n_matching"),
+    )
+    affected = o.where(F.col("o_custkey").isin(ids)).select(
+        F.col("o_orderkey").alias("_ok")
+    )
+    li = T(spark, sf_dir, "lineitem")
+    lir = (
+        li.join(F.broadcast(affected), li["l_orderkey"] == F.col("_ok"), "left")
+        .agg(
+            F.lit("lineitem").alias("table_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.col("_ok").isNotNull().cast("long")).alias("n_matching"),
+        )
+    )
+    out = ev.unionByName(orr).unionByName(lir)
+    return out.select(
+        "table_name",
+        "n_rows",
+        "n_matching",
+        (F.col("n_rows") - F.col("n_matching")).alias("n_after"),
+        r6(F.col("n_matching") / F.col("n_rows").cast("double")).alias("purge_frac"),
+    )
+
+
+QUERIES.update({"x125_deletion_impact": x125_deletion_impact})
+
+ORACLES.update(
+    {
+        "x125_deletion_impact": f"""
+        WITH ids AS (
+            SELECT UNNEST([{", ".join(str(i) for i in DELETE_USERS)}]) AS id
+        ), ev AS (
+            SELECT 'events' AS table_name, COUNT(*) AS n_rows,
+                   CAST(SUM(CASE WHEN user_id IN (SELECT id FROM ids)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_matching
+            FROM events
+        ), orr AS (
+            SELECT 'orders', COUNT(*),
+                   CAST(SUM(CASE WHEN o_custkey IN (SELECT id FROM ids)
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM orders
+        ), lir AS (
+            SELECT 'lineitem', COUNT(*),
+                   CAST(SUM(CASE WHEN l_orderkey IN (
+                        SELECT o_orderkey FROM orders
+                        WHERE o_custkey IN (SELECT id FROM ids))
+                            THEN 1 ELSE 0 END) AS BIGINT)
+            FROM lineitem
+        ), u AS (
+            SELECT * FROM ev UNION ALL SELECT * FROM orr UNION ALL SELECT * FROM lir
+        )
+        SELECT table_name, n_rows, n_matching,
+               n_rows - n_matching AS n_after,
+               ROUND(n_matching / CAST(n_rows AS DOUBLE), 6) AS purge_frac
+        FROM u
+    """,
+    }
+)
