@@ -1384,3 +1384,83 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x126 — histogram resolution for the cardinality estimate.
+CARD_BUCKETS = 64
+
+
+def x126_join_cardinality_estimate(spark, sf_dir):
+    """Optimizer-statistics quality audit: estimate |orders ⋈ lineitem|
+    from 64-bucket key histograms (Σ over buckets of count_a·count_b /
+    bucket-distinct-max — the classic equi-depth estimator) against the
+    exact join size, with the relative error.  The histograms are
+    |buckets|-row aggregates; the exact join is the (one-shuffle)
+    reference the estimator would spare a planner at 100 TB."""
+    o = T(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+
+    def bucket(col):
+        return (
+            F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
+            % CARD_BUCKETS
+        )
+
+    ho = o.groupBy(bucket(F.col("k")).alias("b")).agg(
+        F.count("*").alias("ca"), F.count_distinct("k").alias("da")
+    )
+    hl = li.groupBy(bucket(F.col("k")).alias("b")).agg(
+        F.count("*").alias("cb"), F.count_distinct("k").alias("db")
+    )
+    est = (
+        ho.join(hl, "b")
+        .select(
+            (
+                F.col("ca").cast("double")
+                * F.col("cb")
+                / F.greatest(F.col("da"), F.col("db")).cast("double")
+            ).alias("_e")
+        )
+        .agg(F.round(F.sum("_e")).cast("long").alias("est_rows"))
+    )
+    exact = o.join(li, "k").agg(F.count("*").alias("exact_rows"))
+    return est.crossJoin(exact).select(
+        "est_rows",
+        "exact_rows",
+        r6(
+            F.abs(F.col("est_rows") - F.col("exact_rows"))
+            / F.col("exact_rows").cast("double")
+        ).alias("rel_err"),
+    )
+
+
+QUERIES.update({"x126_join_cardinality_estimate": x126_join_cardinality_estimate})
+
+ORACLES.update(
+    {
+        "x126_join_cardinality_estimate": f"""
+        WITH ho AS (
+            SELECT ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                       % {CARD_BUCKETS} AS b,
+                   COUNT(*) AS ca, COUNT(DISTINCT o_orderkey) AS da
+            FROM orders GROUP BY 1
+        ), hl AS (
+            SELECT ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 4))::BIGINT
+                       % {CARD_BUCKETS} AS b,
+                   COUNT(*) AS cb, COUNT(DISTINCT l_orderkey) AS db
+            FROM lineitem GROUP BY 1
+        ), est AS (
+            SELECT CAST(ROUND(SUM(CAST(ca AS DOUBLE) * cb
+                       / CAST(GREATEST(da, db) AS DOUBLE))) AS BIGINT) AS est_rows
+            FROM ho JOIN hl ON ho.b = hl.b
+        ), exact AS (
+            SELECT COUNT(*) AS exact_rows
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        )
+        SELECT est_rows, exact_rows,
+               ROUND(ABS(est_rows - exact_rows) / CAST(exact_rows AS DOUBLE), 6)
+                   AS rel_err
+        FROM est, exact
+    """,
+    }
+)
