@@ -1464,3 +1464,63 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x127 — SLA day thresholds.
+SLA_DAYS = (60, 90, 120)
+
+
+def x127_sla_attainment(spark, sf_dir):
+    """Fulfillment SLA attainment: per order priority, the fraction of
+    orders fully shipped (last lineitem ship date) within 60/90/120 days
+    of the order date — the operations scorecard over the
+    order→lineitem join.  One co-keyed join + |orders| aggregate to
+    fulfillment days, then a |priorities|×|thresholds| matrix."""
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_orderpriority", "o_orderdate"
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), "l_shipdate"
+    )
+    fulfilled = (
+        li.groupBy("ok")
+        .agg(F.max("l_shipdate").alias("_last"))
+        .join(o, "ok")
+        .select(
+            "o_orderpriority",
+            F.datediff(F.col("_last"), F.col("o_orderdate")).alias("_days"),
+        )
+    )
+    return fulfilled.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        r6(F.avg("_days")).alias("mean_days"),
+        *[
+            r6(F.avg((F.col("_days") <= d).cast("double"))).alias(f"within_{d}d")
+            for d in SLA_DAYS
+        ],
+    )
+
+
+QUERIES.update({"x127_sla_attainment": x127_sla_attainment})
+
+ORACLES.update(
+    {
+        "x127_sla_attainment": f"""
+        WITH fulfilled AS (
+            SELECT o.o_orderpriority,
+                   datediff('day', o.o_orderdate, f.last_ship) AS days
+            FROM orders o JOIN (
+                SELECT l_orderkey, MAX(l_shipdate) AS last_ship
+                FROM lineitem GROUP BY l_orderkey
+            ) f ON o.o_orderkey = f.l_orderkey
+        )
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(AVG(days), 6) AS mean_days,
+               {", ".join(
+                   f"ROUND(AVG(CASE WHEN days <= {d} THEN 1.0 ELSE 0.0 END), 6) AS within_{d}d"
+                   for d in SLA_DAYS
+               )}
+        FROM fulfilled GROUP BY o_orderpriority
+    """,
+    }
+)
