@@ -2016,3 +2016,143 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x128 — bin count per axis for the MI grid.
+MI_BINS = 10
+#: x129 — top-term list size compared across halves.
+CHURN_TOPK = 100
+
+
+def x128_mutual_information(spark, sf_dir):
+    """Binned mutual information between document quality and length —
+    the feature-redundancy check that says whether 'quality' carries
+    information beyond 'length' before both drive selection (the
+    continuous companion to x117's decile means).  Both variables are
+    decile-binned by ntile; MI sums over the ≤100-cell joint histogram,
+    so everything past the two rank windows is grid-sized."""
+    from social_warner_spark.functions.text import quality_score
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", quality_score(F.col("text")).alias("_q")
+    )
+    binned = d.select(
+        F.ntile(MI_BINS).over(Window.orderBy("n_chars", "doc_id")).alias("bx"),
+        F.ntile(MI_BINS).over(Window.orderBy("_q", "doc_id")).alias("by"),
+    )
+    joint = binned.groupBy("bx", "by").agg(F.count("*").alias("c"))
+    n = d.agg(F.count("*").alias("_n"))
+    px = joint.groupBy("bx").agg(F.sum("c").alias("cx"))
+    py = joint.groupBy("by").agg(F.sum("c").alias("cy"))
+    terms = (
+        joint.join(F.broadcast(px), "bx")
+        .join(F.broadcast(py), "by")
+        .crossJoin(F.broadcast(n))
+        .select(
+            (
+                (F.col("c") / F.col("_n"))
+                * F.log(
+                    (F.col("c").cast("double") * F.col("_n"))
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+            ).alias("_t")
+        )
+    )
+    return terms.agg(r6(F.sum("_t")).alias("mutual_information_nats"))
+
+
+def x129_vocab_churn(spark, sf_dir):
+    """Vocabulary churn between corpus halves (doc_id parity split): the
+    top-100 term lists of each half compared by overlap count and
+    Jaccard — the drift audit run between two crawl snapshots before
+    assuming one tokenizer/vocabulary still fits.  Term counts are
+    vocabulary-bounded; the rank windows partition by half and the final
+    compare is 2×top-k rows."""
+    from social_warner_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    terms = d.select(
+        (F.col("doc_id") % 2 == 0).alias("_h"),
+        F.explode(tokens(F.col("text"))).alias("term"),
+    )
+    counts = terms.groupBy("_h", "term").agg(F.count("*").alias("c"))
+    ranked = counts.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("_h").orderBy(F.desc("c"), F.asc("term"))
+        ),
+    ).where(F.col("rk") <= CHURN_TOPK)
+    a = ranked.where(F.col("_h")).select(F.col("term").alias("ta"))
+    b = ranked.where(~F.col("_h")).select(F.col("term").alias("tb"))
+    overlap = a.join(b, a["ta"] == b["tb"]).agg(F.count("*").alias("n_shared"))
+    return overlap.select(
+        F.lit(CHURN_TOPK).alias("top_k"),
+        "n_shared",
+        r6(
+            F.col("n_shared") / (F.lit(2 * CHURN_TOPK) - F.col("n_shared")).cast("double")
+        ).alias("jaccard"),
+    )
+
+
+QUERIES.update(
+    {
+        "x128_mutual_information": x128_mutual_information,
+        "x129_vocab_churn": x129_vocab_churn,
+    }
+)
+
+ORACLES.update(
+    {
+        "x128_mutual_information": """
+        WITH d AS (
+            SELECT doc_id, n_chars, {q} AS q FROM documents
+        ), binned AS (
+            SELECT NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bx,
+                   NTILE(10) OVER (ORDER BY ROUND(q, 6), doc_id) AS by
+            FROM d
+        ), joint AS (
+            SELECT bx, by, COUNT(*) AS c FROM binned GROUP BY bx, by
+        ), n AS (
+            SELECT COUNT(*) AS n FROM d
+        ), px AS (
+            SELECT bx, SUM(c) AS cx FROM joint GROUP BY bx
+        ), py AS (
+            SELECT by, SUM(c) AS cy FROM joint GROUP BY by
+        )
+        SELECT ROUND(SUM((c / CAST(n.n AS DOUBLE))
+                   * ln((CAST(c AS DOUBLE) * n.n)
+                        / (CAST(cx AS DOUBLE) * cy))), 6)
+                   AS mutual_information_nats
+        FROM joint
+        JOIN px ON joint.bx = px.bx
+        JOIN py ON joint.by = py.by, n
+    """,
+        "x129_vocab_churn": f"""
+        WITH terms AS (
+            SELECT doc_id % 2 = 0 AS h,
+                   unnest(string_split(trim(text), ' ')) AS term
+            FROM documents
+        ), counts AS (
+            SELECT h, term, COUNT(*) AS c FROM terms GROUP BY h, term
+        ), ranked AS (
+            SELECT h, term,
+                   ROW_NUMBER() OVER (PARTITION BY h ORDER BY c DESC, term ASC) AS rk
+            FROM counts
+        ), a AS (
+            SELECT term FROM ranked WHERE h AND rk <= {CHURN_TOPK}
+        ), b AS (
+            SELECT term FROM ranked WHERE NOT h AND rk <= {CHURN_TOPK}
+        ), overlap AS (
+            SELECT COUNT(*) AS n_shared FROM a JOIN b ON a.term = b.term
+        )
+        SELECT {CHURN_TOPK} AS top_k, n_shared,
+               ROUND(n_shared / CAST({2 * CHURN_TOPK} - n_shared AS DOUBLE), 6)
+                   AS jaccard
+        FROM overlap
+    """,
+    }
+)
+
+ORACLES["x128_mutual_information"] = ORACLES["x128_mutual_information"].replace(
+    "{q}", _QUALITY_SQL
+)
