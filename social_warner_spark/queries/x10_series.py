@@ -1524,3 +1524,122 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x130 — result size for the drifting-user report.
+TREND_TOPK = 10
+#: x131 — fold count for the assignment audit.
+N_FOLDS = 5
+
+
+def x130_user_trends(spark, sf_dir):
+    """Per-entity trend detection: least-squares slope of event value
+    against time (days since epoch) for every user, top-10 by absolute
+    slope — the drift screen that finds entities whose behavior is
+    changing fastest.  Slopes are single-pass moment aggregates per
+    user (one shuffle); only the top-k window touches the |users|
+    result."""
+    e = T(spark, sf_dir, "events").select(
+        "user_id",
+        (F.expr(f"timestampdiff(SECOND, TIMESTAMP '{COHORT_EPOCH} 00:00:00', ts)")
+         / 86400.0).alias("_d"),
+        "value",
+    )
+    slopes = e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        r6(F.regr_slope(F.col("value"), F.col("_d"))).alias("slope_per_day"),
+    ).where(F.col("slope_per_day").isNotNull())
+    w = Window.orderBy(F.desc(F.abs(F.col("slope_per_day"))), F.asc("user_id"))
+    return (
+        slopes.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= TREND_TOPK)
+    )
+
+
+def x131_fold_balance(spark, sf_dir):
+    """K-fold assignment balance audit: deterministic md5 fold ids for
+    every document, per-fold×lang counts, and the chi-square statistic
+    against the uniform expectation — the check that a hash-fold split
+    didn't accidentally cluster a language into one fold.  The
+    contingency table is |folds|×|langs|; expectations broadcast."""
+    d = T(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % N_FOLDS
+    )
+    cells = d.groupBy(fold.alias("fold"), F.col("lang")).agg(
+        F.count("*").alias("c")
+    )
+    lang_tot = cells.groupBy("lang").agg(F.sum("c").alias("lt"))
+    chi = (
+        cells.join(F.broadcast(lang_tot), "lang")
+        .select(
+            (
+                F.pow(F.col("c") - F.col("lt") / F.lit(float(N_FOLDS)), 2)
+                / (F.col("lt") / F.lit(float(N_FOLDS)))
+            ).alias("_t")
+        )
+        .agg(r6(F.sum("_t")).alias("chi_square"))
+    )
+    sizes = d.groupBy(fold.alias("fold")).agg(F.count("*").alias("n_docs"))
+    spread = sizes.agg(
+        F.min("n_docs").alias("min_fold"),
+        F.max("n_docs").alias("max_fold"),
+    )
+    return chi.crossJoin(spread).select(
+        F.lit(N_FOLDS).alias("n_folds"), "min_fold", "max_fold", "chi_square"
+    )
+
+
+QUERIES.update(
+    {
+        "x130_user_trends": x130_user_trends,
+        "x131_fold_balance": x131_fold_balance,
+    }
+)
+
+ORACLES.update(
+    {
+        "x130_user_trends": f"""
+        WITH e AS (
+            SELECT user_id,
+                   epoch_us(ts - TIMESTAMP '{COHORT_EPOCH} 00:00:00')
+                       / 1000000.0 / 86400.0 AS d,
+                   value
+            FROM events
+        ), slopes AS (
+            SELECT user_id, COUNT(*) AS n_events,
+                   ROUND(regr_slope(value, d), 6) AS slope_per_day
+            FROM e GROUP BY user_id
+        )
+        SELECT user_id, n_events, slope_per_day,
+               CAST(ROW_NUMBER() OVER (ORDER BY ABS(slope_per_day) DESC, user_id)
+                    AS INT) AS rk
+        FROM slopes WHERE slope_per_day IS NOT NULL
+        QUALIFY rk <= {TREND_TOPK}
+    """,
+        "x131_fold_balance": f"""
+        WITH cells AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % {N_FOLDS} AS fold,
+                   lang, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2
+        ), lang_tot AS (
+            SELECT lang, SUM(c) AS lt FROM cells GROUP BY lang
+        ), chi AS (
+            SELECT ROUND(SUM(POWER(c - lt / {float(N_FOLDS)}, 2)
+                       / (lt / {float(N_FOLDS)})), 6) AS chi_square
+            FROM cells JOIN lang_tot ON cells.lang = lang_tot.lang
+        ), sizes AS (
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                       % {N_FOLDS} AS fold, COUNT(*) AS n_docs
+            FROM documents GROUP BY 1
+        ), spread AS (
+            SELECT MIN(n_docs) AS min_fold, MAX(n_docs) AS max_fold FROM sizes
+        )
+        SELECT {N_FOLDS} AS n_folds, min_fold, max_fold, chi_square
+        FROM chi, spread
+    """,
+    }
+)
