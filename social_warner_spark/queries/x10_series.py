@@ -1643,3 +1643,148 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x133 — two-sided α=0.05 and power=0.8 normal quantiles.
+Z_ALPHA = 1.959964
+Z_BETA = 0.841621
+
+
+def x132_funnel_by_first_touch(spark, sf_dir):
+    """Conversion segmented by acquisition channel: users grouped by
+    their FIRST-ever event type, with view→purchase conversion per
+    segment — the acquisition-quality question behind channel spend.
+    First-touch labels are one user window; the funnel legs reuse x93's
+    |users|-sized stage aggregates joined on the label."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_touch = (
+        e.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_touch"))
+    )
+    viewers = (
+        e.where(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("t"))
+    )
+    purchasers = (
+        e.where(F.col("event_type") == "purchase")
+        .join(viewers, "user_id")
+        .where(F.col("ts") > F.col("t"))
+        .select("user_id")
+        .distinct()
+    )
+    seg = first_touch.join(viewers.select("user_id"), "user_id").join(
+        purchasers.withColumn("_p", F.lit(1)), "user_id", "left"
+    )
+    return seg.groupBy("first_touch").agg(
+        F.count("*").alias("n_viewers"),
+        F.sum(F.coalesce(F.col("_p"), F.lit(0)).cast("long")).alias("n_converted"),
+        r6(
+            F.sum(F.coalesce(F.col("_p"), F.lit(0)))
+            / F.count("*").cast("double")
+        ).alias("conversion"),
+    )
+
+
+def x133_experiment_power(spark, sf_dir):
+    """Power analysis for the x104 experiment: from the per-arm moments,
+    the minimum detectable effect at α=0.05 / power=0.8 —
+    MDE = (z_α/2 + z_β)·√(var_a/n_a + var_b/n_b) — absolute and as a
+    fraction of the control mean.  The answer to 'could this test even
+    see the lift we care about?'.  Pure arithmetic on two 6dp-pinned
+    moment rows."""
+    e = T(spark, sf_dir, "events")
+    per_user = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum("value").alias("_v"))
+        .select(
+            F.when(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1)
+                < AB_SPLIT_HEX,
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("arm"),
+            "_v",
+        )
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg("_v"), 6).alias("mean"),
+        F.round(F.var_samp("_v"), 6).alias("var"),
+    )
+    a = arms.where(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("_va")
+    )
+    b = arms.where(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("var").alias("_vb")
+    )
+    mde = F.lit(Z_ALPHA + Z_BETA) * F.sqrt(
+        F.col("_va") / F.col("n_a") + F.col("_vb") / F.col("n_b")
+    )
+    return a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        r6(mde).alias("mde_abs"),
+        r6(mde / F.col("mean_a")).alias("mde_rel"),
+    )
+
+
+QUERIES.update(
+    {
+        "x132_funnel_by_first_touch": x132_funnel_by_first_touch,
+        "x133_experiment_power": x133_experiment_power,
+    }
+)
+
+ORACLES.update(
+    {
+        "x132_funnel_by_first_touch": """
+        WITH ft AS (
+            SELECT user_id, event_type AS first_touch FROM (
+                SELECT user_id, event_type,
+                       ROW_NUMBER() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn = 1
+        ), viewers AS (
+            SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), purchasers AS (
+            SELECT DISTINCT e.user_id
+            FROM events e JOIN viewers v ON e.user_id = v.user_id AND e.ts > v.t
+            WHERE e.event_type = 'purchase'
+        )
+        SELECT ft.first_touch,
+               COUNT(*) AS n_viewers,
+               CAST(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_converted,
+               ROUND(SUM(CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 6) AS conversion
+        FROM ft
+        JOIN viewers USING (user_id)
+        LEFT JOIN purchasers p USING (user_id)
+        GROUP BY ft.first_touch
+    """,
+        "x133_experiment_power": f"""
+        WITH per_user AS (
+            SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                        THEN 'A' ELSE 'B' END AS arm,
+                   SUM(value) AS v
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), arms AS (
+            SELECT arm, COUNT(*) AS n, ROUND(AVG(v), 6) AS mean,
+                   ROUND(VAR_SAMP(v), 6) AS var
+            FROM per_user GROUP BY arm
+        )
+        SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a,
+               ROUND({Z_ALPHA + Z_BETA} * sqrt(a.var / a.n + b.var / b.n), 6)
+                   AS mde_abs,
+               ROUND({Z_ALPHA + Z_BETA} * sqrt(a.var / a.n + b.var / b.n)
+                     / a.mean, 6) AS mde_rel
+        FROM arms a, arms b WHERE a.arm = 'A' AND b.arm = 'B'
+    """,
+    }
+)
