@@ -1788,3 +1788,131 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x135 — trailing window length (days) and anomaly threshold (robust z).
+ANOM_WINDOW = 7
+ANOM_Z = 2.0
+
+
+def x134_repeat_purchase_gaps(spark, sf_dir):
+    """Repeat-purchase behavior: gaps in hours between consecutive
+    purchases per user — repeat-purchaser share and the gap
+    distribution (min/median/p90) — the loyalty metric behind
+    replenishment campaigns.  One user window for the lag; percentiles
+    run on the \\|gaps\\| relation."""
+    e = T(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        e.select(
+            "user_id",
+            (
+                F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                       "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+                / 3600_000_000.0
+            ).alias("_gap_h"),
+        )
+        .where(F.col("_gap_h").isNotNull())
+    )
+    buyers = e.groupBy("user_id").agg(F.count("*").alias("_n"))
+    share = buyers.agg(
+        F.count("*").alias("n_buyers"),
+        r6(F.avg((F.col("_n") >= 2).cast("double"))).alias("repeat_share"),
+    )
+    dist = gaps.agg(
+        F.count("*").alias("n_gaps"),
+        r6(F.min("_gap_h")).alias("min_gap_h"),
+        r6(F.median("_gap_h")).alias("median_gap_h"),
+        r6(F.percentile("_gap_h", F.lit(0.9))).alias("p90_gap_h"),
+    )
+    return share.crossJoin(dist)
+
+
+def x135_trailing_anomalies(spark, sf_dir):
+    """Time-series anomaly detection on the daily revenue total: each
+    day compared against its TRAILING-7-day mean/stddev (frame ends at
+    the previous day — the current value never contaminates its own
+    baseline), flagged beyond 2σ.  One |days|-sized window after the
+    daily aggregate; the classic ops alerting shape."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(-ANOM_WINDOW, -1)
+    flagged = daily.select(
+        "day",
+        "total",
+        F.round(F.avg("total").over(w), 6).alias("trailing_mean"),
+        F.round(F.stddev_samp("total").over(w), 6).alias("trailing_std"),
+        F.count("total").over(w).alias("_nw"),
+    ).where(F.col("_nw") >= 3)
+    return flagged.select(
+        "day",
+        "total",
+        "trailing_mean",
+        (
+            F.abs(F.col("total") - F.col("trailing_mean"))
+            > F.lit(ANOM_Z) * F.col("trailing_std")
+        ).alias("is_anomaly"),
+    )
+
+
+QUERIES.update(
+    {
+        "x134_repeat_purchase_gaps": x134_repeat_purchase_gaps,
+        "x135_trailing_anomalies": x135_trailing_anomalies,
+    }
+)
+
+ORACLES.update(
+    {
+        "x134_repeat_purchase_gaps": """
+        WITH p AS (
+            SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+        ), gaps AS (
+            SELECT epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                   / 1000000.0 / 3600.0 AS gap_h
+            FROM p
+        ), g AS (
+            SELECT gap_h FROM gaps WHERE gap_h IS NOT NULL
+        ), buyers AS (
+            SELECT user_id, COUNT(*) AS n FROM p GROUP BY user_id
+        ), share AS (
+            SELECT COUNT(*) AS n_buyers,
+                   ROUND(AVG(CASE WHEN n >= 2 THEN 1.0 ELSE 0.0 END), 6)
+                       AS repeat_share
+            FROM buyers
+        ), dist AS (
+            SELECT COUNT(*) AS n_gaps,
+                   ROUND(MIN(gap_h), 6) AS min_gap_h,
+                   ROUND(MEDIAN(gap_h), 6) AS median_gap_h,
+                   ROUND(QUANTILE_CONT(gap_h, 0.9), 6) AS p90_gap_h
+            FROM g
+        )
+        SELECT n_buyers, repeat_share, n_gaps, min_gap_h, median_gap_h, p90_gap_h
+        FROM share, dist
+    """,
+        "x135_trailing_anomalies": f"""
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   ROUND(SUM(value), 2) AS total
+            FROM events GROUP BY 1
+        ), flagged AS (
+            SELECT day, total,
+                   ROUND(AVG(total) OVER (ORDER BY day
+                       ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING), 6)
+                       AS trailing_mean,
+                   ROUND(STDDEV_SAMP(total) OVER (ORDER BY day
+                       ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING), 6)
+                       AS trailing_std,
+                   COUNT(total) OVER (ORDER BY day
+                       ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING) AS nw
+            FROM daily
+        )
+        SELECT day, total, trailing_mean,
+               ABS(total - trailing_mean) > {ANOM_Z} * trailing_std AS is_anomaly
+        FROM flagged WHERE nw >= 3
+    """,
+    }
+)
