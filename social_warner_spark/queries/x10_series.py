@@ -1916,3 +1916,136 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x136 — concentration target.
+PARETO_TARGET = 0.8
+
+
+def x136_pareto_concentration(spark, sf_dir):
+    """Pareto/concentration analysis of revenue by customer: customers
+    ranked by spend, cumulative share, and how few customers cover 80%
+    of revenue — the concentration-risk question every account team
+    asks.  Per-customer totals are one shuffle; the cumulative share is
+    a single ordered window over the |customers| relation."""
+    o = T(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_v"))
+    tot = per.agg(F.sum("_v").alias("_t"))
+    w = Window.orderBy(F.desc("_v"), F.asc("o_custkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = per.crossJoin(F.broadcast(tot)).select(
+        "o_custkey",
+        F.row_number()
+        .over(Window.orderBy(F.desc("_v"), F.asc("o_custkey")))
+        .alias("rk"),
+        (F.sum("_v").over(w) / F.col("_t")).alias("_cum"),
+    )
+    n_cust = per.agg(F.count("*").alias("n_customers"))
+    covered = ranked.where(F.col("_cum") >= PARETO_TARGET).agg(
+        F.min("rk").alias("n_for_80pct")
+    )
+    top_decile = ranked.crossJoin(F.broadcast(n_cust)).where(
+        F.col("rk") <= F.ceil(F.col("n_customers") / 10)
+    ).agg(r6(F.max("_cum")).alias("top_decile_share"))
+    return n_cust.crossJoin(covered).crossJoin(top_decile).select(
+        "n_customers",
+        "n_for_80pct",
+        r6(F.col("n_for_80pct") / F.col("n_customers").cast("double")).alias(
+            "frac_for_80pct"
+        ),
+        "top_decile_share",
+    )
+
+
+def x137_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per purchasing user, recency (days since last
+    purchase vs the corpus max date), frequency, and monetary terciles
+    (ntile(3) each, 1 = best), concatenated to a segment code and
+    counted — the classic lifecycle segmentation.  Per-user stats are
+    one shuffle; the three tercile windows sort the |users| relation."""
+    e = T(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    anchor = e.agg(F.max("ts").alias("_mx"))
+    per = (
+        e.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("_last"),
+            F.count("*").alias("_freq"),
+            F.round(F.sum("value"), 2).alias("_mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.expr("timestampdiff(SECOND, _last, _mx)").alias("_rec_s"),
+            "_freq",
+            "_mon",
+        )
+    )
+    r = F.ntile(3).over(Window.orderBy(F.asc("_rec_s"), F.asc("user_id")))
+    f_ = F.ntile(3).over(Window.orderBy(F.desc("_freq"), F.asc("user_id")))
+    m = F.ntile(3).over(Window.orderBy(F.desc("_mon"), F.asc("user_id")))
+    coded = per.select(
+        F.concat_ws(
+            "-", r.cast("string"), f_.cast("string"), m.cast("string")
+        ).alias("segment")
+    )
+    return coded.groupBy("segment").agg(F.count("*").alias("n_users"))
+
+
+QUERIES.update(
+    {
+        "x136_pareto_concentration": x136_pareto_concentration,
+        "x137_rfm_segments": x137_rfm_segments,
+    }
+)
+
+ORACLES.update(
+    {
+        "x136_pareto_concentration": f"""
+        WITH per AS (
+            SELECT o_custkey, SUM(o_totalprice) AS v FROM orders GROUP BY o_custkey
+        ), tot AS (
+            SELECT SUM(v) AS t FROM per
+        ), ranked AS (
+            SELECT o_custkey,
+                   ROW_NUMBER() OVER (ORDER BY v DESC, o_custkey) AS rk,
+                   SUM(v) OVER (ORDER BY v DESC, o_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       / tot.t AS cum
+            FROM per, tot
+        ), nc AS (
+            SELECT COUNT(*) AS n_customers FROM per
+        ), covered AS (
+            SELECT MIN(rk) AS n_for_80pct FROM ranked WHERE cum >= {PARETO_TARGET}
+        ), td AS (
+            SELECT ROUND(MAX(cum), 6) AS top_decile_share
+            FROM ranked, nc WHERE rk <= CEIL(n_customers / 10.0)
+        )
+        SELECT n_customers, n_for_80pct,
+               ROUND(n_for_80pct / CAST(n_customers AS DOUBLE), 6) AS frac_for_80pct,
+               top_decile_share
+        FROM nc, covered, td
+    """,
+        "x137_rfm_segments": """
+        WITH p AS (
+            SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        ), anchor AS (
+            SELECT MAX(ts) AS mx FROM p
+        ), per AS (
+            SELECT user_id,
+                   epoch_us(anchor.mx - MAX(ts)) // 1000000 AS rec_s,
+                   COUNT(*) AS freq,
+                   ROUND(SUM(value), 2) AS mon
+            FROM p, anchor GROUP BY user_id, anchor.mx
+        ), coded AS (
+            SELECT concat_ws('-',
+                CAST(NTILE(3) OVER (ORDER BY rec_s ASC, user_id ASC) AS VARCHAR),
+                CAST(NTILE(3) OVER (ORDER BY freq DESC, user_id ASC) AS VARCHAR),
+                CAST(NTILE(3) OVER (ORDER BY mon DESC, user_id ASC) AS VARCHAR))
+                AS segment
+            FROM per
+        )
+        SELECT segment, COUNT(*) AS n_users FROM coded GROUP BY segment
+    """,
+    }
+)
