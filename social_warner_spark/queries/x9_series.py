@@ -2156,3 +2156,93 @@ ORACLES.update(
 ORACLES["x128_mutual_information"] = ORACLES["x128_mutual_information"].replace(
     "{q}", _QUALITY_SQL
 )
+
+
+def x138_cluster_size_histogram(spark, sf_dir):
+    """Near-dup bookkeeping: the distribution of x27 cluster sizes plus
+    the corpus dup-inflation factor (docs per surviving cluster) — the
+    before/after accounting a dedup run reports.  One |docs|-row
+    aggregate over the propagation labels."""
+    from social_warner_spark.operators.dedup import neardup_clusters
+
+    clusters = neardup_clusters(T(spark, sf_dir, "documents"), threshold=0.5)
+    sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
+    hist = sizes.groupBy("sz").agg(F.count("*").alias("n_clusters"))
+    totals = sizes.agg(
+        F.sum("sz").alias("_docs"), F.count("*").alias("_cl")
+    )
+    return hist.crossJoin(F.broadcast(totals)).select(
+        F.col("sz").alias("cluster_size"),
+        "n_clusters",
+        r6(F.col("_docs") / F.col("_cl").cast("double")).alias("inflation_factor"),
+    )
+
+
+def x139_cold_start_parts(spark, sf_dir):
+    """Cold-start inventory: parts never co-purchased with any other
+    part (degree 0 in the co-purchase graph) — the items a
+    'bought-together' recommender can say nothing about.  The connected
+    part set comes from the bounded within-order pair join; the
+    cold-start set is one broadcast anti-join against the part dimension."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    per_order = li.groupBy("ok").agg(F.count("*").alias("_n"))
+    connected = (
+        li.join(F.broadcast(per_order.where(F.col("_n") >= 2)), "ok")
+        .select("pk")
+        .distinct()
+    )
+    p = T(spark, sf_dir, "part").select(F.col("p_partkey").alias("pk"))
+    cold = p.join(connected, "pk", "left_anti").agg(
+        F.count("*").alias("n_cold")
+    )
+    totals = p.agg(F.count("*").alias("n_parts"))
+    return totals.crossJoin(cold).select(
+        "n_parts",
+        "n_cold",
+        r6(F.col("n_cold") / F.col("n_parts").cast("double")).alias("cold_frac"),
+    )
+
+
+QUERIES.update(
+    {
+        "x138_cluster_size_histogram": x138_cluster_size_histogram,
+        "x139_cold_start_parts": x139_cold_start_parts,
+    }
+)
+
+ORACLES.update(
+    {
+        "x138_cluster_size_histogram": NEARDUP_CLUSTERS_CTE
+        + """
+        , csize AS (
+            SELECT cluster_id, COUNT(*) AS sz FROM clusters GROUP BY cluster_id
+        ), hist AS (
+            SELECT sz, COUNT(*) AS n_clusters FROM csize GROUP BY sz
+        ), totals AS (
+            SELECT SUM(sz) AS docs, COUNT(*) AS cl FROM csize
+        )
+        SELECT sz AS cluster_size, n_clusters,
+               ROUND(docs / CAST(cl AS DOUBLE), 6) AS inflation_factor
+        FROM hist, totals
+    """,
+        "x139_cold_start_parts": """
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), multi AS (
+            SELECT ok FROM li GROUP BY ok HAVING COUNT(*) >= 2
+        ), connected AS (
+            SELECT DISTINCT pk FROM li JOIN multi USING (ok)
+        ), cold AS (
+            SELECT COUNT(*) AS n_cold FROM part
+            WHERE p_partkey NOT IN (SELECT pk FROM connected)
+        ), totals AS (
+            SELECT COUNT(*) AS n_parts FROM part
+        )
+        SELECT n_parts, n_cold,
+               ROUND(n_cold / CAST(n_parts AS DOUBLE), 6) AS cold_frac
+        FROM totals, cold
+    """,
+    }
+)
