@@ -2049,3 +2049,126 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x141 — result bound per brand.
+BRAND_TOP_TYPES = 3
+
+
+def x140_supplier_scorecard(spark, sf_dir):
+    """Supplier scorecard: per supplier the revenue, return rate
+    (l_returnflag='R' share), and revenue rank WITHIN the supplier's
+    nation — the vendor-management report joining facts to two
+    dimensions with a partitioned rank.  Lineitem aggregates once to
+    |suppliers| rows; both dims broadcast; top-3 per nation."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        (F.col("l_returnflag") == "R").cast("double").alias("_ret"),
+    )
+    per = li.groupBy("l_suppkey").agg(
+        F.round(F.sum("_rev"), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+        r6(F.avg("_ret")).alias("return_rate"),
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name", "s_nationkey"
+    )
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name"
+    )
+    joined = per.join(F.broadcast(s), "l_suppkey").join(F.broadcast(n), "s_nationkey")
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("l_suppkey"))
+    return (
+        joined.withColumn("nation_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("nation_rank") <= 3)
+        .select(
+            "n_name",
+            "nation_rank",
+            F.col("l_suppkey").alias("s_suppkey"),
+            "s_name",
+            "revenue",
+            "n_lines",
+            "return_rate",
+        )
+    )
+
+
+def x141_brand_type_share(spark, sf_dir):
+    """Brand market-share matrix: revenue share of each part type within
+    its brand, top-3 types per brand — the category-management rollup
+    over the part dimension.  Lineitem aggregates once to |brand×type|
+    rows; the share normalizer and rank share the brand partition."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    p = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type"
+    )
+    cells = (
+        li.join(F.broadcast(p), "l_partkey")
+        .groupBy("p_brand", "p_type")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+    )
+    wb = Window.partitionBy("p_brand")
+    wr = Window.partitionBy("p_brand").orderBy(F.desc("revenue"), F.asc("p_type"))
+    return (
+        cells.select(
+            "p_brand",
+            "p_type",
+            "revenue",
+            r6(F.col("revenue") / F.sum("revenue").over(wb)).alias("brand_share"),
+            F.row_number().over(wr).cast("int").alias("rk"),
+        )
+        .where(F.col("rk") <= BRAND_TOP_TYPES)
+    )
+
+
+QUERIES.update(
+    {
+        "x140_supplier_scorecard": x140_supplier_scorecard,
+        "x141_brand_type_share": x141_brand_type_share,
+    }
+)
+
+ORACLES.update(
+    {
+        "x140_supplier_scorecard": """
+        WITH per AS (
+            SELECT l_suppkey,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_lines,
+                   ROUND(AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END), 6)
+                       AS return_rate
+            FROM lineitem GROUP BY l_suppkey
+        ), joined AS (
+            SELECT n.n_name, per.l_suppkey AS s_suppkey, s.s_name,
+                   per.revenue, per.n_lines, per.return_rate,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY n.n_name
+                        ORDER BY per.revenue DESC, per.l_suppkey) AS INT)
+                       AS nation_rank
+            FROM per
+            JOIN supplier s ON s.s_suppkey = per.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+        )
+        SELECT n_name, nation_rank, s_suppkey, s_name, revenue, n_lines, return_rate
+        FROM joined WHERE nation_rank <= 3
+    """,
+        "x141_brand_type_share": f"""
+        WITH cells AS (
+            SELECT p.p_brand, p.p_type,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+            GROUP BY p.p_brand, p.p_type
+        )
+        SELECT p_brand, p_type, revenue,
+               ROUND(revenue / SUM(revenue) OVER (PARTITION BY p_brand), 6)
+                   AS brand_share,
+               CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+                    ORDER BY revenue DESC, p_type) AS INT) AS rk
+        FROM cells
+        QUALIFY rk <= {BRAND_TOP_TYPES}
+    """,
+    }
+)
