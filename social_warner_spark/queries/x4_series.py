@@ -113,10 +113,14 @@ def x35_bm25_search(spark, sf_dir):
     from social_warner_spark.operators.search import bm25_scores
 
     scores = bm25_scores(T(spark, sf_dir, "documents"), BM25_TERMS)
+    # orderBy+limit plans TakeOrderedAndProject (per-partition heaps);
+    # the rank window then touches only the k survivors — a global
+    # row_number filter would single-partition-sort every scored doc
     w = Window.orderBy(F.desc("score"), "doc_id")
     return (
-        scores.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= BM25_TOPK)
+        scores.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+        .withColumn("rk", F.row_number().over(w))
         .select("doc_id", "score", "rk")
     )
 

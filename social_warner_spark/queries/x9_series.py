@@ -636,11 +636,16 @@ def x85_hybrid_rrf_search(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents")
     kw = bm25_scores(docs, ["spark", "hash", "window"])
+    # depth-bound via orderBy+limit so Catalyst plans TakeOrderedAndProject
+    # (per-partition heaps + driver merge of k×partitions rows); the rank
+    # window then runs over ≤depth rows.  A row_number-filter on a GLOBAL
+    # window would sort every scored row in one partition first.
     wkw = Window.orderBy(F.desc("score"), "doc_id")
     kw_ranked = (
         kw.where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
         .withColumn("rk_kw", F.row_number().over(wkw).cast("int"))
-        .where(F.col("rk_kw") <= RRF_DEPTH)
         .select("doc_id", "rk_kw")
     )
 
@@ -658,8 +663,9 @@ def x85_hybrid_rrf_search(spark, sf_dir):
     )
     wv = Window.orderBy(F.desc("cos"), "doc_id")
     vec_ranked = (
-        scored.withColumn("rk_vec", F.row_number().over(wv).cast("int"))
-        .where(F.col("rk_vec") <= RRF_DEPTH)
+        scored.orderBy(F.desc("cos"), F.asc("doc_id"))
+        .limit(RRF_DEPTH)
+        .withColumn("rk_vec", F.row_number().over(wv).cast("int"))
         .select("doc_id", "rk_vec")
     )
 
@@ -1971,8 +1977,9 @@ def x122_tfidf_doc_similarity(spark, sf_dir):
     )
     wtop = Window.orderBy(F.desc("cos"), "doc_id_a", "doc_id_b")
     return (
-        scored.withColumn("rk", F.row_number().over(wtop).cast("int"))
-        .where(F.col("rk") <= TFIDF_PAIR_TOPK)
+        scored.orderBy(F.desc("cos"), F.asc("doc_id_a"), F.asc("doc_id_b"))
+        .limit(TFIDF_PAIR_TOPK)
+        .withColumn("rk", F.row_number().over(wtop).cast("int"))
     )
 
 

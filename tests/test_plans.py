@@ -190,3 +190,29 @@ def test_sampled_stats_single_scan(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "x101_sampled_stats")
     scans = re.findall(r"^\(\d+\) Scan parquet", p, flags=re.MULTILINE)
     assert len(scans) == 1, p
+
+
+def test_hybrid_rrf_rank_pushdown(spark, sf_smoke):
+    """x85's candidate legs must depth-bound BEFORE the fusion join via
+    TakeOrderedAndProject (per-partition heaps, not a single-partition
+    full sort — WindowGroupLimit doesn't exist for GLOBAL windows), and
+    the fusion itself is a full-outer join over rank tables."""
+    p = plan_of(spark, sf_smoke, "x85_hybrid_rrf_search")
+    assert p.count("TakeOrderedAndProject") >= 2, p
+    assert "FullOuter" in p, p
+
+
+def test_kmv_rolling_cells_rank_pushdown(spark, sf_smoke):
+    """x96's per-day k-smallest filter must push as WindowGroupLimit —
+    without it every day's full hash set survives the sort."""
+    p = plan_of(spark, sf_smoke, "x96_rolling_distinct")
+    assert "WindowGroupLimit" in p, p
+
+
+def test_prefix_filter_smaller_join_input(spark, sf_smoke):
+    """x121's candidate self-join consumes the PREFIX relation: the plan
+    must contain the prefix rank filter (rn <= floor(...)+1) upstream of
+    the shingle equi-join."""
+    p = plan_of(spark, sf_smoke, "x121_prefix_filter_pairs")
+    assert "WindowGroupLimit" in p or "_rn" in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
