@@ -2172,3 +2172,75 @@ ORACLES.update(
     """,
     }
 )
+
+
+def x142_discount_elasticity(spark, sf_dir):
+    """Discount-volume response per brand: correlation between discount
+    level and quantity, plus mean quantity at zero vs nonzero discount —
+    the 'does discounting move volume?' read.  Single-pass moment
+    aggregates per brand after one broadcast dimension join."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_discount").alias("_d"), F.col("l_quantity").alias("_q")
+    )
+    p = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    j = li.join(F.broadcast(p), "l_partkey")
+    return j.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        r6(F.corr(F.col("_d"), F.col("_q"))).alias("corr_disc_qty"),
+        r6(F.avg(F.when(F.col("_d") == 0, F.col("_q")))).alias("mean_qty_no_disc"),
+        r6(F.avg(F.when(F.col("_d") > 0, F.col("_q")))).alias("mean_qty_disc"),
+    )
+
+
+def x143_basket_economics(spark, sf_dir):
+    """Basket-size economics: orders bucketed by line count, with order
+    counts and mean order value per bucket — the 'bigger baskets, bigger
+    tickets?' curve.  One |orders|-row aggregate then a ≤\\|max-lines\\|
+    bucket table."""
+    li = T(spark, sf_dir, "lineitem").groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count("*").alias("n_lines")
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"), "o_totalprice"
+    )
+    j = o.join(li, "ok")
+    return j.groupBy("n_lines").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice"), 2).alias("mean_order_value"),
+    )
+
+
+QUERIES.update(
+    {
+        "x142_discount_elasticity": x142_discount_elasticity,
+        "x143_basket_economics": x143_basket_economics,
+    }
+)
+
+ORACLES.update(
+    {
+        "x142_discount_elasticity": """
+        SELECT p.p_brand,
+               COUNT(*) AS n_lines,
+               ROUND(corr(l_discount, l_quantity), 6) AS corr_disc_qty,
+               ROUND(AVG(CASE WHEN l_discount = 0 THEN l_quantity END), 6)
+                   AS mean_qty_no_disc,
+               ROUND(AVG(CASE WHEN l_discount > 0 THEN l_quantity END), 6)
+                   AS mean_qty_disc
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY p.p_brand
+    """,
+        "x143_basket_economics": """
+        WITH li AS (
+            SELECT l_orderkey AS ok, COUNT(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT n_lines, COUNT(*) AS n_orders,
+               ROUND(AVG(o_totalprice), 2) AS mean_order_value
+        FROM orders JOIN li ON o_orderkey = li.ok
+        GROUP BY n_lines
+    """,
+    }
+)
