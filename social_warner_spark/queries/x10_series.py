@@ -2244,3 +2244,122 @@ ORACLES.update(
     """,
     }
 )
+
+
+def x144_trade_matrix(spark, sf_dir):
+    """Customer-nation × supplier-nation revenue flow matrix with row
+    shares — the full generalization of the TPC-H q7 two-nation volume
+    question.  Facts join once to each side's broadcast dim chain; the
+    matrix is \\|nations\\|² and the share normalizer rides a window over
+    it."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+    )
+    o = T(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_custkey"
+    )
+    c = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey")
+    )
+    s = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_nationkey")
+    )
+    n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flows = (
+        li.join(o, "l_orderkey")
+        .join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(s), "l_suppkey")
+        .join(
+            F.broadcast(n.withColumnsRenamed({"n_nationkey": "c_nationkey", "n_name": "cust_nation"})),
+            "c_nationkey",
+        )
+        .join(
+            F.broadcast(n.withColumnsRenamed({"n_nationkey": "s_nationkey", "n_name": "supp_nation"})),
+            "s_nationkey",
+        )
+        .groupBy("cust_nation", "supp_nation")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("cust_nation")
+    return flows.select(
+        "cust_nation",
+        "supp_nation",
+        "revenue",
+        r6(F.col("revenue") / F.sum("revenue").over(w)).alias("cust_row_share"),
+    )
+
+
+def x145_price_realization(spark, sf_dir):
+    """Price-realization audit per part type: catalog retail price vs
+    the realized per-unit price (revenue/quantity), with the discount
+    depth — the margin-erosion read over the unused p_retailprice
+    column.  Facts aggregate once per part, then roll to \\|types\\|
+    with the dim broadcast."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        F.col("l_quantity").alias("_q"),
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum("_rev").alias("_rev"), F.sum("_q").alias("_q")
+    )
+    p = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type", "p_retailprice"
+    )
+    j = per_part.join(F.broadcast(p), "l_partkey")
+    return j.groupBy("p_type").agg(
+        F.count("*").alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("mean_retail"),
+        F.round(F.sum("_rev") / F.sum("_q"), 2).alias("realized_unit_price"),
+        r6(
+            F.lit(1.0) - (F.sum("_rev") / F.sum("_q")) / F.avg("p_retailprice")
+        ).alias("realization_gap"),
+    )
+
+
+QUERIES.update(
+    {
+        "x144_trade_matrix": x144_trade_matrix,
+        "x145_price_realization": x145_price_realization,
+    }
+)
+
+ORACLES.update(
+    {
+        "x144_trade_matrix": """
+        WITH flows AS (
+            SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+            JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT cust_nation, supp_nation, revenue,
+               ROUND(revenue / SUM(revenue) OVER (PARTITION BY cust_nation), 6)
+                   AS cust_row_share
+        FROM flows
+    """,
+        "x145_price_realization": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   SUM(l_extendedprice * (1 - l_discount)) AS rev,
+                   SUM(l_quantity) AS q
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT p.p_type,
+               COUNT(*) AS n_parts,
+               ROUND(AVG(p.p_retailprice), 2) AS mean_retail,
+               ROUND(SUM(rev) / SUM(q), 2) AS realized_unit_price,
+               ROUND(1.0 - (SUM(rev) / SUM(q)) / AVG(p.p_retailprice), 6)
+                   AS realization_gap
+        FROM per_part JOIN part p ON p.p_partkey = per_part.l_partkey
+        GROUP BY p.p_type
+    """,
+    }
+)
