@@ -2363,3 +2363,142 @@ ORACLES.update(
     """,
     }
 )
+
+
+def x146_session_depth_conversion(spark, sf_dir):
+    """Engagement-depth curve: sessions bucketed by event count, with
+    the fraction containing a purchase — the 'deeper sessions convert
+    more?' read behind engagement optimization.  Sessionization is one
+    user shuffle (x36's operator); everything after is
+    \\|sessions\\|-sized."""
+    from social_warner_spark.operators.timeseries import sessionize
+
+    s = sessionize(T(spark, sf_dir, "events"), gap_minutes=30)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("depth"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("_conv"),
+    )
+    return per.groupBy("depth").agg(
+        F.count("*").alias("n_sessions"),
+        r6(F.avg(F.col("_conv").cast("double"))).alias("conversion_rate"),
+    )
+
+
+def x147_activation_lag(spark, sf_dir):
+    """Activation lag: hours from each user's FIRST event to their first
+    purchase (if any), activation rate plus the lag distribution — the
+    onboarding-funnel health metric.  Two \\|users\\|-row aggregates
+    joined on the key; percentiles run on \\|activated users\\|."""
+    e = T(spark, sf_dir, "events")
+    first_any = e.groupBy("user_id").agg(F.min("ts").alias("_t0"))
+    first_buy = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_tp"))
+    )
+    j = first_any.join(first_buy, "user_id", "left").select(
+        (F.col("_tp").isNotNull()).alias("_act"),
+        (
+            F.expr("timestampdiff(MICROSECOND, _t0, _tp)") / 3600_000_000.0
+        ).alias("_lag_h"),
+    )
+    rate = j.agg(
+        F.count("*").alias("n_users"),
+        r6(F.avg(F.col("_act").cast("double"))).alias("activation_rate"),
+    )
+    dist = j.where(F.col("_act")).agg(
+        r6(F.median("_lag_h")).alias("median_lag_h"),
+        r6(F.percentile("_lag_h", F.lit(0.9))).alias("p90_lag_h"),
+    )
+    return rate.crossJoin(dist)
+
+
+def x148_acctbal_risk(spark, sf_dir):
+    """Receivables risk by nation: negative-balance customer share and
+    balance quartile boundaries per nation — the credit screen over the
+    previously unused acctbal column.  Customer aggregates once per
+    nation with the dim broadcast; quartiles are exact percentiles on
+    \\|nation\\| groups."""
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    n = T(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    j = c.join(F.broadcast(n), "c_nationkey")
+    return j.groupBy("n_name").agg(
+        F.count("*").alias("n_customers"),
+        r6(F.avg((F.col("c_acctbal") < 0).cast("double"))).alias("negative_share"),
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 2).alias("q1"),
+        F.round(F.median("c_acctbal"), 2).alias("q2"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 2).alias("q3"),
+    )
+
+
+QUERIES.update(
+    {
+        "x146_session_depth_conversion": x146_session_depth_conversion,
+        "x147_activation_lag": x147_activation_lag,
+        "x148_acctbal_risk": x148_acctbal_risk,
+    }
+)
+
+ORACLES.update(
+    {
+        "x146_session_depth_conversion": """
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                          OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS nf
+            FROM events
+        ), sess AS (
+            SELECT user_id, event_type,
+                   SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM ordered
+        ), per AS (
+            SELECT user_id, session_id, COUNT(*) AS depth,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+            FROM sess GROUP BY user_id, session_id
+        )
+        SELECT depth, COUNT(*) AS n_sessions,
+               ROUND(AVG(CAST(conv AS DOUBLE)), 6) AS conversion_rate
+        FROM per GROUP BY depth
+    """,
+        "x147_activation_lag": """
+        WITH first_any AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events GROUP BY user_id
+        ), first_buy AS (
+            SELECT user_id, MIN(ts) AS tp FROM events
+            WHERE event_type = 'purchase' GROUP BY user_id
+        ), j AS (
+            SELECT fb.user_id IS NOT NULL AS act,
+                   epoch_us(fb.tp - fa.t0) / 3600000000.0 AS lag_h
+            FROM first_any fa LEFT JOIN first_buy fb ON fa.user_id = fb.user_id
+        ), rate AS (
+            SELECT COUNT(*) AS n_users,
+                   ROUND(AVG(CASE WHEN act THEN 1.0 ELSE 0.0 END), 6)
+                       AS activation_rate
+            FROM j
+        ), dist AS (
+            SELECT ROUND(MEDIAN(lag_h), 6) AS median_lag_h,
+                   ROUND(QUANTILE_CONT(lag_h, 0.9), 6) AS p90_lag_h
+            FROM j WHERE act
+        )
+        SELECT n_users, activation_rate, median_lag_h, p90_lag_h FROM rate, dist
+    """,
+        "x148_acctbal_risk": """
+        SELECT n.n_name,
+               COUNT(*) AS n_customers,
+               ROUND(AVG(CASE WHEN c_acctbal < 0 THEN 1.0 ELSE 0.0 END), 6)
+                   AS negative_share,
+               ROUND(QUANTILE_CONT(c_acctbal, 0.25), 2) AS q1,
+               ROUND(MEDIAN(c_acctbal), 2) AS q2,
+               ROUND(QUANTILE_CONT(c_acctbal, 0.75), 2) AS q3
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """,
+    }
+)
