@@ -2502,3 +2502,162 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x149 — neighbors kept per item.
+CF_TOPK = 5
+#: x149 — minimum co-occurrence to score a pair.
+CF_MIN_COOC = 3
+
+
+def x149_item_item_cf(spark, sf_dir):
+    """Item-item collaborative filtering: cosine over order-occurrence
+    vectors — sim(a,b) = cooc(a,b) / √(n_a·n_b) — top-5 neighbors per
+    part, the classic 'customers who bought X also bought' model
+    (distinct from content ANN: similarity comes from BEHAVIOR, not
+    embeddings).  Co-occurrence reuses the bounded within-order pair
+    join; item counts broadcast; the per-item top-k rank pushes as
+    WindowGroupLimit."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    item = li.groupBy("pk").agg(F.count("*").alias("_n"))
+    a, b = li.alias("a"), li.alias("b")
+    cooc = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") != F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("item"), F.col("b.pk").alias("neighbor"))
+        .agg(F.count("*").alias("cooc"))
+        .where(F.col("cooc") >= CF_MIN_COOC)
+    )
+    scored = (
+        cooc.join(F.broadcast(item.withColumnsRenamed({"pk": "item", "_n": "_na"})), "item")
+        .join(
+            F.broadcast(item.withColumnsRenamed({"pk": "neighbor", "_n": "_nb"})),
+            "neighbor",
+        )
+        .select(
+            "item",
+            "neighbor",
+            "cooc",
+            F.round(
+                F.col("cooc") / F.sqrt(F.col("_na").cast("double") * F.col("_nb")), 6
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("sim"), F.asc("neighbor"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= CF_TOPK)
+    )
+
+
+def x150_change_point(spark, sf_dir):
+    """Single change-point detection on the daily revenue series: the
+    split day maximizing |mean(before) − mean(after)| (both sides
+    non-empty), reported with the two means and the shift — the simplest
+    honest answer to 'when did behavior change?'.  Candidate evaluation
+    uses running prefix sums over the |days| relation (two windows, one
+    sort) — never a days × days join."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    n = daily.agg(F.count("*").alias("_n"), F.sum("total").alias("_t"))
+    pre = daily.crossJoin(F.broadcast(n)).select(
+        "day",
+        F.sum("total").over(wall).alias("_ps"),
+        F.count("*").over(wall).alias("_pn"),
+        "_n",
+        "_t",
+    )
+    cand = pre.where(F.col("_pn") < F.col("_n")).select(
+        "day",
+        F.round(F.col("_ps") / F.col("_pn"), 6).alias("mean_before"),
+        F.round(
+            (F.col("_t") - F.col("_ps")) / (F.col("_n") - F.col("_pn")), 6
+        ).alias("mean_after"),
+    )
+    best = cand.select(
+        "day",
+        "mean_before",
+        "mean_after",
+        F.round(F.abs(F.col("mean_after") - F.col("mean_before")), 6).alias("shift"),
+    )
+    w = Window.orderBy(F.desc("shift"), F.asc("day"))
+    return (
+        best.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1)
+        .select(
+            F.col("day").alias("change_day"), "mean_before", "mean_after", "shift"
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "x149_item_item_cf": x149_item_item_cf,
+        "x150_change_point": x150_change_point,
+    }
+)
+
+ORACLES.update(
+    {
+        "x149_item_item_cf": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), item AS (
+            SELECT pk, COUNT(*) AS n FROM li GROUP BY pk
+        ), cooc AS (
+            SELECT a.pk AS item, b.pk AS neighbor, COUNT(*) AS cooc
+            FROM li a JOIN li b ON a.ok = b.ok AND a.pk != b.pk
+            GROUP BY 1, 2 HAVING COUNT(*) >= {CF_MIN_COOC}
+        ), scored AS (
+            SELECT cooc.item, cooc.neighbor, cooc.cooc,
+                   ROUND(cooc.cooc
+                         / sqrt(CAST(ia.n AS DOUBLE) * ib.n), 6) AS sim
+            FROM cooc
+            JOIN item ia ON ia.pk = cooc.item
+            JOIN item ib ON ib.pk = cooc.neighbor
+        )
+        SELECT item, neighbor, cooc, sim,
+               CAST(ROW_NUMBER() OVER (PARTITION BY item
+                    ORDER BY sim DESC, neighbor ASC) AS INT) AS rk
+        FROM scored
+        QUALIFY rk <= {CF_TOPK}
+    """,
+        "x150_change_point": """
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   ROUND(SUM(value), 2) AS total
+            FROM events GROUP BY 1
+        ), n AS (
+            SELECT COUNT(*) AS n, SUM(total) AS t FROM daily
+        ), pre AS (
+            SELECT day,
+                   SUM(total) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ps,
+                   COUNT(*) OVER (ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pn,
+                   n.n, n.t
+            FROM daily, n
+        ), cand AS (
+            SELECT day,
+                   ROUND(ps / pn, 6) AS mean_before,
+                   ROUND((t - ps) / (n - pn), 6) AS mean_after
+            FROM pre WHERE pn < n
+        ), best AS (
+            SELECT day, mean_before, mean_after,
+                   ROUND(ABS(mean_after - mean_before), 6) AS shift,
+                   ROW_NUMBER() OVER (
+                       ORDER BY ROUND(ABS(mean_after - mean_before), 6) DESC, day ASC)
+                       AS rk
+            FROM cand
+        )
+        SELECT day AS change_day, mean_before, mean_after, shift
+        FROM best WHERE rk = 1
+    """,
+    }
+)
