@@ -2253,3 +2253,100 @@ ORACLES.update(
     """,
     }
 )
+
+
+def x151_triplet_mining(spark, sf_dir):
+    """Contrastive triplet mining: (anchor, positive, negative) rows
+    where positives are Jaccard-≥0.5 near-dup partners and each
+    anchor's negative is the next document on the md5 HASH RING that is
+    neither member of the pair — deterministic negative sampling with no
+    RNG, the standard way contrastive training data is cut.  The ring
+    is one ordered window over |docs|; negatives resolve with ≤2 lead
+    lookups (wrap handled by coalescing to the ring head)."""
+    from social_warner_spark.operators.dedup import exact_jaccard_pairs
+
+    docs = T(spark, sf_dir, "documents")
+    pairs = exact_jaccard_pairs(docs, threshold=0.5).select(
+        F.col("doc_id_a").alias("anchor"), F.col("doc_id_b").alias("positive")
+    )
+    ring = docs.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+    w = Window.orderBy("_h")
+    ringed = ring.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("_n1"),
+        F.lead("doc_id", 2).over(w).alias("_n2"),
+    )
+    head = (
+        ring.orderBy("_h")
+        .limit(2)
+        .agg(
+            F.min_by(F.col("doc_id"), F.col("_h")).alias("_h1"),
+            F.max_by(F.col("doc_id"), F.col("_h")).alias("_h2"),
+        )
+    )
+    j = pairs.join(
+        ringed.withColumnsRenamed({"doc_id": "anchor"}), "anchor"
+    ).crossJoin(F.broadcast(head))
+    cand1 = F.coalesce(F.col("_n1"), F.col("_h1"))
+    cand2 = F.coalesce(F.col("_n2"), F.col("_h2"))
+    negative = F.when(
+        (cand1 != F.col("anchor")) & (cand1 != F.col("positive")), cand1
+    ).otherwise(
+        F.when((cand2 != F.col("anchor")) & (cand2 != F.col("positive")), cand2)
+    )
+    return j.select("anchor", "positive", negative.alias("negative")).where(
+        F.col("negative").isNotNull()
+    )
+
+
+QUERIES.update({"x151_triplet_mining": x151_triplet_mining})
+
+ORACLES.update(
+    {
+        "x151_triplet_mining": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a AS anchor, b AS positive FROM shared
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+        ), ring AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        ), ringed AS (
+            SELECT doc_id,
+                   LEAD(doc_id, 1) OVER (ORDER BY h) AS n1,
+                   LEAD(doc_id, 2) OVER (ORDER BY h) AS n2
+            FROM ring
+        ), head AS (
+            SELECT MIN_BY(doc_id, h) AS h1, MAX_BY(doc_id, h) AS h2
+            FROM (SELECT doc_id, h FROM ring ORDER BY h LIMIT 2)
+        ), j AS (
+            SELECT p.anchor, p.positive,
+                   COALESCE(r.n1, head.h1) AS c1,
+                   COALESCE(r.n2, head.h2) AS c2
+            FROM pairs p JOIN ringed r ON r.doc_id = p.anchor, head
+        )
+        SELECT anchor, positive,
+               CASE WHEN c1 != anchor AND c1 != positive THEN c1
+                    WHEN c2 != anchor AND c2 != positive THEN c2
+               END AS negative
+        FROM j
+        WHERE CASE WHEN c1 != anchor AND c1 != positive THEN c1
+                   WHEN c2 != anchor AND c2 != positive THEN c2
+              END IS NOT NULL
+    """,
+    }
+)
