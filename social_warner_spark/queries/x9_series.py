@@ -2350,3 +2350,134 @@ ORACLES.update(
     """,
     }
 )
+
+
+def x152_curriculum_deciles(spark, sf_dir):
+    """Curriculum ordering by language-model score: documents ranked by
+    their x43-style unigram log-prob (easy → hard), cut into deciles,
+    with per-decile mean quality and token mass — the schedule table a
+    curriculum loader consumes.  The LM is vocabulary-bounded; the
+    decile cut is one ntile window over |docs| scores."""
+    from social_warner_spark.functions.text import token_count_ws, tokens
+
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    tok = staged.select("doc_id", F.explode("_toks").alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("_t"))
+    scored = (
+        tok.join(counts, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(F.log(F.col("c").cast("double") / F.col("_t"))), 6
+            ).alias("_lp")
+        )
+    )
+    with_len = scored.join(
+        d.select("doc_id", token_count_ws(F.col("text")).alias("_n")), "doc_id"
+    )
+    decile = F.ntile(10).over(Window.orderBy(F.desc("_lp"), F.asc("doc_id")))
+    return (
+        with_len.withColumn("decile", decile)
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            r6(F.avg("_lp")).alias("mean_logprob"),
+            F.sum("_n").alias("total_tokens"),
+        )
+    )
+
+
+#: x153 — the benchmark probe sets scanned in ONE pass.
+BENCHMARKS = (("bench_small_ids", "doc_id < 5"), ("bench_mod97", "doc_id % 97 = 0"))
+
+
+def x153_multi_benchmark_decontamination(spark, sf_dir):
+    """Decontamination against MULTIPLE benchmarks in ONE corpus pass:
+    each probe set's 4-gram shingles are tagged with the benchmark name,
+    unioned, broadcast, and joined once — per (benchmark, doc) overlap
+    counts without re-scanning the corpus per eval suite (the real
+    shape: dozens of benchmarks, one sweep).  Generalizes x28."""
+    from social_warner_spark.operators.dedup import doc_shingles
+
+    docs = T(spark, sf_dir, "documents")
+    probes = None
+    for name, cond in BENCHMARKS:
+        p = (
+            doc_shingles(docs.where(F.expr(cond)), n=4)
+            .select("shingle")
+            .distinct()
+            .withColumn("benchmark", F.lit(name))
+        )
+        probes = p if probes is None else probes.unionByName(p)
+    corpus = doc_shingles(
+        docs.where(F.col("doc_id") >= 5).where(F.col("doc_id") % 97 != 0), n=4
+    )
+    return (
+        corpus.join(F.broadcast(probes), "shingle")
+        .groupBy("benchmark", "doc_id")
+        .agg(F.count("*").alias("n_shared_ngrams"))
+    )
+
+
+QUERIES.update(
+    {
+        "x152_curriculum_deciles": x152_curriculum_deciles,
+        "x153_multi_benchmark_decontamination": x153_multi_benchmark_decontamination,
+    }
+)
+
+ORACLES.update(
+    {
+        "x152_curriculum_deciles": """
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, u.w AS w FROM toks, UNNEST(t) AS u(w)
+        ), counts AS (
+            SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ), tot AS (
+            SELECT SUM(c) AS t FROM counts
+        ), scored AS (
+            SELECT doc_id,
+                   ROUND(AVG(ln(CAST(c AS DOUBLE) / tot.t)), 6) AS lp
+            FROM tok JOIN counts USING (w), tot
+            GROUP BY doc_id
+        ), with_len AS (
+            SELECT s.doc_id, s.lp, len(string_split(trim(d.text), ' ')) AS n
+            FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+        ), cut AS (
+            SELECT lp, n, NTILE(10) OVER (ORDER BY lp DESC, doc_id ASC) AS decile
+            FROM with_len
+        )
+        SELECT decile, COUNT(*) AS n_docs,
+               ROUND(AVG(lp), 6) AS mean_logprob,
+               CAST(SUM(n) AS BIGINT) AS total_tokens
+        FROM cut GROUP BY decile
+    """,
+        "x153_multi_benchmark_decontamination": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh4 AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 2)) AS u(i)
+            WHERE len(t) >= 4
+        ), probes AS (
+            SELECT 'bench_small_ids' AS benchmark, shingle
+            FROM (SELECT DISTINCT shingle FROM sh4 WHERE doc_id < 5)
+            UNION ALL
+            SELECT 'bench_mod97', shingle
+            FROM (SELECT DISTINCT shingle FROM sh4 WHERE doc_id % 97 = 0)
+        ), corpus AS (
+            SELECT doc_id, shingle FROM sh4
+            WHERE doc_id >= 5 AND doc_id % 97 != 0
+        )
+        SELECT probes.benchmark, corpus.doc_id, COUNT(*) AS n_shared_ngrams
+        FROM corpus JOIN probes ON corpus.shingle = probes.shingle
+        GROUP BY 1, 2
+    """,
+    }
+)
