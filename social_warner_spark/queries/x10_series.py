@@ -2661,3 +2661,109 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x154 — shard counts compared.
+SHARDS_BEFORE = 8
+SHARDS_AFTER = 9
+
+
+def x154_consistent_hash_rebalance(spark, sf_dir):
+    """Shard-rebalance cost, consistent hashing vs mod-hashing: assign
+    every document to 8 shards and again to 9, both ways, and report
+    the fraction of documents that MOVE — the infra argument in one
+    query (consistent hashing moves ≈1/(N+1); mod-hashing reshuffles
+    ≈N/(N+1) of the corpus).  Node points are a tiny broadcast relation;
+    ring assignment is a min-over-candidates aggregate per doc."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("_h")
+    )
+
+    def ring_assign(n_shards, out):
+        nodes = [(i, F.md5(F.lit(f"node{i}"))) for i in range(n_shards)]
+        node_df = None
+        for i, h in nodes:
+            row = docs.sparkSession.range(1).select(
+                F.lit(i).alias("node"), h.alias("nh")
+            )
+            node_df = row if node_df is None else node_df.unionByName(row)
+        j = docs.crossJoin(F.broadcast(node_df))
+        # first node point >= doc hash; wrap to the globally smallest point
+        ge = j.where(F.col("nh") >= F.col("_h")).groupBy("doc_id").agg(
+            F.min_by("node", "nh").alias(out)
+        )
+        wrap = j.groupBy("doc_id").agg(F.min_by("node", "nh").alias(f"_w{out}"))
+        return (
+            docs.select("doc_id")
+            .join(ge, "doc_id", "left")
+            .join(wrap, "doc_id")
+            .select(
+                "doc_id", F.coalesce(F.col(out), F.col(f"_w{out}")).alias(out)
+            )
+        )
+
+    ring = (
+        ring_assign(SHARDS_BEFORE, "r8")
+        .join(ring_assign(SHARDS_AFTER, "r9"), "doc_id")
+    )
+    mod = docs.select(
+        "doc_id",
+        (
+            F.conv(F.substring("_h", 1, 4), 16, 10).cast("long") % SHARDS_BEFORE
+        ).alias("m8"),
+        (
+            F.conv(F.substring("_h", 1, 4), 16, 10).cast("long") % SHARDS_AFTER
+        ).alias("m9"),
+    )
+    j = ring.join(mod, "doc_id")
+    return j.agg(
+        F.count("*").alias("n_docs"),
+        r6(F.avg((F.col("r8") != F.col("r9")).cast("double"))).alias(
+            "ring_moved_frac"
+        ),
+        r6(F.avg((F.col("m8") != F.col("m9")).cast("double"))).alias(
+            "mod_moved_frac"
+        ),
+    )
+
+
+QUERIES.update({"x154_consistent_hash_rebalance": x154_consistent_hash_rebalance})
+
+ORACLES.update(
+    {
+        "x154_consistent_hash_rebalance": f"""
+        WITH d AS (
+            SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+        ), n8 AS (
+            SELECT i AS node, md5('node' || CAST(i AS VARCHAR)) AS nh
+            FROM UNNEST(range(0, {SHARDS_BEFORE})) AS u(i)
+        ), n9 AS (
+            SELECT i AS node, md5('node' || CAST(i AS VARCHAR)) AS nh
+            FROM UNNEST(range(0, {SHARDS_AFTER})) AS u(i)
+        ), r8 AS (
+            SELECT d.doc_id,
+                   COALESCE(MIN_BY(CASE WHEN nh >= h THEN node END,
+                                   CASE WHEN nh >= h THEN nh END),
+                            MIN_BY(node, nh)) AS r8
+            FROM d CROSS JOIN n8 GROUP BY d.doc_id
+        ), r9 AS (
+            SELECT d.doc_id,
+                   COALESCE(MIN_BY(CASE WHEN nh >= h THEN node END,
+                                   CASE WHEN nh >= h THEN nh END),
+                            MIN_BY(node, nh)) AS r9
+            FROM d CROSS JOIN n9 GROUP BY d.doc_id
+        ), m AS (
+            SELECT doc_id,
+                   ('0x' || substr(h, 1, 4))::BIGINT % {SHARDS_BEFORE} AS m8,
+                   ('0x' || substr(h, 1, 4))::BIGINT % {SHARDS_AFTER} AS m9
+            FROM d
+        )
+        SELECT COUNT(*) AS n_docs,
+               ROUND(AVG(CASE WHEN r8.r8 != r9.r9 THEN 1.0 ELSE 0.0 END), 6)
+                   AS ring_moved_frac,
+               ROUND(AVG(CASE WHEN m.m8 != m.m9 THEN 1.0 ELSE 0.0 END), 6)
+                   AS mod_moved_frac
+        FROM r8 JOIN r9 USING (doc_id) JOIN m USING (doc_id)
+    """,
+    }
+)
