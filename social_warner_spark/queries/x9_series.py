@@ -2481,3 +2481,135 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x156 — target training-token budget and per-source repeat cap.
+EPOCH_TARGET_TOKENS = 50_000
+EPOCH_CAP = 4.0
+
+
+def x155_effective_tokens(spark, sf_dir):
+    """Post-dedup data budget: per source, raw vs EFFECTIVE tokens
+    (counting only x77's cluster survivors) and the shrinkage — the
+    number that actually matters when sizing a training mix, since
+    duplicates contribute no new signal.  Survivor labels are a |docs|
+    relation joined once onto per-doc token counts."""
+    from social_warner_spark.functions.text import token_count_ws
+    from social_warner_spark.operators.dedup import neardup_clusters
+
+    docs = T(spark, sf_dir, "documents")
+    clusters = neardup_clusters(docs, threshold=0.5)
+    sized = docs.select(
+        "doc_id", "source", token_count_ws(F.col("text")).alias("_n"), "n_chars"
+    ).join(clusters, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    marked = sized.withColumn("_keep", F.row_number().over(w) == 1)
+    return marked.groupBy("source").agg(
+        F.sum("_n").alias("raw_tokens"),
+        F.sum(F.when(F.col("_keep"), F.col("_n")).otherwise(0)).alias(
+            "effective_tokens"
+        ),
+        r6(
+            F.lit(1.0)
+            - F.sum(F.when(F.col("_keep"), F.col("_n")).otherwise(0))
+            / F.sum("_n").cast("double")
+        ).alias("dup_shrinkage"),
+    )
+
+
+def x156_source_epochs(spark, sf_dir):
+    """Training-mix epoch table (the LLaMA-style data card): per source,
+    the α-tempered target share (x113's weights), the token DRAW the
+    budget implies, and the resulting epochs over the source's actual
+    tokens — capped at 4 (sampling a source more than ~4× is known to
+    degrade; capped sources report their cap).  One |sources| relation
+    end to end."""
+    from social_warner_spark.functions.text import token_count_ws
+
+    d = T(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(token_count_ws(F.col("text"))).alias("tokens")
+    )
+    tot = src.agg(F.sum("tokens").alias("_tt"))
+    shared = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "tokens",
+        F.pow(
+            F.round(F.col("tokens") / F.col("_tt").cast("double"), 6), 0.5
+        ).alias("_scaled"),
+    )
+    z = shared.agg(F.round(F.sum("_scaled"), 6).alias("_z"))
+    return shared.crossJoin(F.broadcast(z)).select(
+        "source",
+        "tokens",
+        r6(F.col("_scaled") / F.col("_z")).alias("alpha_share"),
+        F.round(
+            F.col("_scaled") / F.col("_z") * EPOCH_TARGET_TOKENS
+        ).cast("long").alias("target_draw"),
+        r6(
+            F.least(
+                F.lit(EPOCH_CAP),
+                (F.col("_scaled") / F.col("_z") * EPOCH_TARGET_TOKENS)
+                / F.col("tokens").cast("double"),
+            )
+        ).alias("epochs"),
+    )
+
+
+QUERIES.update(
+    {
+        "x155_effective_tokens": x155_effective_tokens,
+        "x156_source_epochs": x156_source_epochs,
+    }
+)
+
+ORACLES.update(
+    {
+        "x155_effective_tokens": NEARDUP_CLUSTERS_CTE
+        + """
+        , sized AS (
+            SELECT d.doc_id, d.source,
+                   len(string_split(trim(d.text), ' ')) AS n, d.n_chars,
+                   c.cluster_id
+            FROM documents d JOIN clusters c ON c.doc_id = d.doc_id
+        ), marked AS (
+            SELECT source, n,
+                   ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                      ORDER BY n_chars DESC, doc_id) = 1 AS keep
+            FROM sized
+        )
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS raw_tokens,
+               CAST(SUM(CASE WHEN keep THEN n ELSE 0 END) AS BIGINT)
+                   AS effective_tokens,
+               ROUND(1.0 - SUM(CASE WHEN keep THEN n ELSE 0 END)
+                     / CAST(SUM(n) AS DOUBLE), 6) AS dup_shrinkage
+        FROM marked GROUP BY source
+    """,
+        "x156_source_epochs": f"""
+        WITH src AS (
+            SELECT source, CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                       AS tokens
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(tokens) AS tt FROM src
+        ), shared AS (
+            SELECT source, tokens,
+                   POWER(ROUND(tokens / CAST(tt AS DOUBLE), 6), 0.5) AS scaled
+            FROM src, tot
+        ), z AS (
+            SELECT ROUND(SUM(scaled), 6) AS z FROM shared
+        )
+        SELECT source, tokens,
+               ROUND(scaled / z, 6) AS alpha_share,
+               CAST(ROUND(scaled / z * {EPOCH_TARGET_TOKENS}) AS BIGINT)
+                   AS target_draw,
+               ROUND(LEAST({EPOCH_CAP},
+                     (scaled / z * {EPOCH_TARGET_TOKENS})
+                     / CAST(tokens AS DOUBLE)), 6) AS epochs
+        FROM shared, z
+    """,
+    }
+)
