@@ -2767,3 +2767,169 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x157 — minimum events for a burstiness verdict and result size.
+BURST_MIN_EVENTS = 20
+BURST_TOPK = 10
+
+
+def x157_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per user: CV² (variance over squared
+    mean) of the gaps between consecutive events — humans are bursty
+    (CV² ≳ 1), schedulers and bots are metronomic (CV² ≈ 0) — reported
+    as the top-10 most machine-like timelines.  One user window for the
+    gaps, single-pass moments per user."""
+    e = T(spark, sf_dir, "events")
+    gaps = e.select(
+        "user_id",
+        (
+            F.expr(
+                "timestampdiff(MICROSECOND, lag(ts) OVER "
+                "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+            )
+            / 1_000_000.0
+        ).alias("_gap_s"),
+    ).where(F.col("_gap_s").isNotNull())
+    per = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.avg("_gap_s").alias("_m"),
+            F.var_samp("_gap_s").alias("_v"),
+        )
+        .where(F.col("n_gaps") >= BURST_MIN_EVENTS)
+        .select(
+            "user_id",
+            "n_gaps",
+            r6(F.col("_v") / (F.col("_m") * F.col("_m"))).alias("cv2"),
+        )
+    )
+    w = Window.orderBy(F.asc("cv2"), F.asc("user_id"))
+    return (
+        per.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= BURST_TOPK)
+    )
+
+
+#: x158 — minimum sessions containing a pair.
+SESSION_LIFT_MIN = 5
+
+
+def x158_session_type_lift(spark, sf_dir):
+    """Event-type lift WITHIN sessions: which event types co-occur in
+    the same session beyond what their independent rates predict —
+    x106's market-basket math with >30-min sessions as the baskets.
+    Session baskets come from one sessionize pass; the pair table is
+    bounded by |types|² per session."""
+    from social_warner_spark.operators.timeseries import sessionize
+
+    s = sessionize(T(spark, sf_dir, "events"), gap_minutes=30)
+    baskets = s.select(
+        F.concat_ws("#", F.col("user_id"), F.col("session_id")).alias("sid"),
+        "event_type",
+    ).distinct()
+    n_sessions = baskets.select("sid").distinct().agg(F.count("*").alias("_ns"))
+    item = baskets.groupBy("event_type").agg(F.count("*").alias("_ci"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_cooc"))
+        .where(F.col("n_cooc") >= SESSION_LIFT_MIN)
+    )
+    return (
+        pairs.join(
+            F.broadcast(item.withColumnsRenamed({"event_type": "type_a", "_ci": "_ca"})),
+            "type_a",
+        )
+        .join(
+            F.broadcast(item.withColumnsRenamed({"event_type": "type_b", "_ci": "_cb"})),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_cooc",
+            r6(
+                (F.col("n_cooc").cast("double") * F.col("_ns"))
+                / (F.col("_ca").cast("double") * F.col("_cb"))
+            ).alias("lift"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "x157_burstiness": x157_burstiness,
+        "x158_session_type_lift": x158_session_type_lift,
+    }
+)
+
+ORACLES.update(
+    {
+        "x157_burstiness": f"""
+        WITH gaps AS (
+            SELECT user_id,
+                   epoch_us(ts - LAG(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id))
+                   / 1000000.0 AS gap_s
+            FROM events
+        ), per AS (
+            SELECT user_id, COUNT(*) AS n_gaps,
+                   ROUND(VAR_SAMP(gap_s) / (AVG(gap_s) * AVG(gap_s)), 6) AS cv2
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY user_id HAVING COUNT(*) >= {BURST_MIN_EVENTS}
+        )
+        SELECT user_id, n_gaps, cv2,
+               CAST(ROW_NUMBER() OVER (ORDER BY cv2 ASC, user_id ASC) AS INT) AS rk
+        FROM per
+        QUALIFY rk <= {BURST_TOPK}
+    """,
+        "x158_session_type_lift": f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             IS NULL
+                          OR ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                               + INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS nf
+            FROM events
+        ), sess AS (
+            SELECT user_id, event_type,
+                   SUM(nf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM ordered
+        ), baskets AS (
+            SELECT DISTINCT user_id || '#' || CAST(session_id AS VARCHAR) AS sid,
+                   event_type
+            FROM sess
+        ), ns AS (
+            SELECT COUNT(DISTINCT sid) AS n FROM baskets
+        ), item AS (
+            SELECT event_type, COUNT(*) AS ci FROM baskets GROUP BY event_type
+        ), pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_cooc
+            FROM baskets a JOIN baskets b
+                 ON a.sid = b.sid AND a.event_type < b.event_type
+            GROUP BY 1, 2 HAVING COUNT(*) >= {SESSION_LIFT_MIN}
+        )
+        SELECT pairs.type_a, pairs.type_b, n_cooc,
+               ROUND((CAST(n_cooc AS DOUBLE) * ns.n)
+                     / (CAST(ia.ci AS DOUBLE) * ib.ci), 6) AS lift
+        FROM pairs
+        JOIN item ia ON ia.event_type = pairs.type_a
+        JOIN item ib ON ib.event_type = pairs.type_b, ns
+    """,
+    }
+)
