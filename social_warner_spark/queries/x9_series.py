@@ -2613,3 +2613,133 @@ ORACLES.update(
     """,
     }
 )
+
+
+#: x160 — anonymity threshold and length-bucket width.
+K_ANON = 5
+K_ANON_BUCKET = 100
+
+
+def x159_signal_agreement(spark, sf_dir):
+    """Quality-signal agreement: Pearson AND Spearman correlation between
+    the heuristic quality score (x4) and the unigram-LM log-prob (x43)
+    per document — if two 'quality' signals disagree, at least one is
+    measuring something else.  Spearman is computed honestly: rank
+    transforms (two windows) then Pearson on the ranks.  Both
+    correlations are single-pass moments after the |docs|-sized rank
+    stage."""
+    from social_warner_spark.functions.text import quality_score, tokens
+
+    d = T(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", quality_score(F.col("text")).alias("_q"), tokens(F.col("text")).alias("_toks")
+    )
+    tok = staged.select("doc_id", F.explode("_toks").alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    tot = counts.agg(F.sum("c").alias("_t"))
+    lp = (
+        tok.join(counts, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("c").cast("double") / F.col("_t"))), 6).alias("_lp"))
+    )
+    j = staged.select("doc_id", "_q").join(lp, "doc_id")
+    ranked = j.select(
+        "_q",
+        "_lp",
+        F.row_number().over(Window.orderBy("_q", "doc_id")).alias("_rq"),
+        F.row_number().over(Window.orderBy("_lp", "doc_id")).alias("_rl"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_docs"),
+        r6(F.corr(F.col("_q"), F.col("_lp"))).alias("pearson"),
+        r6(
+            F.corr(F.col("_rq").cast("double"), F.col("_rl").cast("double"))
+        ).alias("spearman"),
+    )
+
+
+def x160_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over document metadata: how many documents sit
+    in a (lang, source, length-bucket) quasi-identifier combination with
+    fewer than k=5 members — the re-identification risk screen run
+    before releasing 'anonymized' metadata.  One combo aggregate; the
+    risk roll-up is |combos|-sized."""
+    d = T(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        (F.col("n_chars") / K_ANON_BUCKET).cast("long").alias("len_bucket"),
+    )
+    combos = d.groupBy("lang", "source", "len_bucket").agg(
+        F.count("*").alias("sz")
+    )
+    return combos.agg(
+        F.count("*").alias("n_combos"),
+        F.sum((F.col("sz") < K_ANON).cast("long")).alias("n_risky_combos"),
+        F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0)).alias(
+            "n_risky_docs"
+        ),
+        r6(
+            F.sum(F.when(F.col("sz") < K_ANON, F.col("sz")).otherwise(0))
+            / F.sum("sz").cast("double")
+        ).alias("risky_frac"),
+    )
+
+
+QUERIES.update(
+    {
+        "x159_signal_agreement": x159_signal_agreement,
+        "x160_k_anonymity": x160_k_anonymity,
+    }
+)
+
+ORACLES.update(
+    {
+        "x159_signal_agreement": """
+        WITH staged AS (
+            SELECT doc_id, ROUND({q}, 6) AS q,
+                   string_split(trim(text), ' ') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, u.w AS w FROM staged, UNNEST(t) AS u(w)
+        ), counts AS (
+            SELECT w, COUNT(*) AS c FROM tok GROUP BY w
+        ), tot AS (
+            SELECT SUM(c) AS t FROM counts
+        ), lp AS (
+            SELECT doc_id, ROUND(AVG(ln(CAST(c AS DOUBLE) / tot.t)), 6) AS lp
+            FROM tok JOIN counts USING (w), tot GROUP BY doc_id
+        ), j AS (
+            SELECT s.doc_id, s.q, lp.lp FROM staged s JOIN lp USING (doc_id)
+        ), ranked AS (
+            SELECT q, lp,
+                   ROW_NUMBER() OVER (ORDER BY q, doc_id) AS rq,
+                   ROW_NUMBER() OVER (ORDER BY lp, doc_id) AS rl
+            FROM j
+        )
+        SELECT COUNT(*) AS n_docs,
+               ROUND(corr(q, lp), 6) AS pearson,
+               ROUND(corr(CAST(rq AS DOUBLE), CAST(rl AS DOUBLE)), 6) AS spearman
+        FROM ranked
+    """,
+        "x160_k_anonymity": f"""
+        WITH combos AS (
+            SELECT lang, source, n_chars // {K_ANON_BUCKET} AS len_bucket,
+                   COUNT(*) AS sz
+            FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT COUNT(*) AS n_combos,
+               CAST(SUM(CASE WHEN sz < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_risky_combos,
+               CAST(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END) AS BIGINT)
+                   AS n_risky_docs,
+               ROUND(SUM(CASE WHEN sz < {K_ANON} THEN sz ELSE 0 END)
+                     / CAST(SUM(sz) AS DOUBLE), 6) AS risky_frac
+        FROM combos
+    """,
+    }
+)
+
+ORACLES["x159_signal_agreement"] = ORACLES["x159_signal_agreement"].replace(
+    "{q}", _QUALITY_SQL
+)
