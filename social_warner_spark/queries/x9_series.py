@@ -2743,3 +2743,72 @@ ORACLES.update(
 ORACLES["x159_signal_agreement"] = ORACLES["x159_signal_agreement"].replace(
     "{q}", _QUALITY_SQL
 )
+
+
+def x161_pair_budget_forecast(spark, sf_dir):
+    """Candidate-pair budget forecast for the shingle self-join: Σ over
+    shingles of C(df, 2) — the EXACT row count the l2/x86 join will
+    shuffle, computed from the |shingles|-sized document-frequency table
+    BEFORE running the join — plus the hottest shingle's df and its
+    share of the budget (the evidence behind the max_doc_freq cap and
+    the x121 prefix ordering).  One aggregate over df; no pair is ever
+    materialized."""
+    from social_warner_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(T(spark, sf_dir, "documents"), n=3)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    budget = df.agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long").alias(
+            "candidate_pairs"
+        ),
+        F.max("df").alias("max_df"),
+    )
+    hottest = (
+        df.orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(1)
+        .select(
+            F.col("shingle").alias("hottest_shingle"),
+            (F.col("df") * (F.col("df") - 1) / 2).cast("long").alias("_hp"),
+        )
+    )
+    return budget.crossJoin(hottest).select(
+        "n_shingles",
+        "candidate_pairs",
+        "max_df",
+        "hottest_shingle",
+        r6(F.col("_hp") / F.col("candidate_pairs").cast("double")).alias(
+            "hottest_share"
+        ),
+    )
+
+
+QUERIES.update({"x161_pair_budget_forecast": x161_pair_budget_forecast})
+
+ORACLES.update(
+    {
+        "x161_pair_budget_forecast": """
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), df AS (
+            SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle
+        ), budget AS (
+            SELECT COUNT(*) AS n_shingles,
+                   CAST(SUM(df * (df - 1) / 2) AS BIGINT) AS candidate_pairs,
+                   MAX(df) AS max_df
+            FROM df
+        ), hottest AS (
+            SELECT shingle AS hottest_shingle,
+                   CAST(df * (df - 1) / 2 AS BIGINT) AS hp
+            FROM df ORDER BY df DESC, shingle ASC LIMIT 1
+        )
+        SELECT n_shingles, candidate_pairs, max_df, hottest_shingle,
+               ROUND(hp / CAST(candidate_pairs AS DOUBLE), 6) AS hottest_share
+        FROM budget, hottest
+    """,
+    }
+)
