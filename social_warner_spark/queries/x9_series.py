@@ -2812,3 +2812,131 @@ ORACLES.update(
     """,
     }
 )
+
+
+def x162_ann_bucket_budget(spark, sf_dir):
+    """Candidate budget for the banded sign-LSH embedding join (x7's
+    plan, forecast BEFORE running it): per band, bucket-size histogram →
+    Σ C(bucket, 2) candidates, plus the fullest bucket's share — the
+    embedding-side companion to x161.  Buckets come from the same
+    sign_band_key expressions the join uses; everything past the
+    per-bucket count is |bands·2^planes|-sized."""
+    from social_warner_spark.operators.dedup import sign_band_key
+
+    emb = T(spark, sf_dir, "embeddings")
+    bands, planes = EMBED_BANDS, EMBED_PLANES_PER_BAND
+    keyed = emb.select(
+        *[
+            sign_band_key(F.col("embedding"), b, planes).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    )
+    melted = None
+    for b in range(bands):
+        part = keyed.select(
+            F.lit(b).alias("band"), F.col(f"band_{b}").alias("bk")
+        )
+        melted = part if melted is None else melted.unionByName(part)
+    sizes = melted.groupBy("band", "bk").agg(F.count("*").alias("n"))
+    return sizes.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias(
+            "candidate_pairs"
+        ),
+        F.max("n").alias("max_bucket"),
+    )
+
+
+#: x163 — the SLO error-rate target.
+SLO_TARGET = 0.22
+
+
+def x163_error_budget(spark, sf_dir):
+    """SRE error-budget report: daily error rate vs a fixed SLO target,
+    the day's budget burn (rate/target), and the month-to-date burn —
+    the on-call dashboard row.  One day-grain aggregate; the cumulative
+    burn rides a single ordered window over |days|."""
+    e = T(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("long")).alias("n_errors"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        r6(F.col("n_errors") / F.col("n_events").cast("double")).alias("error_rate"),
+        r6(
+            (F.col("n_errors") / F.col("n_events").cast("double")) / SLO_TARGET
+        ).alias("daily_burn"),
+        r6(
+            (F.sum("n_errors").over(w) / F.sum("n_events").over(w).cast("double"))
+            / SLO_TARGET
+        ).alias("mtd_burn"),
+    )
+
+
+QUERIES.update(
+    {
+        "x162_ann_bucket_budget": x162_ann_bucket_budget,
+        "x163_error_budget": x163_error_budget,
+    }
+)
+
+ORACLES.update(
+    {
+        # sign_band_key mirrors x7's oracle expressions: sign bit of the
+        # dot product with md5-derived hyperplane weights, concatenated
+        # per band.  Reuse the exact SQL builder from the x7 oracle.
+        "x162_ann_bucket_budget": None,  # filled below from x_series helpers
+        "x163_error_budget": f"""
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_errors
+            FROM events GROUP BY 1
+        )
+        SELECT day, n_events, n_errors,
+               ROUND(n_errors / CAST(n_events AS DOUBLE), 6) AS error_rate,
+               ROUND((n_errors / CAST(n_events AS DOUBLE)) / {SLO_TARGET}, 6)
+                   AS daily_burn,
+               ROUND((SUM(n_errors) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      / CAST(SUM(n_events) OVER (ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          AS DOUBLE)) / {SLO_TARGET}, 6) AS mtd_burn
+        FROM daily
+    """,
+    }
+)
+
+# x162's oracle reuses x7's exact band-key SQL builder so the forecast
+# buckets are byte-identical to the join's.
+from social_warner_spark.queries.x_series import (  # noqa: E402
+    EMBED_BANDS,
+    EMBED_PLANES_PER_BAND,
+    _embed_band_key_sql,
+)
+
+ORACLES["x162_ann_bucket_budget"] = (
+    "WITH keyed AS (\n"
+    + "            SELECT "
+    + ",\n                   ".join(
+        f"({_embed_band_key_sql(b)}) AS band_{b}" for b in range(EMBED_BANDS)
+    )
+    + "\n            FROM embeddings\n"
+    + "        ), melted AS (\n"
+    + "\n            UNION ALL\n".join(
+        f"            SELECT {b} AS band, band_{b} AS bk FROM keyed"
+        for b in range(EMBED_BANDS)
+    )
+    + "\n        ), sizes AS (\n"
+    + "            SELECT band, bk, COUNT(*) AS n FROM melted GROUP BY band, bk\n"
+    + "        )\n"
+    + "        SELECT band, COUNT(*) AS n_buckets,\n"
+    + "               CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS candidate_pairs,\n"
+    + "               MAX(n) AS max_bucket\n"
+    + "        FROM sizes GROUP BY band"
+)
