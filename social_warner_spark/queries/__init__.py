@@ -30,6 +30,7 @@ from social_warner_spark.queries import (
     x8_series,
     x9_series,
     x10_series,
+    x11_series,
     x_series,
 )
 
@@ -48,6 +49,7 @@ _SERIES = (
     x8_series,
     x9_series,
     x10_series,
+    x11_series,
     sql_series,
 )
 
@@ -67,7 +69,9 @@ CHECK_PRIORITY = (
     "x16_corpus_prep",
     "x7_embed_neardup",
     "x8_ann_bucketed",
-    "x29_sequence_packing",
+    # (x29 packing yields its slot to x164: x31 composes packing, while
+    # substring-level duplicated-span detection is a new operator family)
+    "x164_dup_spans",
     # (x30 boilerplate yields to x88: the ngram family keeps x16/x28/x31
     # in-window; the corpus card is the round-2 composed summary)
     "x88_corpus_card",

@@ -216,3 +216,20 @@ def test_prefix_filter_smaller_join_input(spark, sf_smoke):
     p = plan_of(spark, sf_smoke, "x121_prefix_filter_pairs")
     assert "WindowGroupLimit" in p or "_rn" in p, p
     assert "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_dup_spans_hash_join_no_text_shuffle(spark, sf_smoke):
+    """x164's duplicated-hash join must be an equi-join (no nested loop)
+    and the relation crossing the shuffle carries the 16-char md5 hash,
+    never the shingle text (ReadSchema on the dup side stays hash+pos)."""
+    p = plan_of(spark, sf_smoke, "x164_dup_spans")
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_weighted_sample_topk_pushdown(spark, sf_smoke):
+    """x166's A-ES top-k must run as TakeOrderedAndProject (per-partition
+    k-row heaps) — a global Sort before the limit would be the reservoir
+    collapsing to one reducer."""
+    p = plan_of(spark, sf_smoke, "x166_weighted_sample")
+    assert "TakeOrderedAndProject" in p, p
