@@ -93,9 +93,9 @@ CHECK_PRIORITY = (
     # the ordered funnel is the round-2 product-analytics family)
     "x93_funnel",
     "x36_sessionize",
-    # (x37 z-score yields its slot to x66: winsorize/percentiles cover
-    # the moment-stats shape; the bigram LM is new model machinery)
-    "x66_bigram_logprob",
+    # (x37 z-score and x66 bigram-LM yield: x43/x89 keep the LM family
+    # in-window; the Poisson bootstrap is the round-3 new stats family)
+    "x167_poisson_bootstrap",
     "x38_fuzzy_pairs",
     # (x47/x48 yield slots to x61/x63: winsorize and histogram are shape
     # variants of the in-window x37 z-score and x12 percentiles, while

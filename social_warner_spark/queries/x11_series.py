@@ -7,17 +7,22 @@ code-switch detection, and deterministic weighted sampling.
   token spans that occur verbatim in ≥2 documents.  Fixed-width token
   shingles are hashed and counted; positions whose shingle is shared
   cross-document are merged per-document into maximal spans with a
-  gaps-and-islands pass.
+  gaps-and-islands pass.  Complements x73 (which scores per-doc COVERAGE
+  by grams first seen in earlier docs): x164 reports the SPAN STRUCTURE —
+  how many contiguous duplicated regions and how long — symmetric over
+  the duplicate set rather than ordered by first appearance.
 - x165 code-switch / mixed-language detection — chunk-level language ID
   (the x3 marker argmax applied per 25-token chunk) rolled up to a
   per-document language-mixing profile.  Catches documents whose
   dominant-language label hides embedded foreign spans — a real
   training-data contamination mode that document-level lang-ID misses.
-- x166 weighted sample without replacement — Efraimidis–Spirakis A-ES
-  (key = ln(u) / w, top-k by key) with the uniform u derived from
-  md5(doc_id), so the "random" sample is fully deterministic and
-  engine-portable.  One pass + global top-k; the distributed form of
-  weighted reservoir sampling.
+- x166 stratified weighted sample — the per-group form of x72's
+  Efraimidis–Spirakis draw: an independent A-ES sample of fixed size
+  WITHIN every source (key = ln(u) / w, rank per source), so every
+  stratum is represented regardless of its share of the corpus.  The
+  global-top-k x72 plan (TakeOrderedAndProject) becomes a per-group
+  rank (WindowGroupLimit) — a different physical shape and the variant
+  used when building evaluation slices per provenance.
 
 Scale notes per query in docstrings; no query shuffles document text —
 only hashes, positions, and counts.
@@ -39,8 +44,8 @@ SPAN_W = 8
 #: x165 — tokens per language-ID chunk.
 CHUNK_TOKENS = 25
 
-#: x166 — sample size.
-SAMPLE_K = 100
+#: x166 — sample size PER SOURCE stratum.
+STRATUM_K = 10
 
 _LANGS = sorted(LANG_MARKERS)
 
@@ -149,42 +154,190 @@ def x165_mixed_language(spark, sf_dir):
     )
 
 
-def x166_weighted_sample(spark, sf_dir):
-    """Deterministic weighted sample without replacement (A-ES, k=100).
+def x166_stratified_weighted_sample(spark, sf_dir):
+    """Deterministic stratified weighted sample: A-ES top-10 per source.
 
-    Efraimidis–Spirakis: each doc gets key = ln(u) / w with weight
-    w = n_chars and u ∈ (0,1] uniform; the top-k keys are a weighted
-    sample without replacement.  u is derived from the first 8 hex
-    chars of md5(doc_id) — no RNG, so both engines select the identical
-    sample.  Keys are rounded to 6dp and tie-broken by doc_id so the
-    boundary row is engine-stable (same protocol as every rounded
-    ranking in the suite).
+    The per-stratum form of x72's global Efraimidis–Spirakis draw: each
+    doc gets key = ln(u) / w (w = n_chars, u ∈ (0,1] from md5 with a
+    stream tag distinct from x72's), and the top-10 keys WITHIN each
+    source form that stratum's sample — equal representation per
+    provenance no matter how skewed the corpus mix.  Keys are rounded
+    to 6dp and tie-broken by doc_id so the boundary rows are
+    engine-stable.
 
-    Plan: narrow map + global top-k (TakeOrderedAndProject — k rows per
-    partition then k at the driver; no global sort).  This IS the
-    distributed form of weighted reservoir sampling: at 100 TB each
-    executor keeps a k-row heap and only k-row partials move.
+    Plan: narrow map + per-group rank — Spark pushes the rn ≤ k filter
+    into WindowGroupLimit, so each source keeps a k-row heap per
+    partition instead of sorting the corpus.  The global-top-k variant
+    (TakeOrderedAndProject) is x72; this is the grouped physical shape.
     """
     d = T(spark, sf_dir, "documents")
     u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("double")
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("sws|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
         + 1.0
     ) / F.lit(4294967296.0)
     key = F.log(u) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    keyed = d.select("source", "doc_id", "n_chars", r6(key).alias("es_key"))
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), "doc_id")
     return (
-        d.select("doc_id", "n_chars", r6(key).alias("es_key"))
-        .orderBy(F.desc("es_key"), "doc_id")
-        .limit(SAMPLE_K)
+        keyed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= STRATUM_K)
+        .select("source", "doc_id", "n_chars", "es_key")
+    )
+
+
+#: x167 — bootstrap replicates.
+BOOT_B = 40
+
+#: Poisson(1) cumulative probabilities (k = 0..8); weights beyond 9 are
+#: impossible at double precision of the uniform.  Hardcoded so BOTH
+#: engines compare against the exact same literals.
+POISSON1_CUM = (
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+    0.9999897508033253,
+    0.999998874797402,
+)
+
+
+def _uniform_from_md5(seed: F.Column) -> F.Column:
+    """Deterministic u ∈ (0,1] from the first 8 md5 hex chars of `seed`."""
+    return (
+        F.conv(F.substring(F.md5(seed), 1, 8), 16, 10).cast("double") + 1.0
+    ) / F.lit(4294967296.0)
+
+
+def x167_poisson_bootstrap(spark, sf_dir):
+    """Per-event-type mean(value) with a 95% Poisson-bootstrap CI.
+
+    The Poisson bootstrap (each row enters replicate b with weight
+    ~Poisson(1)) is the one bootstrap that distributes: no resampling
+    index, no global row count, one pass per replicate — and all B
+    replicates run in a single aggregation over an exploded replicate
+    id.  The per-(row, b) weight comes from a deterministic md5 uniform
+    through the inverse Poisson CDF ladder, so both engines produce the
+    identical "random" weights.
+
+    CI = the rank-1 and rank-⌈0.975B⌉ replicate means (B=40 → 2.5%/97.5%
+    empirical quantiles), ranked on 6dp-rounded means with replicate-id
+    tie-break.
+
+    100 TB: the explode multiplies the scan by B but everything
+    aggregates straight down to |types|×B partial cells (map-side
+    combine), and replicate cells never co-reside — this is the
+    textbook distributed-bootstrap layout.
+    """
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    reps = e.select(
+        "event_type",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        F.col("event_id"),
+    )
+    u = _uniform_from_md5(
+        F.concat(F.col("event_id").cast("string"), F.lit("#"), F.col("b").cast("string"))
+    )
+    w = None
+    for k, c in enumerate(POISSON1_CUM):
+        cond = u < F.lit(c)
+        w = F.when(cond, F.lit(k)) if w is None else w.when(cond, F.lit(k))
+    w = w.otherwise(F.lit(len(POISSON1_CUM)))
+    cells = reps.select("event_type", "b", w.alias("w"), "value")
+    rmeans = cells.groupBy("event_type", "b").agg(
+        r6(F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("rmean")
+    )
+    rk = Window.partitionBy("event_type").orderBy("rmean", "b")
+    ranked = rmeans.withColumn("rn", F.row_number().over(rk))
+    lo_rank, hi_rank = 1, int(0.975 * BOOT_B)  # 1 and 39 at B=40
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == lo_rank, F.col("rmean"))).alias("boot_lo"),
+        F.max(F.when(F.col("rn") == hi_rank, F.col("rmean"))).alias("boot_hi"),
+    )
+    point = e.groupBy("event_type").agg(r6(F.avg("value")).alias("mean_value"))
+    return point.join(ci, "event_type").select(
+        "event_type", "mean_value", "boot_lo", "boot_hi"
+    )
+
+
+def x168_jackknife_sources(spark, sf_dir):
+    """Leave-one-source-out jackknife: how much does dropping any single
+    source move the corpus mean document length?
+
+    Closed form off ONE aggregation: per-source (n, sum) plus the grand
+    totals give every leave-one-out mean as (S - s_i) / (N - n_i) —
+    integer-exact until the final division.  The influence audit that
+    catches a corpus dominated by one source.  |sources| rows end to
+    end; a 100 TB corpus pays one partial-agg scan.
+    """
+    d = T(spark, sf_dir, "documents").select("source", "n_chars")
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_s"), F.sum("n_chars").alias("sum_s")
+    )
+    tot = per.agg(F.sum("n_s").alias("n"), F.sum("sum_s").alias("s"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        r6(F.col("sum_s") / F.col("n_s").cast("double")).alias("source_mean"),
+        r6((F.col("s") - F.col("sum_s")) / (F.col("n") - F.col("n_s")).cast("double")).alias(
+            "loo_mean"
+        ),
+        r6(
+            (F.col("s") - F.col("sum_s")) / (F.col("n") - F.col("n_s")).cast("double")
+            - F.col("s") / F.col("n").cast("double")
+        ).alias("loo_delta"),
+    )
+
+
+def x169_effective_sample_size(spark, sf_dir):
+    """Importance-weighting diagnostic: effective sample size per source.
+
+    With per-doc weight w = n_chars, ESS = (Σw)² / Σw² — how many
+    equal-weight documents the weighted set is worth.  ESS/n near 1 ⇒
+    weights are flat; near 1/n ⇒ one document dominates (a selection or
+    mixture-weighting red flag).  Integer sums (exact) until the final
+    ratios; |sources| rows from one partial-agg scan.
+    """
+    d = T(spark, sf_dir, "documents").select("source", "n_chars")
+    agg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("w_sum"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("w2_sum"),
+    )
+    ess = (F.col("w_sum") * F.col("w_sum")) / F.col("w2_sum").cast("double")
+    return agg.select(
+        "source",
+        "n_docs",
+        r6(ess).alias("ess"),
+        r6(ess / F.col("n_docs").cast("double")).alias("ess_ratio"),
     )
 
 
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
-    "x166_weighted_sample": x166_weighted_sample,
+    "x166_stratified_weighted_sample": x166_stratified_weighted_sample,
+    "x167_poisson_bootstrap": x167_poisson_bootstrap,
+    "x168_jackknife_sources": x168_jackknife_sources,
+    "x169_effective_sample_size": x169_effective_sample_size,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
+
+#: Inverse-CDF ladder for Poisson(1) weights — same literals as the
+#: Spark side (repr round-trips the exact doubles).
+_POISSON_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CUM))
+    + f" ELSE {len(POISSON1_CUM)} END"
+)
 
 _CHUNK_BEST_EXPR = "s_" + _LANGS[0]
 _CHUNK_BEST_LG = f"'{_LANGS[0]}'"
@@ -274,13 +427,71 @@ ORACLES = {
                ROUND(d.cnt / CAST(p.n_chunks AS DOUBLE), 6) AS dom_share
         FROM per_doc p JOIN dom d ON p.doc_id = d.doc_id AND d.rn = 1
     """,
-    "x166_weighted_sample": f"""
-        SELECT doc_id, n_chars,
-               ROUND(ln(({_HEX8_TO_INT.format(x="CAST(doc_id AS VARCHAR)")} + 1.0)
-                        / 4294967296.0)
-                     / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS es_key
-        FROM documents
-        ORDER BY es_key DESC, doc_id
-        LIMIT {SAMPLE_K}
+    "x166_stratified_weighted_sample": f"""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   ROUND(ln(({_HEX8_TO_INT.format(x="'sws|' || CAST(doc_id AS VARCHAR)")} + 1.0)
+                            / 4294967296.0)
+                         / CAST(GREATEST(n_chars, 1) AS DOUBLE), 6) AS es_key
+            FROM documents
+        ), ranked AS (
+            SELECT source, doc_id, n_chars, es_key,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY es_key DESC, doc_id) AS rn
+            FROM keyed
+        )
+        SELECT source, doc_id, n_chars, es_key
+        FROM ranked WHERE rn <= {STRATUM_K}
+    """,
+    "x167_poisson_bootstrap": f"""
+        WITH reps AS (
+            SELECT event_type, value, b,
+                   ({_HEX8_TO_INT.format(x="CAST(event_id AS VARCHAR) || '#' || CAST(b AS VARCHAR)")}
+                    + 1.0) / 4294967296.0 AS u
+            FROM events, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) bs
+        ), cells AS (
+            SELECT event_type, b, {_POISSON_CASE} AS w, value FROM reps
+        ), rmeans AS (
+            SELECT event_type, b, ROUND(SUM(w * value) / SUM(w), 6) AS rmean
+            FROM cells GROUP BY event_type, b
+        ), ranked AS (
+            SELECT event_type, rmean,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY rmean, b) AS rn
+            FROM rmeans
+        ), ci AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = 1 THEN rmean END) AS boot_lo,
+                   MAX(CASE WHEN rn = {int(0.975 * BOOT_B)} THEN rmean END) AS boot_hi
+            FROM ranked GROUP BY event_type
+        )
+        SELECT p.event_type, ROUND(p.mv, 6) AS mean_value, ci.boot_lo, ci.boot_hi
+        FROM (SELECT event_type, AVG(value) AS mv FROM events GROUP BY event_type) p
+        JOIN ci ON p.event_type = ci.event_type
+    """,
+    "x168_jackknife_sources": """
+        WITH per AS (
+            SELECT source, COUNT(*) AS n_s, SUM(n_chars) AS sum_s
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(n_s) AS n, SUM(sum_s) AS s FROM per
+        )
+        SELECT source,
+               CAST(n_s AS BIGINT) AS n_s,
+               ROUND(sum_s / CAST(n_s AS DOUBLE), 6) AS source_mean,
+               ROUND((s - sum_s) / CAST(n - n_s AS DOUBLE), 6) AS loo_mean,
+               ROUND((s - sum_s) / CAST(n - n_s AS DOUBLE)
+                     - s / CAST(n AS DOUBLE), 6) AS loo_delta
+        FROM per, tot
+    """,
+    "x169_effective_sample_size": """
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               ROUND((SUM(n_chars) * SUM(n_chars))
+                     / CAST(SUM(n_chars * n_chars) AS DOUBLE), 6) AS ess,
+               ROUND((SUM(n_chars) * SUM(n_chars))
+                     / CAST(SUM(n_chars * n_chars) AS DOUBLE)
+                     / COUNT(*), 6) AS ess_ratio
+        FROM documents GROUP BY source
     """,
 }

@@ -227,9 +227,9 @@ def test_dup_spans_hash_join_no_text_shuffle(spark, sf_smoke):
     assert "CartesianProduct" not in p, p
 
 
-def test_weighted_sample_topk_pushdown(spark, sf_smoke):
-    """x166's A-ES top-k must run as TakeOrderedAndProject (per-partition
-    k-row heaps) — a global Sort before the limit would be the reservoir
-    collapsing to one reducer."""
-    p = plan_of(spark, sf_smoke, "x166_weighted_sample")
-    assert "TakeOrderedAndProject" in p, p
+def test_stratified_sample_window_group_limit(spark, sf_smoke):
+    """x166's per-source A-ES rank must push as WindowGroupLimit (k-row
+    heap per source per partition) — without it every stratum fully
+    sorts before the rn filter."""
+    p = plan_of(spark, sf_smoke, "x166_stratified_weighted_sample")
+    assert "WindowGroupLimit" in p, p
