@@ -825,3 +825,63 @@ def prefix_filter_jaccard_pairs(
         )
     )
     return scored.where(F.col("jaccard") >= threshold)
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    *,
+    w: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (ExactSubstr
+    complement — Lee et al., arXiv:2107.06499).
+
+    A position is "duplicated" when the ``w``-token shingle starting
+    there occurs in ≥2 distinct documents; per document, overlapping/
+    adjacent duplicated positions (gap ≤ w) merge into maximal spans via
+    gaps-and-islands.  Returns one row per document that has ≥1 span:
+    (id, n_dup_spans, dup_tokens, dup_frac).
+
+    Scale: only 16-hex-char shingle hashes cross the wire — one
+    partial-agg shuffle to find shared hashes, one equi-join back, and
+    a per-document window whose partitions are bounded by document
+    length.  The text column itself never shuffles.
+    """
+    from social_warner_spark.functions.text import shingles_from_tokens
+
+    d = docs.select(F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks"))
+    d = d.select("_id", F.size("_toks").alias("_n"), "_toks")
+    sh = d.select(
+        "_id",
+        "_n",
+        F.posexplode(shingles_from_tokens(F.col("_toks"), w)).alias("_pos", "_sh"),
+    ).select("_id", "_n", "_pos", F.substring(F.md5("_sh"), 1, 16).alias("_h"))
+    dup = (
+        sh.groupBy("_h")
+        .agg(F.count_distinct("_id").alias("_nd"))
+        .where(F.col("_nd") >= 2)
+        .select("_h")
+    )
+    hits = sh.join(dup, "_h").select("_id", "_n", "_pos")
+    win = Window.partitionBy("_id").orderBy("_pos")
+    isl = hits.withColumn(
+        "_nf",
+        F.when(F.col("_pos") - F.lag("_pos").over(win) <= w, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("_g", F.sum("_nf").over(win))
+    spans = isl.groupBy("_id", "_n", "_g").agg(
+        F.min("_pos").alias("_s0"), (F.max("_pos") + w - 1).alias("_s1")
+    )
+    return (
+        spans.groupBy("_id", "_n")
+        .agg(
+            F.count("*").alias("n_dup_spans"),
+            F.sum(F.col("_s1") - F.col("_s0") + 1).alias("dup_tokens"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_dup_spans",
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("_n").cast("double"), 6).alias("dup_frac"),
+        )
+    )

@@ -33,7 +33,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from social_warner_spark.functions.text import LANG_MARKERS, tokens, shingles_from_tokens
+from social_warner_spark.functions.text import LANG_MARKERS, tokens
 from social_warner_spark.queries.common import T, r6
 
 #: x164 — width (in word tokens) of the duplicated-span shingle.  Spans
@@ -68,40 +68,9 @@ def x164_dup_spans(spark, sf_dir):
     the full 128-bit md5 (collision headroom) and a Bloom-filter
     pre-join on the duplicated-hash set.
     """
-    d = T(spark, sf_dir, "documents").select("doc_id", tokens(F.col("text")).alias("toks"))
-    d = d.select("doc_id", F.size("toks").alias("n_toks"), "toks")
-    sh = d.select(
-        "doc_id",
-        "n_toks",
-        F.posexplode(shingles_from_tokens(F.col("toks"), SPAN_W)).alias("pos", "shingle"),
-    ).select("doc_id", "n_toks", "pos", F.substring(F.md5("shingle"), 1, 16).alias("h"))
+    from social_warner_spark.operators.dedup import duplicated_spans
 
-    dup = (
-        sh.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
-    )
-    hits = sh.join(dup, "h").select("doc_id", "n_toks", "pos")
-
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn(
-        "nf",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= SPAN_W, F.lit(0)).otherwise(F.lit(1)),
-    )
-    grp = isl.withColumn("g", F.sum("nf").over(w))
-    spans = grp.groupBy("doc_id", "n_toks", "g").agg(
-        F.min("pos").alias("s0"), (F.max("pos") + SPAN_W - 1).alias("s1")
-    )
-    return spans.groupBy("doc_id", "n_toks").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum(F.col("s1") - F.col("s0") + 1).alias("dup_tokens"),
-    ).select(
-        "doc_id",
-        "n_dup_spans",
-        "dup_tokens",
-        r6(F.col("dup_tokens") / F.col("n_toks").cast("double")).alias("dup_frac"),
-    )
+    return duplicated_spans(T(spark, sf_dir, "documents"), w=SPAN_W)
 
 
 def x165_mixed_language(spark, sf_dir):
@@ -215,6 +184,15 @@ def _uniform_from_md5(seed: F.Column) -> F.Column:
     ) / F.lit(4294967296.0)
 
 
+def poisson1_weight(u: F.Column) -> F.Column:
+    """Inverse-CDF Poisson(1) draw from a uniform — the bootstrap weight."""
+    w = None
+    for k, c in enumerate(POISSON1_CUM):
+        cond = u < F.lit(c)
+        w = F.when(cond, F.lit(k)) if w is None else w.when(cond, F.lit(k))
+    return w.otherwise(F.lit(len(POISSON1_CUM)))
+
+
 def x167_poisson_bootstrap(spark, sf_dir):
     """Per-event-type mean(value) with a 95% Poisson-bootstrap CI.
 
@@ -245,12 +223,7 @@ def x167_poisson_bootstrap(spark, sf_dir):
     u = _uniform_from_md5(
         F.concat(F.col("event_id").cast("string"), F.lit("#"), F.col("b").cast("string"))
     )
-    w = None
-    for k, c in enumerate(POISSON1_CUM):
-        cond = u < F.lit(c)
-        w = F.when(cond, F.lit(k)) if w is None else w.when(cond, F.lit(k))
-    w = w.otherwise(F.lit(len(POISSON1_CUM)))
-    cells = reps.select("event_type", "b", w.alias("w"), "value")
+    cells = reps.select("event_type", "b", poisson1_weight(u).alias("w"), "value")
     rmeans = cells.groupBy("event_type", "b").agg(
         r6(F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("rmean")
     )
