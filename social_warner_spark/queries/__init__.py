@@ -88,7 +88,9 @@ CHECK_PRIORITY = (
     "x40_mixture_rebalance",
     "x41_chunking",
     "x42_budget_selection",
-    "x43_unigram_logprob",
+    # (x43 unigram-LM yields to x170: x89 keeps LM eval in-window; the
+    # iterative BPE merge-training loop is the round-3 new machinery)
+    "x170_bpe_merges",
     # (x33 gap-fill yields to x93: timeseries keeps x36/x76 in-window;
     # the ordered funnel is the round-2 product-analytics family)
     "x93_funnel",

@@ -293,6 +293,61 @@ def x169_effective_sample_size(spark, sf_dir):
     )
 
 
+#: x170 — BPE merge-training rounds.
+BPE_ROUNDS = 5
+
+
+def x170_bpe_merges(spark, sf_dir):
+    """Learn 5 word-level BPE merge rules over the corpus.
+
+    The full iterative BPE training loop (count adjacent pairs → take
+    the most frequent → merge greedily → repeat), distributed:
+    operators/tokenizer.py:learn_merges encodes each document's symbol
+    sequence as a double-bar delimiter string so the merge step is a
+    plain literal replace (overlap-safe, greedy left-to-right — the
+    reference BPE semantics) and the learned rule enters the next round
+    as a broadcast 1-row relation.  No UDF, no driver collect.
+
+    100 TB: per round one map-side-combined pair-count shuffle + a
+    1-row TakeOrderedAndProject; sequences persist between rounds so
+    round r never replays rounds 1..r-1.
+    """
+    from social_warner_spark.operators.tokenizer import learn_merges
+
+    return learn_merges(T(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
+
+
+def _bpe_oracle(rounds: int) -> str:
+    parts = [
+        "WITH seq0 AS (SELECT doc_id, '||' || array_to_string("
+        "string_split(trim(text), ' '), '||') || '||' AS s "
+        "FROM documents WHERE trim(text) != '')"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"tks{r} AS (SELECT string_split(trim(s, '|'), '||') AS t FROM seq{r - 1})"
+        )
+        parts.append(
+            f"ex{r} AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM tks{r})"
+        )
+        parts.append(
+            f"best{r} AS (SELECT t[i] AS p1, t[i + 1] AS p2, COUNT(*) AS n "
+            f"FROM ex{r} GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 1)"
+        )
+        if r < rounds:
+            parts.append(
+                f"seq{r} AS (SELECT doc_id, "
+                f"replace(s, '|' || b.p1 || '||' || b.p2 || '|', "
+                f"'|' || b.p1 || chr(1) || b.p2 || '|') AS s "
+                f"FROM seq{r - 1}, best{r} b)"
+            )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, p1, p2, CAST(n AS BIGINT) AS n FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -300,6 +355,7 @@ QUERIES = {
     "x167_poisson_bootstrap": x167_poisson_bootstrap,
     "x168_jackknife_sources": x168_jackknife_sources,
     "x169_effective_sample_size": x169_effective_sample_size,
+    "x170_bpe_merges": x170_bpe_merges,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -467,4 +523,5 @@ ORACLES = {
                      / COUNT(*), 6) AS ess_ratio
         FROM documents GROUP BY source
     """,
+    "x170_bpe_merges": _bpe_oracle(BPE_ROUNDS),
 }

@@ -117,3 +117,27 @@ def test_stratified_sample_sizes_and_determinism(spark, sf_correct):
     for r in a:
         per_source[r["source"]] = per_source.get(r["source"], 0) + 1
     assert per_source and all(n == STRATUM_K for n in per_source.values())
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    """The distributed merge loop reproduces reference BPE (greedy
+    left-to-right merge, frequency-then-lexicographic rule choice)
+    including consecutive-occurrence and self-pair (p1==p2) geometry."""
+    from social_warner_spark.operators.tokenizer import bpe_reference, learn_merges
+
+    texts = [
+        "the cat sat on the mat",
+        "the cat ran to the cat",
+        "a cat sat here and there",
+        "b b b b b",          # self-pair: 4 b-pairs, greedy merges 2
+        "the cat the cat sat",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = [
+        (r["round"], r["p1"], r["p2"], r["n"])
+        for r in learn_merges(docs, rounds=4).orderBy("round").collect()
+    ]
+    want = bpe_reference([t.split() for t in texts], 4)
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
