@@ -44,6 +44,36 @@ def learn_merges(
     text_col: str = "text",
 ) -> DataFrame:
     """Learn `rounds` BPE merge rules; returns (round, p1, p2, n) rows."""
+    best_rows, _ = _merge_loop(docs, rounds=rounds, id_col=id_col, text_col=text_col)
+    return reduce(DataFrame.unionAll, best_rows)
+
+
+def encoded_lengths(
+    docs: DataFrame,
+    *,
+    rounds: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply the `rounds` learned merges; per doc returns the symbol
+    count before/after and the count of merge applications (saved)."""
+    _, seq = _merge_loop(docs, rounds=rounds, id_col=id_col, text_col=text_col)
+    n_after = F.size(F.split(F.btrim(F.col("s"), F.lit("|")), r"\|\|"))
+    before = docs.where(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("_id"), F.size(tokens(F.col(text_col))).alias("n_before")
+    )
+    after = seq.select("_id", n_after.alias("n_after"))
+    return before.join(after, "_id").select(
+        F.col("_id").alias(id_col),
+        "n_before",
+        "n_after",
+        (F.col("n_before") - F.col("n_after")).alias("n_merged"),
+    )
+
+
+def _merge_loop(
+    docs: DataFrame, *, rounds: int, id_col: str, text_col: str
+) -> tuple[list[DataFrame], DataFrame]:
     from social_warner_spark.caching import register_persisted
 
     toks = tokens(F.col(text_col))
@@ -82,7 +112,7 @@ def learn_merges(
             seq.crossJoin(F.broadcast(best.select("p1", "p2")))
             .select("_id", F.replace(F.col("s"), pat, rep).alias("s"))
         )
-    return reduce(DataFrame.unionAll, best_rows)
+    return best_rows, seq
 
 
 def bpe_reference(corpus: list[list[str]], rounds: int) -> list[tuple[int, str, str, int]]:

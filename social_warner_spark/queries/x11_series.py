@@ -348,6 +348,216 @@ def _bpe_oracle(rounds: int) -> str:
     return ",\n".join(parts) + "\n" + union
 
 
+def x171_bpe_encode(spark, sf_dir):
+    """Apply the 5 learned BPE merges (x170's loop) to the corpus and
+    report per-document compression: symbol count before/after and the
+    number of merge applications.  The train→encode round trip of the
+    tokenizer family (x109 fertility measures a FIXED vocab; here the
+    vocab is learned from this corpus).
+
+    Plan: the x170 training lineage plus one narrow re-split — merge
+    application stays a literal replace against broadcast 1-row rules,
+    so encoding adds zero shuffles beyond training's pair counts.
+    """
+    from social_warner_spark.operators.tokenizer import encoded_lengths
+
+    return encoded_lengths(T(spark, sf_dir, "documents"), rounds=BPE_ROUNDS)
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    parts = [
+        "WITH seq0 AS (SELECT doc_id, '||' || array_to_string("
+        "string_split(trim(text), ' '), '||') || '||' AS s "
+        "FROM documents WHERE trim(text) != '')"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"tks{r} AS (SELECT string_split(trim(s, '|'), '||') AS t FROM seq{r - 1})"
+        )
+        parts.append(
+            f"ex{r} AS (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i FROM tks{r})"
+        )
+        parts.append(
+            f"best{r} AS (SELECT t[i] AS p1, t[i + 1] AS p2, COUNT(*) AS n "
+            f"FROM ex{r} GROUP BY 1, 2 ORDER BY n DESC, p1, p2 LIMIT 1)"
+        )
+        parts.append(
+            f"seq{r} AS (SELECT doc_id, "
+            f"replace(s, '|' || b.p1 || '||' || b.p2 || '|', "
+            f"'|' || b.p1 || chr(1) || b.p2 || '|') AS s "
+            f"FROM seq{r - 1}, best{r} b)"
+        )
+    final = (
+        f"SELECT d.doc_id, "
+        f"CAST(len(string_split(trim(d.text), ' ')) AS INT) AS n_before, "
+        f"CAST(len(string_split(trim(q.s, '|'), '||')) AS INT) AS n_after, "
+        f"CAST(len(string_split(trim(d.text), ' ')) "
+        f"- len(string_split(trim(q.s, '|'), '||')) AS INT) AS n_merged "
+        f"FROM documents d JOIN seq{rounds} q ON d.doc_id = q.doc_id "
+        f"WHERE trim(d.text) != ''"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+#: x172 — KS test: sqrt(-ln(alpha/2)/2) for alpha = 0.05.
+KS_COEF = 1.3581015157406195
+
+
+def x172_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test: each source's document
+    length distribution vs the REST of the corpus.
+
+    KS = sup |F_s(v) - F_rest(v)| over the value grid; a source whose
+    lengths are distributed differently from everyone else's (truncated
+    crawl, boilerplate feed, wrong segmenter) exceeds the alpha=0.05
+    critical value c(alpha)*sqrt((n+m)/(n*m)).  The nonparametric twin
+    of x150's parametric change-point machinery, applied across sources
+    instead of across time.
+
+    Plan: one (source, value) count agg, then everything lives on the
+    |values| x |sources| grid — bounded by the value DOMAIN (document
+    lengths), never by corpus size.  Cumulative sums are per-source
+    windows over that grid; one final max per source.  100 TB: the only
+    corpus-sized operation is the first partial-agg count.
+    """
+    d = T(spark, sf_dir, "documents").select("source", F.col("n_chars").alias("v"))
+    counts = d.groupBy("source", "v").agg(F.count("*").alias("c"))
+    vals = counts.select("v").distinct()
+    per_src = counts.groupBy("source").agg(F.sum("c").alias("n_s"))
+    grand = per_src.agg(F.sum("n_s").alias("n"))
+    grid = vals.crossJoin(F.broadcast(per_src)).join(counts, ["source", "v"], "left")
+    gv = counts.groupBy("v").agg(F.sum("c").alias("c_all"))
+    grid = grid.join(F.broadcast(gv), "v").crossJoin(F.broadcast(grand))
+    w = Window.partitionBy("source").orderBy("v")
+    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum_s = F.sum(F.coalesce(F.col("c"), F.lit(0))).over(w)
+    stepped = grid.select(
+        "source",
+        "v",
+        "n_s",
+        "n",
+        cum_s.alias("cs"),
+        F.col("c_all").alias("ca"),
+    )
+    # cumulative of the GLOBAL counts along the value grid (same for
+    # every source, computed once on the |values| relation)
+    gcum = (
+        gv.select("v", F.sum("c_all").over(wall).alias("cum_all"))
+    )
+    j = stepped.join(F.broadcast(gcum), "v")
+    f_s = F.col("cs") / F.col("n_s").cast("double")
+    f_rest = (F.col("cum_all") - F.col("cs")) / (F.col("n") - F.col("n_s")).cast("double")
+    ks = j.groupBy("source", "n_s", "n").agg(F.max(F.abs(f_s - f_rest)).alias("ks_raw"))
+    crit = F.lit(KS_COEF) * F.sqrt(
+        F.col("n").cast("double") / (F.col("n_s") * (F.col("n") - F.col("n_s"))).cast("double")
+    )
+    return ks.select(
+        "source",
+        F.col("n_s").cast("long").alias("n_s"),
+        r6(F.col("ks_raw")).alias("ks"),
+        r6(crit).alias("ks_crit"),
+        (F.col("ks_raw") > crit).alias("drifted"),
+    )
+
+
+#: x173 — Johnson-Lindenstrauss projection: target dims and the
+#: deterministic ±1 sign matrix (md5-derived constants, identical
+#: literals on both engines by construction).
+JL_M = 8
+JL_DIM = 64
+
+
+def _jl_signs() -> list[list[float]]:
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"jl|{j}|{i}".encode()).hexdigest()[0] >= "8" else -1.0
+            for i in range(JL_DIM)
+        ]
+        for j in range(JL_M)
+    ]
+
+
+JL_SIGNS = _jl_signs()
+
+
+def x173_jl_distortion(spark, sf_dir):
+    """Johnson-Lindenstrauss distance-preservation audit: project 64-dim
+    embeddings to 8 dims with a deterministic ±1/sqrt(m) sign matrix and
+    measure squared-distance distortion on a systematic pair sample
+    (vec_id % 5 == 0 paired with its successor).
+
+    d_proj²/d_orig² per pair, reported as (n_pairs, mean, min, max) —
+    the check you run before trusting a projected index: JL says the
+    ratio concentrates near 1 as m grows, and a broken projection
+    (correlated signs, wrong scale) shows up immediately.
+
+    Plan: the pair join is an equi-join on vec_id+1; projections are
+    narrow array folds against LITERAL sign vectors (no matrix
+    relation, nothing broadcast).  One row out.  100 TB: cost is the
+    pair scan itself; the sign matrix lives in the instruction stream.
+    """
+    from social_warner_spark.functions.vectors import dot
+
+    e = T(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("ea")
+    )
+    b = e.select((F.col("vec_id") - 1).alias("ida"), F.col("embedding").alias("eb"))
+    pairs = a.join(b, "ida")
+    diff = F.zip_with(
+        F.col("ea").cast("array<double>"),
+        F.col("eb").cast("array<double>"),
+        lambda x, y: x - y,
+    )
+    staged = pairs.select(diff.alias("d"))
+    d2 = dot(F.col("d"), F.col("d"))
+    projs = [
+        dot(F.col("d"), F.array(*[F.lit(v) for v in JL_SIGNS[j]])) for j in range(JL_M)
+    ]
+    dp2_acc = projs[0] * projs[0]
+    for p in projs[1:]:
+        dp2_acc = dp2_acc + p * p
+    dp2 = dp2_acc / F.lit(float(JL_M))
+    ratios = staged.select(d2.alias("d2"), dp2.alias("dp2")).where(F.col("d2") > 0)
+    r = F.col("dp2") / F.col("d2")
+    return ratios.agg(
+        F.count("*").alias("n_pairs"),
+        r6(F.avg(r)).alias("mean_ratio"),
+        r6(F.min(r)).alias("min_ratio"),
+        r6(F.max(r)).alias("max_ratio"),
+    )
+
+
+def _jl_oracle() -> str:
+    lists = [
+        "[" + ", ".join(f"{v!r}" for v in JL_SIGNS[j]) + "]" for j in range(JL_M)
+    ]
+    proj_terms = " + ".join(
+        f"list_dot_product(d, {lists[j]}) * list_dot_product(d, {lists[j]})"
+        for j in range(JL_M)
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS ida,
+                   list_transform(generate_series(1, {JL_DIM}),
+                       i -> CAST(a.embedding[i] AS DOUBLE) - b.embedding[i]) AS d
+            FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+            WHERE a.vec_id % 5 = 0
+        ), scored AS (
+            SELECT list_dot_product(d, d) AS d2,
+                   ({proj_terms}) / {float(JL_M)!r} AS dp2
+            FROM pairs
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(AVG(dp2 / d2), 6) AS mean_ratio,
+               ROUND(MIN(dp2 / d2), 6) AS min_ratio,
+               ROUND(MAX(dp2 / d2), 6) AS max_ratio
+        FROM scored WHERE d2 > 0
+    """
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -356,6 +566,9 @@ QUERIES = {
     "x168_jackknife_sources": x168_jackknife_sources,
     "x169_effective_sample_size": x169_effective_sample_size,
     "x170_bpe_merges": x170_bpe_merges,
+    "x171_bpe_encode": x171_bpe_encode,
+    "x172_ks_drift": x172_ks_drift,
+    "x173_jl_distortion": x173_jl_distortion,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -524,4 +737,44 @@ ORACLES = {
         FROM documents GROUP BY source
     """,
     "x170_bpe_merges": _bpe_oracle(BPE_ROUNDS),
+    "x171_bpe_encode": _bpe_encode_oracle(BPE_ROUNDS),
+    "x172_ks_drift": f"""
+        WITH counts AS (
+            SELECT source, n_chars AS v, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2
+        ), vals AS (
+            SELECT DISTINCT v FROM counts
+        ), per_src AS (
+            SELECT source, SUM(c) AS n_s FROM counts GROUP BY source
+        ), grand AS (
+            SELECT SUM(n_s) AS n FROM per_src
+        ), gv AS (
+            SELECT v, SUM(c) AS c_all FROM counts GROUP BY v
+        ), gcum AS (
+            SELECT v, SUM(c_all) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_all
+            FROM gv
+        ), grid AS (
+            SELECT p.source, va.v, p.n_s, g.n,
+                   SUM(COALESCE(c.c, 0)) OVER (PARTITION BY p.source ORDER BY va.v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+            FROM vals va CROSS JOIN per_src p CROSS JOIN grand g
+            LEFT JOIN counts c ON c.source = p.source AND c.v = va.v
+        ), ks AS (
+            SELECT source, n_s, n,
+                   MAX(ABS(cs / CAST(n_s AS DOUBLE)
+                           - (gc.cum_all - cs) / CAST(n - n_s AS DOUBLE))) AS ks_raw
+            FROM grid JOIN gcum gc ON gc.v = grid.v
+            GROUP BY source, n_s, n
+        )
+        SELECT source,
+               CAST(n_s AS BIGINT) AS n_s,
+               ROUND(ks_raw, 6) AS ks,
+               ROUND({KS_COEF!r} * sqrt(CAST(n AS DOUBLE)
+                     / CAST(n_s * (n - n_s) AS DOUBLE)), 6) AS ks_crit,
+               ks_raw > {KS_COEF!r} * sqrt(CAST(n AS DOUBLE)
+                     / CAST(n_s * (n - n_s) AS DOUBLE)) AS drifted
+        FROM ks
+    """,
+    "x173_jl_distortion": _jl_oracle(),
 }
