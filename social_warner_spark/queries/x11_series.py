@@ -558,6 +558,84 @@ def _jl_oracle() -> str:
     """
 
 
+#: x175 — Benford expected first-digit shares (literal log10 values so
+#: both engines compare identical constants).
+BENFORD = {1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992, 4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322, 7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514}
+
+#: x174 — how many most-atypical users to report.
+ATYPICAL_K = 20
+
+
+def x174_user_typicality(spark, sf_dir):
+    """Most atypical users by event-type mix: cosine similarity between
+    each user's event-type count vector and the corpus-level type
+    distribution; the 20 lowest reported.
+
+    A bot/anomaly screen that needs no fixed vector schema: the cosine
+    is computed relationally — sum_t c_ut*p_t over a join with the
+    |types|-row global distribution — so a new event type changes no
+    code.  Plan: per-(user,type) partial agg, broadcast |types| rows,
+    per-user fold, global bottom-k via TakeOrderedAndProject.
+    """
+    e = T(spark, sf_dir, "events").select("user_id", "event_type")
+    ut = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    gt = e.groupBy("event_type").agg(F.count("*").alias("g"))
+    n = gt.agg(F.sum("g").alias("n"))
+    p = gt.crossJoin(F.broadcast(n)).select(
+        "event_type", (F.col("g") / F.col("n").cast("double")).alias("p")
+    )
+    pn = p.agg(F.sum(F.col("p") * F.col("p")).alias("p2"))
+    per_user = (
+        ut.join(F.broadcast(p), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n_events"),
+            F.sum(F.col("c") * F.col("p")).alias("cp"),
+            F.sum(F.col("c") * F.col("c")).alias("c2"),
+        )
+    )
+    scored = per_user.crossJoin(F.broadcast(pn)).select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        r6(
+            F.col("cp") / (F.sqrt(F.col("c2").cast("double")) * F.sqrt(F.col("p2")))
+        ).alias("cos_typicality"),
+    )
+    return scored.orderBy("cos_typicality", "user_id").limit(ATYPICAL_K)
+
+
+def x175_benford_audit(spark, sf_dir):
+    """Benford first-digit audit of order totals: observed first-digit
+    shares vs log10(1+1/d), with each digit's chi-square contribution.
+
+    The classic fabricated-data screen for financial columns.  Expected
+    shares are hardcoded literals (identical in both engines).  One
+    partial-agg scan to 9 rows.
+    """
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    counts = d.groupBy("digit").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    exp = None
+    for dig, share in BENFORD.items():
+        c = F.when(F.col("digit") == dig, F.lit(share))
+        exp = c if exp is None else exp.when(F.col("digit") == dig, F.lit(share))
+    obs = F.col("n") / F.col("total").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        r6(obs).alias("obs_share"),
+        r6(exp).alias("benford_share"),
+        r6(
+            F.col("total").cast("double") * (obs - exp) * (obs - exp) / exp
+        ).alias("chi2_term"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -569,6 +647,8 @@ QUERIES = {
     "x171_bpe_encode": x171_bpe_encode,
     "x172_ks_drift": x172_ks_drift,
     "x173_jl_distortion": x173_jl_distortion,
+    "x174_user_typicality": x174_user_typicality,
+    "x175_benford_audit": x175_benford_audit,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -777,4 +857,47 @@ ORACLES = {
         FROM ks
     """,
     "x173_jl_distortion": _jl_oracle(),
+    "x174_user_typicality": f"""
+        WITH ut AS (
+            SELECT user_id, event_type, COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        ), gt AS (
+            SELECT event_type, COUNT(*) AS g FROM events GROUP BY 1
+        ), n AS (SELECT SUM(g) AS n FROM gt),
+        p AS (
+            SELECT event_type, g / CAST(n.n AS DOUBLE) AS p FROM gt, n
+        ), pn AS (SELECT SUM(p * p) AS p2 FROM p),
+        per_user AS (
+            SELECT user_id,
+                   SUM(c) AS n_events,
+                   SUM(c * p.p) AS cp,
+                   SUM(c * c) AS c2
+            FROM ut JOIN p USING (event_type)
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(n_events AS BIGINT) AS n_events,
+               ROUND(cp / (sqrt(CAST(c2 AS DOUBLE)) * sqrt(pn.p2)), 6)
+                   AS cos_typicality
+        FROM per_user, pn
+        ORDER BY cos_typicality, user_id
+        LIMIT {ATYPICAL_K}
+    """,
+    "x175_benford_audit": """
+        WITH benford(digit, share) AS (VALUES (1, 0.3010299956639812), (2, 0.17609125905568124), (3, 0.12493873660829992), (4, 0.09691001300805642), (5, 0.07918124604762482), (6, 0.06694678963061322), (7, 0.05799194697768673), (8, 0.05115252244738129), (9, 0.04575749056067514)),
+        d AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+            FROM orders WHERE o_totalprice > 0
+        ), counts AS (
+            SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+        ), tot AS (SELECT SUM(n) AS total FROM counts)
+        SELECT c.digit,
+               CAST(c.n AS BIGINT) AS n,
+               ROUND(c.n / CAST(t.total AS DOUBLE), 6) AS obs_share,
+               ROUND(b.share, 6) AS benford_share,
+               ROUND(CAST(t.total AS DOUBLE)
+                     * (c.n / CAST(t.total AS DOUBLE) - b.share)
+                     * (c.n / CAST(t.total AS DOUBLE) - b.share) / b.share, 6) AS chi2_term
+        FROM counts c JOIN benford b ON b.digit = c.digit, tot t
+    """,
 }
