@@ -167,3 +167,45 @@ def merged_cms_cells(spark: SparkSession, cells_path: str) -> DataFrame:
         .groupBy("r", "bucket")
         .agg(F.sum("cnt").alias("cnt"))
     )
+
+
+def value_cells_stream(
+    spark: SparkSession,
+    rows_stream: DataFrame,
+    cells_path: str,
+    checkpoint: str,
+    value_col: str,
+    timeout_sec: float = 120.0,
+) -> None:
+    """Maintain exact (v, c) count cells of `value_col` over a row stream
+    — the drift-monitor feed: cells are additive, so the accumulated
+    stream distribution is the cross-epoch SUM (operators/drift.py:
+    merge_cells) and a KS test against any baseline never replays the
+    raw stream.  Same exactly-once epoch-partition contract as the
+    CMS/histogram cell streams."""
+    from social_warner_spark.operators.drift import value_cells
+
+    def build(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        (
+            value_cells(batch_df, value_col)
+            .withColumn("epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch")
+            .parquet(cells_path)
+        )
+
+    stream_foreach_batch(rows_stream, build, checkpoint, timeout_sec)
+
+
+def stream_ks_vs_base(
+    spark: SparkSession, cells_path: str, base_cells: DataFrame
+) -> DataFrame:
+    """KS drift verdict of the accumulated stream distribution vs a
+    baseline cell relation (1 row: n_a, n_b, ks, ks_crit, drifted)."""
+    from social_warner_spark.operators.drift import merge_cells, two_sample_ks
+
+    merged = merge_cells(spark.read.parquet(cells_path).select("v", "c"))
+    return two_sample_ks(merged, base_cells)
