@@ -64,6 +64,9 @@ HEADLINE = [
     "x81_triangle_count",    # degree-oriented wedge join (graph heavy)
     "x85_hybrid_rrf_search", # BM25 + vector rank fusion
     "x96_rolling_distinct",  # mergeable KMV cells over trailing window
+    # round-3 additions (same caveat: compare per-query, not totals)
+    "x164_dup_spans",        # substring-level dup spans (shingle-hash heavy)
+    "x170_bpe_merges",       # iterative BPE training (5 pair-count rounds)
 ]
 
 

@@ -636,6 +636,98 @@ def x175_benford_audit(spark, sf_dir):
     )
 
 
+#: x176 — greedy set-cover rounds.
+SETCOVER_ROUNDS = 3
+
+
+def x176_source_set_cover(spark, sf_dir):
+    """Greedy set-cover source selection: which 3 sources together cover
+    the most distinct 3-gram shingles?
+
+    The classic (1-1/e)-approximate greedy: each round picks the source
+    with the largest MARGINAL coverage (distinct shingles not covered by
+    earlier picks; ties by source name), reporting per round the pick,
+    its marginal gain, and cumulative coverage — the data-portfolio
+    question ("which feeds buy the most diversity?") answered exactly.
+
+    Plan: the (source, shingle) distinct relation is built once and
+    persisted; each round is one count agg → 1-row argmax
+    (TakeOrderedAndProject) → anti-joins that SHRINK the pool.  Like
+    x170's loop, the data-dependent pick flows forward as a broadcast
+    1-row relation — no driver collect.
+    """
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.functions.text import word_shingles
+
+    ss = register_persisted(
+        T(spark, sf_dir, "documents")
+        .select("source", F.explode(word_shingles(F.col("text"), 3)).alias("sh"))
+        .distinct()
+        .persist()
+    )
+    outs = []
+    rem, cov = ss, None
+    for r in range(1, SETCOVER_ROUNDS + 1):
+        best = register_persisted(
+            rem.groupBy("source")
+            .agg(F.count("*").alias("m"))
+            .orderBy(F.desc("m"), "source")
+            .limit(1)
+            .persist()
+        )
+        newly = rem.join(F.broadcast(best.select("source")), "source").select("sh")
+        cov = register_persisted(
+            (newly if cov is None else cov.unionAll(newly)).persist()
+        )
+        cum = cov.agg(F.count("*").alias("cum_covered"))
+        outs.append(
+            best.select(
+                F.lit(r).alias("round"), "source", F.col("m").alias("marginal_new")
+            ).crossJoin(cum)
+        )
+        rem = rem.join(F.broadcast(best.select("source")), "source", "left_anti").join(
+            newly, "sh", "left_anti"
+        )
+    from functools import reduce
+    from pyspark.sql import DataFrame
+
+    return reduce(DataFrame.unionAll, outs)
+
+
+def _setcover_oracle(rounds: int) -> str:
+    parts = [
+        "WITH ss AS (SELECT DISTINCT source, "
+        "t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh "
+        "FROM (SELECT source, string_split(text, ' ') AS t FROM documents) toks, "
+        "UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)"
+    ]
+    pool_prev = "ss"
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"b{r} AS (SELECT source, COUNT(*) AS m FROM {pool_prev} "
+            f"GROUP BY source ORDER BY m DESC, source LIMIT 1)"
+        )
+        parts.append(
+            f"new{r} AS (SELECT sh FROM {pool_prev} JOIN b{r} USING (source))"
+        )
+        parts.append(
+            f"cov{r} AS ("
+            + " UNION ALL ".join(f"SELECT sh FROM new{k}" for k in range(1, r + 1))
+            + ")"
+        )
+        parts.append(
+            f"pool{r} AS (SELECT p.source, p.sh FROM {pool_prev} p "
+            f"ANTI JOIN b{r} USING (source) ANTI JOIN new{r} USING (sh))"
+        )
+        pool_prev = f"pool{r}"
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, source, CAST(m AS BIGINT) AS marginal_new, "
+        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM cov{r}) AS cum_covered FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return ",\n".join(parts) + "\n" + union
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -649,6 +741,7 @@ QUERIES = {
     "x173_jl_distortion": x173_jl_distortion,
     "x174_user_typicality": x174_user_typicality,
     "x175_benford_audit": x175_benford_audit,
+    "x176_source_set_cover": x176_source_set_cover,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -900,4 +993,5 @@ ORACLES = {
                      * (c.n / CAST(t.total AS DOUBLE) - b.share) / b.share, 6) AS chi2_term
         FROM counts c JOIN benford b ON b.digit = c.digit, tot t
     """,
+    "x176_source_set_cover": _setcover_oracle(SETCOVER_ROUNDS),
 }
