@@ -1,0 +1,66 @@
+"""Plan-shape audit: count scale-critical physical operators per query.
+
+The counts feed a RATCHET test (tests/test_plan_hygiene.py): a frozen
+baseline records, for every declared query, how many Exchanges
+(shuffles/broadcasts), BroadcastNestedLoopJoins, and CartesianProducts
+its plan contains.  A refactor that silently adds a shuffle or degrades
+an equi-join into a nested loop fails the suite even if results stay
+correct — the 100 TB regression that correctness tests cannot see.
+
+BNLJ/Cartesian are not forbidden outright: a crossJoin against a
+broadcast 1-row relation (argmax rules in x170/x176, corpus-stat rows
+everywhere) legitimately compiles to a BroadcastNestedLoopJoin.  The
+ratchet pins each query at its audited count instead.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import SparkSession
+
+#: Substrings counted in the formatted physical plan.
+SHAPE_KEYS = ("Exchange", "BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def plan_shape_counts(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, dict[str, int]]:
+    """Formatted-explain every declared query; count SHAPE_KEYS each."""
+    from social_warner_spark.caching import release_persisted_intermediates
+    from social_warner_spark.queries import all_queries
+
+    queries = all_queries()
+    out: dict[str, dict[str, int]] = {}
+    for name in names if names is not None else sorted(queries):
+        release_persisted_intermediates()
+        spark.catalog.clearCache()
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            queries[name](spark, sf_dir).explain("formatted")
+        plan = buf.getvalue()
+        out[name] = {k: plan.count(k) for k in SHAPE_KEYS}
+    return out
+
+
+def _regenerate() -> None:
+    """Regenerate tests/plan_shapes_baseline.json (run after consciously
+    accepting a plan-shape change): python -m social_warner_spark.planaudit"""
+    import json
+    import os
+
+    from social_warner_spark.session import get_spark
+
+    spark = get_spark(app_name="planaudit")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR_SMOKE", "/root/testdata/sf0.001")
+    counts = plan_shape_counts(spark, sf)
+    path = os.path.join(os.path.dirname(__file__), "..", "tests", "plan_shapes_baseline.json")
+    with open(path, "w") as f:
+        json.dump(counts, f, indent=0, sort_keys=True)
+    print(f"wrote {len(counts)} baselines to {path}")
+
+
+if __name__ == "__main__":
+    _regenerate()
