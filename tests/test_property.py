@@ -331,3 +331,92 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert len(cp) == 1 and cp[0].containment == 1.0
     jp = exact_jaccard_pairs(df, threshold=0.5).collect()
     assert jp == []  # symmetric Jaccard structurally misses it
+
+
+def _dup_spans_reference(docs: dict[int, list[str]], w: int):
+    """Brute-force duplicated-span reference: positions whose w-gram occurs
+    in >= 2 distinct docs, merged into maximal spans (gap <= w)."""
+    grams: dict[tuple[str, ...], set[int]] = {}
+    for did, toks in docs.items():
+        for i in range(len(toks) - w + 1):
+            grams.setdefault(tuple(toks[i : i + w]), set()).add(did)
+    out = {}
+    for did, toks in docs.items():
+        hits = sorted(
+            i
+            for i in range(len(toks) - w + 1)
+            if len(grams[tuple(toks[i : i + w])]) >= 2
+        )
+        if not hits:
+            continue
+        spans, s0, prev = [], hits[0], hits[0]
+        for i in hits[1:]:
+            if i - prev <= w:
+                prev = i
+            else:
+                spans.append((s0, prev + w - 1))
+                s0 = prev = i
+        spans.append((s0, prev + w - 1))
+        out[did] = (
+            len(spans),
+            sum(b - a + 1 for a, b in spans),
+            round(sum(b - a + 1 for a, b in spans) / len(toks), 6),
+        )
+    return out
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=1, max_size=30),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_duplicated_spans_matches_bruteforce(spark, docs):
+    """Random tiny corpora over a 7-token alphabet (dense collisions):
+    the distributed operator must equal the brute-force reference."""
+    from social_warner_spark.operators.dedup import duplicated_spans
+
+    corpus = {i: toks for i, toks in enumerate(docs)}
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in corpus.items()], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"], r["dup_frac"])
+        for r in duplicated_spans(df, w=3).collect()
+    }
+    assert got == _dup_spans_reference(corpus, 3)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    a=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+    b=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=40),
+)
+def test_two_sample_ks_matches_bruteforce(spark, a, b):
+    """Random integer samples: KS from the cell operator must equal the
+    directly-computed sup |F_a - F_b| over the union grid."""
+    from social_warner_spark.operators.drift import two_sample_ks, value_cells
+
+    da = spark.createDataFrame([(v,) for v in a], ["x"])
+    db = spark.createDataFrame([(v,) for v in b], ["x"])
+    r = two_sample_ks(value_cells(da, "x"), value_cells(db, "x")).first()
+
+    grid = sorted(set(a) | set(b))
+    fa = fb = 0.0
+    want = 0.0
+    for v in grid:
+        fa += a.count(v) / len(a)
+        fb += b.count(v) / len(b)
+        want = max(want, abs(fa - fb))
+    assert r["n_a"] == len(a) and r["n_b"] == len(b)
+    assert abs(r["ks"] - round(want, 6)) <= 1e-6
