@@ -728,6 +728,48 @@ def _setcover_oracle(rounds: int) -> str:
     return ",\n".join(parts) + "\n" + union
 
 
+def x177_langid_eval(spark, sf_dir):
+    """Classifier evaluation of the x3 lang-ID predictor against the
+    corpus's ground-truth ``lang`` labels: per true class, support,
+    correct count, recall, and the most common WRONG prediction
+    ('none' when the class is perfectly predicted).
+
+    The eval-harness shape every model-adjacent pipeline needs —
+    confusion aggregation plus a per-class argmax over errors — done
+    relationally.  Plan: the predictor is a narrow map (x3); one
+    (truth, pred) count agg, then |classes|²-bounded rollups.
+    """
+    from social_warner_spark.queries.x_series import x3_lang_id
+
+    pred = x3_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    truth = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    conf = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    per_class = conf.groupBy("lang").agg(
+        F.sum("n").alias("support"),
+        F.sum(F.when(F.col("pred_lang") == F.col("lang"), F.col("n")).otherwise(0)).alias(
+            "n_correct"
+        ),
+    )
+    wrong = conf.where(F.col("pred_lang") != F.col("lang"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "pred_lang")
+    top_wrong = (
+        wrong.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("lang", F.col("pred_lang").alias("top_confused"))
+    )
+    return per_class.join(top_wrong, "lang", "left").select(
+        "lang",
+        "support",
+        "n_correct",
+        r6(F.col("n_correct") / F.col("support").cast("double")).alias("recall"),
+        F.coalesce(F.col("top_confused"), F.lit("none")).alias("top_confused"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -742,6 +784,7 @@ QUERIES = {
     "x174_user_typicality": x174_user_typicality,
     "x175_benford_audit": x175_benford_audit,
     "x176_source_set_cover": x176_source_set_cover,
+    "x177_langid_eval": x177_langid_eval,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -994,4 +1037,31 @@ ORACLES = {
         FROM counts c JOIN benford b ON b.digit = c.digit, tot t
     """,
     "x176_source_set_cover": _setcover_oracle(SETCOVER_ROUNDS),
+    "x177_langid_eval": None,  # assembled below (reuses the x3 oracle)
 }
+
+from social_warner_spark.queries.x_series import ORACLES as _X_ORACLES  # noqa: E402
+
+ORACLES["x177_langid_eval"] = f"""
+        WITH pred AS ({_X_ORACLES["x3_lang_id"]}),
+        conf AS (
+            SELECT d.lang, p.pred_lang, COUNT(*) AS n
+            FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+            GROUP BY 1, 2
+        ), per_class AS (
+            SELECT lang,
+                   CAST(SUM(n) AS BIGINT) AS support,
+                   CAST(SUM(CASE WHEN pred_lang = lang THEN n ELSE 0 END) AS BIGINT)
+                       AS n_correct
+            FROM conf GROUP BY lang
+        ), wrong AS (
+            SELECT lang, pred_lang,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                                      ORDER BY n DESC, pred_lang) AS rn
+            FROM conf WHERE pred_lang != lang
+        )
+        SELECT p.lang, p.support, p.n_correct,
+               ROUND(p.n_correct / CAST(p.support AS DOUBLE), 6) AS recall,
+               COALESCE(w.pred_lang, 'none') AS top_confused
+        FROM per_class p LEFT JOIN wrong w ON w.lang = p.lang AND w.rn = 1
+    """
