@@ -368,3 +368,53 @@ def kmv_estimate(sketch: DataFrame, k: int, group_col: str = "group") -> DataFra
         .otherwise(F.max("n_distinct").cast("double"))
         .alias("est_distinct")
     )
+
+
+def twopass_median(df: DataFrame, value_col: str, bucket_width: float = 1024.0) -> DataFrame:
+    """EXACT median without a global sort: the two-pass locate-and-rank
+    recipe that scales where `percentile_cont` (full sort) cannot.
+
+    Pass 1 buckets values (fixed width) into |range|/width cells and
+    locates, from the cumulative cell counts, which bucket holds each
+    middle rank (k1 = (n+1)//2, k2 = n//2+1 — both for even-n
+    interpolation) and the rank WITHIN that bucket.  Pass 2 sorts ONLY
+    the one-or-two target buckets (bounded by bucket density, never by
+    n) and picks the in-bucket ranks; the median is their mean, exactly
+    `percentile_cont(0.5)`.
+
+    Everything data-dependent flows as broadcast 1-row relations — no
+    driver collect.  At 100 TB: two scans of the persisted value
+    column, one |buckets|-row cumulative, one bucket-local sort.
+    """
+    from social_warner_spark.caching import register_persisted
+
+    v = F.col(value_col).cast("double")
+    rows = register_persisted(
+        df.select(v.alias("_v"), F.floor(v / bucket_width).cast("long").alias("_b")).persist()
+    )
+    cells = rows.groupBy("_b").agg(F.count("*").alias("c"))
+    w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select("_b", "c", F.sum("c").over(w).alias("cum"))
+    n = cells.agg(F.sum("c").alias("n"))
+    targets = n.selectExpr(
+        "n",
+        "stack(2, 1, CAST((n + 1) / 2 AS LONG), 2, CAST(n / 2 + 1 AS LONG)) AS (which, k)",
+    )
+    located = (
+        cum.crossJoin(F.broadcast(targets))
+        .where((F.col("cum") >= F.col("k")) & (F.col("cum") - F.col("c") < F.col("k")))
+        .select(
+            "which",
+            "n",
+            F.col("_b").alias("_tb"),
+            (F.col("k") - (F.col("cum") - F.col("c"))).alias("k_in"),
+        )
+    )
+    cand = rows.join(F.broadcast(located), rows["_b"] == located["_tb"])
+    wb = Window.partitionBy("which").orderBy("_v")
+    picked = cand.withColumn("rn", F.row_number().over(wb)).where(
+        F.col("rn") == F.col("k_in")
+    )
+    return picked.groupBy("n").agg(F.round(F.avg("_v"), 6).alias("median")).select(
+        F.col("n").cast("long").alias("n"), "median"
+    )

@@ -34,7 +34,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from social_warner_spark.functions.text import LANG_MARKERS, tokens
-from social_warner_spark.queries.common import T, r6
+from social_warner_spark.queries.common import T, r2, r6
 
 #: x164 — width (in word tokens) of the duplicated-span shingle.  Spans
 #: shorter than this are not detectable; matches the 50-token window of
@@ -770,6 +770,69 @@ def x177_langid_eval(spark, sf_dir):
     )
 
 
+def x178_twopass_median(spark, sf_dir):
+    """Exact median of l_extendedprice by the two-pass locate-and-rank
+    recipe (operators/sketch.py:twopass_median): bucket counts locate
+    the middle ranks, then only the target bucket sorts — the scale
+    path for EXACT quantiles where percentile_cont's global sort dies.
+    Oracle: DuckDB's interpolating median over the same column.
+    """
+    from social_warner_spark.operators.sketch import twopass_median
+
+    return twopass_median(T(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+#: x179 — doubling rounds (covers hierarchies to depth 2^5 = 32).
+SUBTREE_DOUBLINGS = 5
+#: x179 — report subtree totals for the top 4 levels (node ids 1..15).
+SUBTREE_TOP_IDS = 15
+
+
+def x179_subtree_rollup(spark, sf_dir):
+    """Subtree aggregation up a hierarchy: per ancestor, the count and
+    value total over ALL descendants (self included) — org-chart /
+    category-tree rollups, done without recursion support.
+
+    The hierarchy is the implicit binary tree over part keys
+    (parent = node // 2); the ancestor-descendant closure is built by
+    POINTER DOUBLING: with self-loops seeded, each round of
+    P := distinct(P ∘ P) doubles the covered ancestor distance, so
+    5 rounds close any hierarchy to depth 32 — O(log depth) joins
+    where the naive walk is O(depth).  x100 used doubling for DEPTH;
+    this is the closure + aggregate form (the rollup itself).
+
+    100 TB: closure size is Σ depth(n) ≈ N·log N pairs of two longs;
+    each round one equi-join shuffle.  Oracle: recursive CTE.
+    """
+    from social_warner_spark.caching import register_persisted
+
+    nodes = T(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"), F.col("p_retailprice").alias("val")
+    )
+    selfp = nodes.select("node", F.col("node").alias("anc"))
+    edges = nodes.where(F.col("node") > 1).select(
+        "node", F.floor(F.col("node") / 2).cast("long").alias("anc")
+    )
+    p = register_persisted(selfp.unionAll(edges).distinct().persist())
+    for _ in range(SUBTREE_DOUBLINGS):
+        jump = (
+            p.alias("a")
+            .join(p.alias("b"), F.col("a.anc") == F.col("b.node"))
+            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
+        )
+        p = register_persisted(jump.distinct().persist())
+    sub = (
+        p.join(nodes, "node")
+        .groupBy("anc")
+        .agg(F.count("*").alias("subtree_n"), F.sum("val").alias("s"))
+    )
+    return sub.where(F.col("anc") <= SUBTREE_TOP_IDS).select(
+        F.col("anc").alias("node"),
+        F.col("subtree_n").cast("long").alias("subtree_n"),
+        r2(F.col("s")).alias("subtree_value"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -785,6 +848,8 @@ QUERIES = {
     "x175_benford_audit": x175_benford_audit,
     "x176_source_set_cover": x176_source_set_cover,
     "x177_langid_eval": x177_langid_eval,
+    "x178_twopass_median": x178_twopass_median,
+    "x179_subtree_rollup": x179_subtree_rollup,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -1041,6 +1106,26 @@ ORACLES = {
 }
 
 from social_warner_spark.queries.x_series import ORACLES as _X_ORACLES  # noqa: E402
+
+ORACLES["x179_subtree_rollup"] = f"""
+        WITH RECURSIVE anc AS (
+            SELECT p_partkey AS node, p_partkey AS anc FROM part
+            UNION
+            SELECT node, anc // 2 FROM anc WHERE anc > 1
+        )
+        SELECT a.anc AS node,
+               CAST(COUNT(*) AS BIGINT) AS subtree_n,
+               ROUND(SUM(p.p_retailprice), 2) AS subtree_value
+        FROM anc a JOIN part p ON p.p_partkey = a.node
+        WHERE a.anc <= {SUBTREE_TOP_IDS}
+        GROUP BY a.anc
+    """
+
+ORACLES["x178_twopass_median"] = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(median(l_extendedprice), 6) AS median
+        FROM lineitem
+    """
 
 ORACLES["x177_langid_eval"] = f"""
         WITH pred AS ({_X_ORACLES["x3_lang_id"]}),
