@@ -94,7 +94,9 @@ CHECK_PRIORITY = (
     # (x33 gap-fill yields to x93: timeseries keeps x36/x76 in-window;
     # the ordered funnel is the round-2 product-analytics family)
     "x93_funnel",
-    "x36_sessionize",
+    # (x36 sessionize yields to x176: x38 keeps x4_series in-window;
+    # greedy set-cover source selection is the round-3 iterative family)
+    "x176_source_set_cover",
     # (x37 z-score and x66 bigram-LM yield: x43/x89 keep the LM family
     # in-window; the Poisson bootstrap is the round-3 new stats family)
     "x167_poisson_bootstrap",

@@ -1,0 +1,53 @@
+"""Scale spot-check: the heaviest / most scale-sensitive queries must
+ALSO oracle-match at sf0.1 (10× the standard correctness SF).
+
+Motivated by a real find: the prefix-filter boundary bug (x121) only
+manifested at sf0.1 — rounding-grain-admissible pairs that escape the
+pigeonhole guarantee need enough rows to exist at all.  This suite
+keeps a curated set of shingle-heavy, iterative, and
+threshold-boundary queries honest at the bench scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from social_warner_spark.queries import all_oracles, all_queries
+
+from tests.oracle_harness import compare, duck_connection
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Curated: every entry is either volume-sensitive (candidate explosion,
+#: threshold boundaries, recursion depth) or this round's new machinery.
+SCALE_SET = [
+    "l2_jaccard_pairs",        # exact-Jaccard candidate explosion
+    "x121_prefix_filter_pairs",  # the sf0.1-only boundary-bug site
+    "x15_minhash_lsh_pairs",   # banding collisions grow with corpus
+    "x7_embed_neardup",        # band-join candidate volume
+    "x24_ann_ivf",             # centroid assignment at 10× vectors
+    "x16_corpus_prep",         # composite thresholds
+    "x31_full_pipeline",       # flagship composition
+    "x164_dup_spans",          # shared-shingle islands at 10× docs
+    "x170_bpe_merges",         # data-dependent rule sequence changes with corpus
+    "x172_ks_drift",           # KS sup over a 10× value grid
+    "x176_source_set_cover",   # greedy picks change with corpus
+    "x178_twopass_median",     # bucket-boundary rank location at 10× rows
+]
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+@pytest.mark.parametrize("name", SCALE_SET)
+def test_scale_spot_check(spark, name):
+    sdf = QUERIES[name](spark, SF01)
+    con = duck_connection(SF01)
+    try:
+        ddf = con.execute(ORACLES[name]).df()
+    finally:
+        con.close()
+    ok, msg = compare(sdf, ddf)
+    assert ok, f"{name} @ sf0.1: {msg}"
