@@ -833,6 +833,110 @@ def x179_subtree_rollup(spark, sf_dir):
     )
 
 
+#: x180 — sorted-neighborhood window size and verify threshold.
+SN_WINDOW = 3
+SN_MAXDIST = 12
+SN_PREFIX = 40
+
+
+def x180_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood record linkage: sort the corpus by a blocking
+    key (lang, n_chars, doc_id) and generate candidate pairs from the
+    ``SN_WINDOW`` FOLLOWING rows via lead() — no self-join at all — then
+    verify with exact Levenshtein on 40-char prefixes.
+
+    The classic alternative to hash blocking (x38): hash blocks miss
+    near-boundary records (n_chars 99 vs 101 land in different blocks);
+    the sorted neighborhood catches them because closeness in SORT
+    ORDER, not block identity, generates the candidates.
+
+    Plan: one sort (the window), candidates emitted as lead columns —
+    |docs|×window rows with zero join; Levenshtein is a narrow map.
+    100 TB: the only movement is the sort's range exchange; candidate
+    volume is exactly n×w by construction, immune to block skew.
+    """
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, SN_PREFIX).alias("pfx")
+    )
+    w = Window.orderBy("lang", "n_chars", "doc_id")
+    cols = []
+    for k in range(1, SN_WINDOW + 1):
+        cols.append(
+            F.struct(
+                F.lead("doc_id", k).over(w).alias("doc_id_b"),
+                F.lead("pfx", k).over(w).alias("pfx_b"),
+            ).alias(f"_n{k}")
+        )
+    staged = d.select("doc_id", "pfx", *cols)
+    pairs = staged.select(
+        "doc_id",
+        "pfx",
+        F.explode(F.array(*[F.col(f"_n{k}") for k in range(1, SN_WINDOW + 1)])).alias("nb"),
+    ).where(F.col("nb.doc_id_b").isNotNull())
+    return pairs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("nb.doc_id_b").alias("doc_id_b"),
+        F.levenshtein(F.col("pfx"), F.col("nb.pfx_b")).alias("dist"),
+    ).where(F.col("dist") <= SN_MAXDIST)
+
+
+def x181_budget_waterfill(spark, sf_dir):
+    """Water-filling token-budget allocation: split a global budget
+    (95% of the corpus's tokens) across sources so that every source gets
+    min(its supply, a common level L), with L chosen so the allocations
+    exactly exhaust the budget — the max-min-fair split used when
+    capping over-represented sources in a training mix.
+
+    Closed form over the supply ORDER: sort sources by supply
+    ascending; a source saturates iff s_i·(k-i+1) ≤ B - prefix_{i-1}
+    (all-integer test, engine-exact); the last saturating index j gives
+    L = (B - prefix_j)/(k - j) for everyone above.  x42 selects under a
+    budget, x52 caps at a fixed quota — this computes the FAIR cap
+    itself.
+
+    Plan: one token-count agg to |sources| rows; everything after is
+    windows on that tiny relation + a broadcast 1-row (j, L).
+    """
+    from social_warner_spark.functions.text import token_count_ws
+
+    d = T(spark, sf_dir, "documents").select(
+        "source", token_count_ws(F.col("text")).alias("t")
+    )
+    sup = d.groupBy("source").agg(F.sum("t").alias("s"))
+    tot = sup.agg(
+        F.floor(F.sum("s") * 19 / 20).cast("long").alias("b"), F.count("*").alias("k")
+    )
+    w = Window.orderBy("s", "source")
+    ranked = (
+        sup.crossJoin(F.broadcast(tot))
+        .withColumn("i", F.row_number().over(w))
+        .withColumn(
+            "prefix", F.coalesce(F.sum("s").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0))
+        )
+    )
+    sat = F.col("s") * (F.col("k") - F.col("i") + 1) <= F.col("b") - F.col("prefix")
+    flagged = ranked.withColumn("sat", sat)
+    jl = flagged.agg(
+        F.max(F.when(F.col("sat"), F.col("i"))).alias("j"),
+        F.max(F.when(F.col("sat"), F.col("prefix") + F.col("s"))).alias("pj"),
+    ).select(
+        F.coalesce(F.col("j"), F.lit(0)).alias("j"),
+        F.coalesce(F.col("pj"), F.lit(0)).alias("pj"),
+    )
+    out = flagged.crossJoin(F.broadcast(jl)).select(
+        "source",
+        F.col("s").cast("long").alias("supply"),
+        F.col("sat").alias("saturated"),
+        F.round(
+            F.when(F.col("sat"), F.col("s").cast("double")).otherwise(
+                (F.col("b") - F.col("pj")) / (F.col("k") - F.col("j")).cast("double")
+            ),
+            6,
+        ).alias("allocation"),
+    )
+    return out
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -850,6 +954,8 @@ QUERIES = {
     "x177_langid_eval": x177_langid_eval,
     "x178_twopass_median": x178_twopass_median,
     "x179_subtree_rollup": x179_subtree_rollup,
+    "x180_sorted_neighborhood": x180_sorted_neighborhood,
+    "x181_budget_waterfill": x181_budget_waterfill,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -1106,6 +1212,47 @@ ORACLES = {
 }
 
 from social_warner_spark.queries.x_series import ORACLES as _X_ORACLES  # noqa: E402
+
+ORACLES["x181_budget_waterfill"] = """
+        WITH sup AS (
+            SELECT source, SUM(len(string_split(trim(text), ' '))) AS s
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT CAST(SUM(s) * 19 // 20 AS BIGINT) AS b, COUNT(*) AS k FROM sup
+        ), ranked AS (
+            SELECT source, s, b, k,
+                   ROW_NUMBER() OVER (ORDER BY s, source) AS i,
+                   COALESCE(SUM(s) OVER (ORDER BY s, source
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+            FROM sup, tot
+        ), flagged AS (
+            SELECT *, s * (k - i + 1) <= b - prefix AS sat FROM ranked
+        ), jl AS (
+            SELECT COALESCE(MAX(CASE WHEN sat THEN i END), 0) AS j,
+                   COALESCE(MAX(CASE WHEN sat THEN prefix + s END), 0) AS pj
+            FROM flagged
+        )
+        SELECT source,
+               CAST(s AS BIGINT) AS supply,
+               sat AS saturated,
+               ROUND(CASE WHEN sat THEN CAST(s AS DOUBLE)
+                          ELSE (b - jl.pj) / CAST(k - jl.j AS DOUBLE) END, 6)
+                   AS allocation
+        FROM flagged, jl
+    """
+
+ORACLES["x180_sorted_neighborhood"] = f"""
+        WITH ranked AS (
+            SELECT doc_id, substr(text, 1, {SN_PREFIX}) AS pfx,
+                   ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) AS rn
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+               levenshtein(a.pfx, b.pfx) AS dist
+        FROM ranked a JOIN ranked b
+             ON b.rn BETWEEN a.rn + 1 AND a.rn + {SN_WINDOW}
+        WHERE levenshtein(a.pfx, b.pfx) <= {SN_MAXDIST}
+    """
 
 ORACLES["x179_subtree_rollup"] = f"""
         WITH RECURSIVE anc AS (

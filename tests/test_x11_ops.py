@@ -141,3 +141,26 @@ def test_bpe_learn_merges_matches_reference(spark):
     ]
     want = bpe_reference([t.split() for t in texts], 4)
     assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+
+def test_waterfill_exhausts_budget_and_respects_caps(spark, sf_correct):
+    """Allocations must sum to the budget (95% of corpus tokens) and
+    never exceed any source's supply; at least one source saturates on
+    this corpus."""
+    import pyspark.sql.functions as F
+
+    from social_warner_spark.functions.text import token_count_ws
+    from social_warner_spark.queries.common import T
+    from social_warner_spark.queries.x11_series import x181_budget_waterfill
+
+    rows = x181_budget_waterfill(spark, sf_correct).collect()
+    total = (
+        T(spark, sf_correct, "documents")
+        .agg(F.sum(token_count_ws(F.col("text"))))
+        .first()[0]
+    )
+    budget = total * 19 // 20
+    assert abs(sum(r["allocation"] for r in rows) - budget) < 1e-2
+    assert all(r["allocation"] <= r["supply"] + 1e-9 for r in rows)
+    assert any(r["saturated"] for r in rows)
+    assert any(not r["saturated"] for r in rows)
