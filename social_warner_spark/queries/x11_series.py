@@ -937,6 +937,134 @@ def x181_budget_waterfill(spark, sf_dir):
     return out
 
 
+#: x182 — minimum trials for the prior fit, and report size.
+EB_MIN_TRIALS = 5
+EB_TOP = 20
+
+
+def x182_eb_shrinkage(spark, sf_dir):
+    """Empirical-Bayes shrinkage of per-user conversion rates
+    (purchases per view): fit a beta prior by method of moments on the
+    raw rates, then report the 20 users whose rate moves most under
+    shrinkage — small-sample users snap toward the prior, high-volume
+    users barely move.
+
+    The estimator every per-entity rate dashboard should use instead of
+    raw ratios: p̂_i = (s_i + α)/(n_i + α + β) with α+β = m(1−m)/v − 1.
+    Plan: one per-user conditional-count agg; the prior is a broadcast
+    1-row moment fit; ranking is a TakeOrderedAndProject on the rounded
+    shrink distance.
+    """
+    e = T(spark, sf_dir, "events").select("user_id", "event_type")
+    per = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("s"),
+    ).where(F.col("n") >= EB_MIN_TRIALS)
+    rated = per.select("user_id", "n", "s", (F.col("s") / F.col("n").cast("double")).alias("p"))
+    prior = rated.agg(F.avg("p").alias("m"), F.var_samp("p").alias("v")).select(
+        "m", (F.col("m") * (1 - F.col("m")) / F.col("v") - 1).alias("kk")
+    ).select((F.col("m") * F.col("kk")).alias("alpha"), ((1 - F.col("m")) * F.col("kk")).alias("beta"))
+    shrunk = rated.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        F.col("n").cast("long").alias("n_views"),
+        F.col("s").cast("long").alias("n_purchases"),
+        r6(F.col("p")).alias("raw_rate"),
+        r6(
+            (F.col("s") + F.col("alpha"))
+            / (F.col("n") + F.col("alpha") + F.col("beta"))
+        ).alias("shrunk_rate"),
+    )
+    delta = F.abs(F.col("raw_rate") - F.col("shrunk_rate"))
+    return (
+        shrunk.withColumn("shift", F.round(delta, 6))
+        .orderBy(F.desc("shift"), "user_id")
+        .limit(EB_TOP)
+    )
+
+
+#: x183 — survival curve report length.
+KM_TOP_TIMES = 50
+
+
+def x183_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier survival estimator for view→purchase conversion
+    time, with right-censoring: users who never purchase after their
+    first view are censored at their last observed event.
+
+    S(t) = Π_{tᵢ ≤ t} (1 − dᵢ/nᵢ) over event times — computed as
+    exp(Σ ln(1 − dᵢ/nᵢ)) with a cumulative window, which is how a
+    product distributes.  The first 50 event times are reported with
+    the at-risk count, events, and survival (times in exact integer
+    microseconds — second-granularity truncation differs between
+    engines).  The standard
+    time-to-event tool (churn, conversion latency) that a naive
+    "average time to purchase" gets wrong by ignoring censoring.
+
+    Plan: per-user firsts/lasts (one user-keyed agg chain), then
+    everything lives on the |distinct durations| grid: risk counts via
+    cumulative windows, survival via the log-sum window.
+    """
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t0 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t0")
+    )
+    conv = (
+        e.where(F.col("event_type") == "purchase")
+        .join(t0, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tc"))
+    )
+    last = e.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    subj = (
+        t0.join(conv, "user_id", "left")
+        .join(last, "user_id")
+        .select(
+            # events.ts is TIMESTAMP_NTZ — timestampdiff handles both flavors
+            F.when(
+                F.col("tc").isNotNull(),
+                F.expr("timestampdiff(MICROSECOND, t0, tc)"),
+            )
+            .otherwise(F.expr("timestampdiff(MICROSECOND, t0, tl)"))
+            .alias("dur"),
+            F.col("tc").isNotNull().cast("int").alias("ev"),
+        )
+        .where(F.col("dur") > 0)
+    )
+    cells = subj.groupBy("dur").agg(
+        F.sum("ev").alias("d"), F.count("*").alias("c")
+    )
+    n = cells.agg(F.sum("c").alias("n"))
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    wcum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    risk = (
+        cells.crossJoin(F.broadcast(n))
+        .withColumn("n_risk", F.col("n") - F.coalesce(F.sum("c").over(w), F.lit(0)))
+        .where(F.col("d") > 0)
+    )
+    # d == n_risk (everyone remaining converts) drives S to exactly 0 —
+    # guard the log and latch the zero with a cumulative flag.
+    term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(1 - F.col("d") / F.col("n_risk").cast("double")),
+    ).otherwise(F.lit(0.0))
+    zeroed = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(wcum)
+    surv = risk.withColumn(
+        "s",
+        F.when(zeroed == 1, F.lit(0.0)).otherwise(F.exp(F.sum(term).over(wcum))),
+    )
+    return (
+        surv.orderBy("dur")
+        .limit(KM_TOP_TIMES)
+        .select(
+            F.col("dur").alias("t_us"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d_events"),
+            r6(F.col("s")).alias("survival"),
+        )
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -956,6 +1084,8 @@ QUERIES = {
     "x179_subtree_rollup": x179_subtree_rollup,
     "x180_sorted_neighborhood": x180_sorted_neighborhood,
     "x181_budget_waterfill": x181_budget_waterfill,
+    "x182_eb_shrinkage": x182_eb_shrinkage,
+    "x183_kaplan_meier": x183_kaplan_meier,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -1212,6 +1342,83 @@ ORACLES = {
 }
 
 from social_warner_spark.queries.x_series import ORACLES as _X_ORACLES  # noqa: E402
+
+ORACLES["x183_kaplan_meier"] = f"""
+        WITH t0 AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), conv AS (
+            SELECT e.user_id, MIN(e.ts) AS tc
+            FROM events e JOIN t0 ON e.user_id = t0.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > t0.t0
+            GROUP BY e.user_id
+        ), lastt AS (
+            SELECT user_id, MAX(ts) AS tl FROM events GROUP BY user_id
+        ), subj AS (
+            SELECT CASE WHEN c.tc IS NOT NULL
+                        THEN epoch_us(c.tc - t0.t0)
+                        ELSE epoch_us(l.tl - t0.t0) END AS dur,
+                   CASE WHEN c.tc IS NOT NULL THEN 1 ELSE 0 END AS ev
+            FROM t0 LEFT JOIN conv c ON c.user_id = t0.user_id
+            JOIN lastt l ON l.user_id = t0.user_id
+        ), cells AS (
+            SELECT dur, SUM(ev) AS d, COUNT(*) AS c
+            FROM subj WHERE dur > 0 GROUP BY dur
+        ), n AS (SELECT SUM(c) AS n FROM cells),
+        risk AS (
+            SELECT dur, d, c,
+                   n.n - COALESCE(SUM(c) OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+            FROM cells, n
+        ), surv AS (
+            SELECT dur, d, n_risk,
+                   CASE WHEN MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER (
+                            ORDER BY dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+                        THEN 0.0
+                        ELSE exp(SUM(CASE WHEN d < n_risk
+                                          THEN ln(1 - d / CAST(n_risk AS DOUBLE))
+                                          ELSE 0.0 END) OVER (
+                            ORDER BY dur
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                   END AS s
+            FROM risk WHERE d > 0
+        )
+        SELECT CAST(dur AS BIGINT) AS t_us,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS d_events,
+               ROUND(s, 6) AS survival
+        FROM surv ORDER BY dur LIMIT {KM_TOP_TIMES}
+    """
+
+ORACLES["x182_eb_shrinkage"] = f"""
+        WITH per AS (
+            SELECT user_id,
+                   COUNT(*) FILTER (WHERE event_type = 'view') AS n,
+                   COUNT(*) FILTER (WHERE event_type = 'purchase') AS s
+            FROM events GROUP BY user_id
+        ), rated AS (
+            SELECT user_id, n, s, s / CAST(n AS DOUBLE) AS p
+            FROM per WHERE n >= {EB_MIN_TRIALS}
+        ), mo AS (
+            SELECT AVG(p) AS m, VAR_SAMP(p) AS v FROM rated
+        ), prior AS (
+            SELECT m * (m * (1 - m) / v - 1) AS alpha,
+                   (1 - m) * (m * (1 - m) / v - 1) AS beta
+            FROM mo
+        ), shrunk AS (
+            SELECT user_id,
+                   CAST(n AS BIGINT) AS n_views,
+                   CAST(s AS BIGINT) AS n_purchases,
+                   ROUND(p, 6) AS raw_rate,
+                   ROUND((s + alpha) / (n + alpha + beta), 6) AS shrunk_rate
+            FROM rated, prior
+        )
+        SELECT *, ROUND(ABS(raw_rate - shrunk_rate), 6) AS shift
+        FROM shrunk
+        ORDER BY shift DESC, user_id
+        LIMIT {EB_TOP}
+    """
 
 ORACLES["x181_budget_waterfill"] = """
         WITH sup AS (
