@@ -1065,6 +1065,145 @@ def x183_kaplan_meier(spark, sf_dir):
     )
 
 
+#: x184 — positive class boundary (label >= 5).
+AUC_POS_MIN = 5
+
+
+def x184_rank_auc(spark, sf_dir):
+    """Rank-based AUC (= Mann-Whitney U) of embedding component 1 as a
+    classifier score for label ≥ 5, with average ranks for ties and the
+    tie-corrected normal-approximation z — the exact nonparametric
+    separability statistic, no threshold sweep.
+
+    AUC = (Σ_pos r̄ − n₁(n₁+1)/2) / (n₁·n₀); the rank-sum twin of the
+    KS machinery (x172 compares distributions; this scores a ranking).
+    Plan: one global rank window over |vectors| rows, one agg.
+    """
+    e = T(spark, sf_dir, "embeddings").select(
+        (F.col("label") >= AUC_POS_MIN).cast("int").alias("y"),
+        F.element_at(F.col("embedding").cast("array<double>"), 1).alias("score"),
+    )
+    wr = Window.orderBy("score")
+    ranked = e.select(
+        "y",
+        "score",
+        (
+            F.rank().over(wr)
+            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
+        ).alias("r"),
+        F.count("*").over(Window.partitionBy("score")).alias("t"),
+    )
+    agg = ranked.agg(
+        F.sum("y").alias("n1"),
+        F.sum(1 - F.col("y")).alias("n0"),
+        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rsum"),
+        F.sum(F.col("t") * F.col("t") - 1).alias("tie3"),  # Σ over rows of t²−1 = Σ_groups (t³−t)
+        F.count("*").alias("n"),
+    )
+    u = F.col("rsum") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n0") / 2.0
+    var = (
+        F.col("n1")
+        * F.col("n0")
+        / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie3") / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        r6(u / (F.col("n1") * F.col("n0")).cast("double")).alias("auc"),
+        r6((u - mu) / F.sqrt(var)).alias("z"),
+    )
+
+
+#: x185 — power-iteration rounds and embedding dimensionality.
+POWER_ROUNDS = 5
+POWER_DIM = 64
+POWER_TOP = 5
+
+
+def x185_power_iteration(spark, sf_dir):
+    """Top eigenvector of the (uncentered) Gram matrix of the embedding
+    corpus by POWER ITERATION, formulated fully relationally: the matrix
+    G = Σ x·xᵀ is never materialized — each round computes
+    w = G·v as two aggregations (per-vector dot d = x·v, then per-dim
+    Σ x_j·d) and renormalizes.  Five rounds from the uniform seed;
+    output the top-5 loadings (ranked on 6dp |loading|, ties by dim)
+    and the eigenvalue estimate λ = |G·v| from the final round.
+
+    The building block of PCA/spectral methods at corpus scale: no
+    64×64 matrix on the driver, no linear-algebra library — shuffle
+    cost per round is one |vectors|-row and one |dims|-row aggregation.
+    """
+    rows = (
+        T(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("j0", "x"))
+        .select("vec_id", (F.col("j0") + 1).alias("j"), "x")
+    )
+    from social_warner_spark.caching import register_persisted
+
+    rows = register_persisted(rows.persist())
+    v = spark.range(1, POWER_DIM + 1).select(
+        F.col("id").alias("j"), F.lit(1.0 / 8.0).alias("v")
+    )
+    nrm_df = None
+    for _ in range(POWER_ROUNDS):
+        d = (
+            rows.join(v, "j")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).alias("d"))
+        )
+        w = (
+            rows.join(d, "vec_id")
+            .groupBy("j")
+            .agg(F.sum(F.col("x") * F.col("d")).alias("w"))
+        )
+        w = register_persisted(w.persist())
+        nrm_df = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = w.crossJoin(F.broadcast(nrm_df)).select(
+            "j", (F.col("w") / F.col("nrm")).alias("v")
+        )
+    ranked = v.crossJoin(F.broadcast(nrm_df)).select(
+        "j",
+        F.round(F.abs(F.col("v")), 6).alias("a"),
+        r6(F.col("v")).alias("loading"),
+        r6(F.col("nrm")).alias("lambda"),
+    )
+    wr = Window.orderBy(F.desc("a"), "j")
+    return (
+        ranked.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= POWER_TOP)
+        .select(F.col("rk").cast("int").alias("rk"), F.col("j").cast("long").alias("j"), "loading", "lambda")
+    )
+
+
+def _power_oracle(rounds: int) -> str:
+    parts = [
+        f"WITH rows_ AS (SELECT vec_id, u.i AS j, CAST(embedding[u.i] AS DOUBLE) AS x "
+        f"FROM embeddings, UNNEST(range(1, {POWER_DIM + 1})) AS u(i)),\n"
+        f"v0 AS (SELECT u.i AS j, 0.125 AS v FROM UNNEST(range(1, {POWER_DIM + 1})) AS u(i))"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS (SELECT vec_id, SUM(x * v) AS d FROM rows_ JOIN v{r - 1} USING (j) GROUP BY vec_id)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT j, SUM(x * d) AS w FROM rows_ JOIN d{r} USING (vec_id) GROUP BY j)"
+        )
+        parts.append(f"n{r} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{r})")
+        parts.append(f"v{r} AS (SELECT j, w / nrm AS v FROM w{r}, n{r})")
+    final = (
+        f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(ABS(v), 6) DESC, j) AS INT) AS rk,\n"
+        f"       CAST(j AS BIGINT) AS j, ROUND(v, 6) AS loading, ROUND(nrm, 6) AS lambda\n"
+        f"FROM v{rounds}, n{rounds}\n"
+        f"QUALIFY rk <= {POWER_TOP}"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1086,6 +1225,8 @@ QUERIES = {
     "x181_budget_waterfill": x181_budget_waterfill,
     "x182_eb_shrinkage": x182_eb_shrinkage,
     "x183_kaplan_meier": x183_kaplan_meier,
+    "x184_rank_auc": x184_rank_auc,
+    "x185_power_iteration": x185_power_iteration,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -1342,6 +1483,36 @@ ORACLES = {
 }
 
 from social_warner_spark.queries.x_series import ORACLES as _X_ORACLES  # noqa: E402
+
+ORACLES["x185_power_iteration"] = _power_oracle(POWER_ROUNDS)
+
+ORACLES["x184_rank_auc"] = f"""
+        WITH e AS (
+            SELECT CASE WHEN label >= {AUC_POS_MIN} THEN 1 ELSE 0 END AS y,
+                   CAST(embedding[1] AS DOUBLE) AS score
+            FROM embeddings
+        ), ranked AS (
+            SELECT y,
+                   RANK() OVER (ORDER BY score)
+                     + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS r,
+                   COUNT(*) OVER (PARTITION BY score) AS t
+            FROM e
+        ), agg AS (
+            SELECT SUM(y) AS n1, SUM(1 - y) AS n0,
+                   SUM(CASE WHEN y = 1 THEN r END) AS rsum,
+                   SUM(t * t - 1) AS tie3,
+                   COUNT(*) AS n
+            FROM ranked
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_pos,
+               CAST(n0 AS BIGINT) AS n_neg,
+               ROUND((rsum - n1 * (n1 + 1) / 2.0)
+                     / CAST(n1 * n0 AS DOUBLE), 6) AS auc,
+               ROUND((rsum - n1 * (n1 + 1) / 2.0 - n1 * n0 / 2.0)
+                     / sqrt(n1 * n0 / 12.0
+                            * ((n + 1) - tie3 / (n * (n - 1.0)))), 6) AS z
+        FROM agg
+    """
 
 ORACLES["x183_kaplan_meier"] = f"""
         WITH t0 AS (
