@@ -1204,6 +1204,42 @@ def _power_oracle(rounds: int) -> str:
     return ",\n".join(parts) + "\n" + final
 
 
+#: x186 — DP epsilon (Laplace scale b = sensitivity/epsilon = 1).
+DP_EPS = 1.0
+
+
+def x186_dp_noisy_counts(spark, sf_dir):
+    """Differentially-private count release for per-event-type counts:
+    Laplace(1/ε) noise via the inverse CDF applied to a deterministic
+    md5 uniform per key (so the release is reproducible and both
+    engines add the identical noise), with the true count, the released
+    noisy count, and the absolute error side by side.
+
+    ε = 1, sensitivity 1 (a user adds ≤1 to a type's count per event —
+    the event-level adjacency used in DP analytics releases).  The
+    utility-vs-privacy audit shape: counts this small-K release barely
+    moves; rare-slice releases would drown.  Plan: one partial-agg
+    scan to |types| rows; noise is a narrow map on those rows.
+    """
+    e = T(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp|"), F.col("event_type"))), 1, 8), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    uu = u - 0.5
+    b = 1.0 / DP_EPS
+    noise = -F.lit(b) * F.signum(uu) * F.log(1 - 2 * F.abs(uu))
+    noisy = F.col("n") + noise
+    return e.select(
+        "event_type",
+        F.col("n").cast("long").alias("true_count"),
+        r6(noisy).alias("noisy_count"),
+        r6(F.abs(noisy - F.col("n"))).alias("abs_err"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1227,6 +1263,7 @@ QUERIES = {
     "x183_kaplan_meier": x183_kaplan_meier,
     "x184_rank_auc": x184_rank_auc,
     "x185_power_iteration": x185_power_iteration,
+    "x186_dp_noisy_counts": x186_dp_noisy_counts,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -1483,6 +1520,24 @@ ORACLES = {
 }
 
 from social_warner_spark.queries.x_series import ORACLES as _X_ORACLES  # noqa: E402
+
+ORACLES["x186_dp_noisy_counts"] = f"""
+        WITH e AS (
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+        ), keyed AS (
+            SELECT event_type, n,
+                   (({_HEX8_TO_INT.format(x="'dp|' || event_type")} + 1.0)
+                    / 4294967296.0) - 0.5 AS uu
+            FROM e
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS true_count,
+               ROUND(n + (-1.0 / {DP_EPS!r}) * sign(uu) * ln(1 - 2 * ABS(uu)), 6)
+                   AS noisy_count,
+               ROUND(ABS((-1.0 / {DP_EPS!r}) * sign(uu) * ln(1 - 2 * ABS(uu))), 6)
+                   AS abs_err
+        FROM keyed
+    """
 
 ORACLES["x185_power_iteration"] = _power_oracle(POWER_ROUNDS)
 
