@@ -1240,6 +1240,207 @@ def x186_dp_noisy_counts(spark, sf_dir):
     )
 
 
+#: x187 — Heaps-law curve: bucket the corpus into this many doc-ordered
+#: checkpoints.
+HEAPS_BUCKETS = 20
+
+
+def x187_heaps_law(spark, sf_dir):
+    """Heaps'-law fit of vocabulary growth: V(N) ≈ K·N^β, estimated by
+    OLS on log V vs log N over 20 doc-ordered checkpoints.
+
+    Each token's FIRST document (min doc_id — the x67 novelty device)
+    marks where it enters the vocabulary; cumulative token and
+    first-seen counts at each checkpoint give the (N, V) curve, and
+    regr_slope/regr_intercept on the logs give β and ln K.  The
+    corpus scaling-law diagnostic: β far from the 0.4–0.6 web-text
+    band flags synthetic or truncated vocabulary.
+
+    Plan: one token explode → (first-seen agg + per-doc counts), then
+    everything lives on |docs|- and |buckets|-row relations.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", tokens(F.col("text")).alias("toks"))
+    tok = d.select("doc_id", F.explode("toks").alias("token"))
+    first = tok.groupBy("token").agg(F.min("doc_id").alias("fd"))
+    new_per_doc = first.groupBy(F.col("fd").alias("doc_id")).agg(
+        F.count("*").alias("new_types")
+    )
+    toks_per_doc = tok.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    per_doc = toks_per_doc.join(new_per_doc, "doc_id", "left").select(
+        "doc_id", "n_toks", F.coalesce("new_types", F.lit(0)).alias("new_types")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy("doc_id")
+    cum = per_doc.select(
+        F.sum("n_toks").over(w).alias("nn"),
+        F.sum("new_types").over(w).alias("vv"),
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(Window.partitionBy()).alias("k"),
+    )
+    checkpoints = cum.where(
+        (F.col("i") % F.greatest(F.floor(F.col("k") / HEAPS_BUCKETS), F.lit(1)) == 0)
+    )
+    fit = checkpoints.agg(
+        F.count("*").alias("n_points"),
+        F.round(F.regr_slope(F.log("vv"), F.log("nn")), 6).alias("beta"),
+        F.round(F.regr_intercept(F.log("vv"), F.log("nn")), 6).alias("ln_k"),
+    )
+    return fit.select(
+        F.col("n_points").cast("long").alias("n_points"), "beta", "ln_k"
+    )
+
+
+#: x188 — gradient-descent rounds and learning rate.
+GD_ROUNDS = 3
+GD_LR = 0.5
+GD_TOP = 5
+
+
+def x188_logreg_gd(spark, sf_dir):
+    """Logistic regression by full-batch gradient descent, formulated
+    relationally — the x185 pattern applied to a supervised objective:
+    each round computes margins (join+agg per vector), sigmoids,
+    and the gradient g_j = Σ x_j·(y−p)/n (join+agg per dim), then
+    steps w ← w + η·g.  Three rounds from w=0 on label ≥ 5; output the
+    top-5 |weight| dims and the final mean log-loss.
+
+    No driver-side vectors, no ML library: the weight vector is a
+    |dims|-row relation that round r+1 joins against.  Per round one
+    |vectors|-row and one |dims|-row aggregation — identical shuffle
+    budget to power iteration.
+    """
+    from social_warner_spark.caching import register_persisted
+
+    rows = (
+        T(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            (F.col("label") >= AUC_POS_MIN).cast("int").alias("y"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("j0", "x"),
+        )
+        .select("vec_id", "y", (F.col("j0") + 1).alias("j"), "x")
+    )
+    rows = register_persisted(rows.persist())
+    nn = rows.agg(F.count_distinct("vec_id").alias("n"))  # 1-row, broadcast — no collect
+    w = spark.range(1, POWER_DIM + 1).select(F.col("id").alias("j"), F.lit(0.0).alias("w"))
+    p = None
+    for _ in range(GD_ROUNDS):
+        m = (
+            rows.join(w, "j")
+            .groupBy("vec_id", "y")
+            .agg(F.sum(F.col("x") * F.col("w")).alias("m"))
+        )
+        p = register_persisted(
+            m.select("vec_id", "y", (1.0 / (1.0 + F.exp(-F.col("m")))).alias("p")).persist()
+        )
+        g = (
+            rows.join(p.select("vec_id", "y", "p"), ["vec_id", "y"])
+            .crossJoin(F.broadcast(nn))
+            .groupBy("j")
+            .agg((F.sum(F.col("x") * (F.col("y") - F.col("p"))) / F.first("n")).alias("g"))
+        )
+        w = register_persisted(
+            w.join(g, "j").select("j", (F.col("w") + GD_LR * F.col("g")).alias("w")).persist()
+        )
+    loss = p.agg(
+        F.round(
+            -F.avg(
+                F.col("y") * F.log("p") + (1 - F.col("y")) * F.log(1 - F.col("p"))
+            ),
+            6,
+        ).alias("log_loss")
+    )
+    ranked = w.select(
+        "j", F.round(F.abs("w"), 6).alias("a"), r6(F.col("w")).alias("weight")
+    )
+    wr = Window.orderBy(F.desc("a"), "j")
+    return (
+        ranked.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= GD_TOP)
+        .crossJoin(F.broadcast(loss))
+        .select(
+            F.col("rk").cast("int").alias("rk"),
+            F.col("j").cast("long").alias("j"),
+            "weight",
+            "log_loss",
+        )
+    )
+
+
+def _logreg_oracle(rounds: int) -> str:
+    parts = [
+        f"WITH rows_ AS (SELECT vec_id, CASE WHEN label >= {AUC_POS_MIN} THEN 1 ELSE 0 END AS y, "
+        f"u.i AS j, CAST(embedding[u.i] AS DOUBLE) AS x "
+        f"FROM embeddings, UNNEST(range(1, {POWER_DIM + 1})) AS u(i)),\n"
+        f"nn AS (SELECT COUNT(DISTINCT vec_id) AS n FROM rows_),\n"
+        f"w0 AS (SELECT u.i AS j, 0.0 AS w FROM UNNEST(range(1, {POWER_DIM + 1})) AS u(i))"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"m{r} AS (SELECT vec_id, y, SUM(x * w) AS m FROM rows_ JOIN w{r - 1} USING (j) GROUP BY vec_id, y)"
+        )
+        parts.append(
+            f"p{r} AS (SELECT vec_id, y, 1.0 / (1.0 + exp(-m)) AS p FROM m{r})"
+        )
+        parts.append(
+            f"g{r} AS (SELECT j, SUM(x * (y - p)) / nn.n AS g "
+            f"FROM rows_ JOIN p{r} USING (vec_id, y), nn GROUP BY j, nn.n)"
+        )
+        parts.append(
+            f"w{r} AS (SELECT j, w + {GD_LR!r} * g AS w FROM w{r - 1} JOIN g{r} USING (j))"
+        )
+    final = (
+        f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(ABS(w), 6) DESC, j) AS INT) AS rk,\n"
+        f"       CAST(j AS BIGINT) AS j, ROUND(w, 6) AS weight,\n"
+        f"       (SELECT ROUND(-AVG(y * ln(p) + (1 - y) * ln(1 - p)), 6) FROM p{rounds}) AS log_loss\n"
+        f"FROM w{rounds}\n"
+        f"QUALIFY rk <= {GD_TOP}"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
+def x189_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the x3 lang-ID predictor and the
+    ground-truth labels: chance-corrected agreement
+    κ = (p_o − p_e)/(1 − p_e), where p_e comes from the marginal
+    truth/prediction shares.  The agreement statistic that exposes a
+    predictor that looks accurate only because one class dominates —
+    the chance-corrected counterpart of x177's recall report.
+
+    Plan: predictor is a narrow map; one (truth, pred) agg; marginals
+    are |classes|-row relations joined back.
+    """
+    from social_warner_spark.queries.x_series import x3_lang_id
+
+    pred = x3_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    truth = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = truth.join(pred, "doc_id")
+    n = j.agg(F.count("*").alias("n"))
+    po = j.agg(
+        (F.sum((F.col("pred_lang") == F.col("lang")).cast("int"))).alias("agree")
+    )
+    tm = j.groupBy("lang").agg(F.count("*").alias("ct"))
+    pm = j.groupBy(F.col("pred_lang").alias("lang")).agg(F.count("*").alias("cp"))
+    pe = (
+        tm.join(pm, "lang")
+        .crossJoin(F.broadcast(n))
+        .agg(F.sum(F.col("ct") * F.col("cp") / (F.col("n").cast("double") * F.col("n"))).alias("pe"))
+    )
+    return (
+        n.crossJoin(po)
+        .crossJoin(pe)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            r6(F.col("agree") / F.col("n").cast("double")).alias("po"),
+            r6(F.col("pe")).alias("pe"),
+            r6(
+                (F.col("agree") / F.col("n").cast("double") - F.col("pe"))
+                / (1 - F.col("pe"))
+            ).alias("kappa"),
+        )
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1264,6 +1465,9 @@ QUERIES = {
     "x184_rank_auc": x184_rank_auc,
     "x185_power_iteration": x185_power_iteration,
     "x186_dp_noisy_counts": x186_dp_noisy_counts,
+    "x187_heaps_law": x187_heaps_law,
+    "x188_logreg_gd": x188_logreg_gd,
+    "x189_cohens_kappa": x189_cohens_kappa,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -1521,6 +1725,41 @@ ORACLES = {
 
 from social_warner_spark.queries.x_series import ORACLES as _X_ORACLES  # noqa: E402
 
+ORACLES["x189_cohens_kappa"] = None  # assembled after _X_ORACLES import below
+
+ORACLES["x188_logreg_gd"] = _logreg_oracle(GD_ROUNDS)
+
+ORACLES["x187_heaps_law"] = f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+            FROM documents
+        ), first_ AS (
+            SELECT token, MIN(doc_id) AS fd FROM tok GROUP BY token
+        ), newpd AS (
+            SELECT fd AS doc_id, COUNT(*) AS new_types FROM first_ GROUP BY fd
+        ), tpd AS (
+            SELECT doc_id, COUNT(*) AS n_toks FROM tok GROUP BY doc_id
+        ), per_doc AS (
+            SELECT t.doc_id, t.n_toks, COALESCE(n.new_types, 0) AS new_types
+            FROM tpd t LEFT JOIN newpd n ON n.doc_id = t.doc_id
+        ), cum AS (
+            SELECT SUM(n_toks) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nn,
+                   SUM(new_types) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vv,
+                   ROW_NUMBER() OVER (ORDER BY doc_id) AS i,
+                   COUNT(*) OVER () AS k
+            FROM per_doc
+        ), checkpoints AS (
+            SELECT * FROM cum
+            WHERE i % GREATEST(k // {HEAPS_BUCKETS}, 1) = 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND(regr_slope(ln(vv), ln(nn)), 6) AS beta,
+               ROUND(regr_intercept(ln(vv), ln(nn)), 6) AS ln_k
+        FROM checkpoints
+    """
+
 ORACLES["x186_dp_noisy_counts"] = f"""
         WITH e AS (
             SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
@@ -1729,4 +1968,25 @@ ORACLES["x177_langid_eval"] = f"""
                ROUND(p.n_correct / CAST(p.support AS DOUBLE), 6) AS recall,
                COALESCE(w.pred_lang, 'none') AS top_confused
         FROM per_class p LEFT JOIN wrong w ON w.lang = p.lang AND w.rn = 1
+    """
+
+ORACLES["x189_cohens_kappa"] = f"""
+        WITH pred AS ({_X_ORACLES["x3_lang_id"]}),
+        j AS (
+            SELECT d.lang, p.pred_lang
+            FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        ), n AS (SELECT COUNT(*) AS n FROM j),
+        po AS (
+            SELECT SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS agree FROM j
+        ), tm AS (SELECT lang, COUNT(*) AS ct FROM j GROUP BY lang),
+        pm AS (SELECT pred_lang AS lang, COUNT(*) AS cp FROM j GROUP BY pred_lang),
+        pe AS (
+            SELECT SUM(ct * cp / (CAST(n.n AS DOUBLE) * n.n)) AS pe
+            FROM tm JOIN pm USING (lang), n
+        )
+        SELECT CAST(n.n AS BIGINT) AS n,
+               ROUND(po.agree / CAST(n.n AS DOUBLE), 6) AS po,
+               ROUND(pe.pe, 6) AS pe,
+               ROUND((po.agree / CAST(n.n AS DOUBLE) - pe.pe) / (1 - pe.pe), 6) AS kappa
+        FROM n, po, pe
     """
