@@ -1441,6 +1441,79 @@ def x189_cohens_kappa(spark, sf_dir):
     )
 
 
+def x190_skyline(spark, sf_dir):
+    """2-D skyline (Pareto front) of parts: cheapest-price /
+    largest-size tradeoff — every part not DOMINATED by another that is
+    both cheaper-or-equal and larger-or-equal (strictly better on one).
+
+    The dominance query behind "best tradeoff" pickers.  The naive form
+    is an n² anti-join; in 2-D it collapses to ONE window: sort by
+    (price asc, size desc, key) — a part is on the skyline iff its size
+    strictly exceeds the running max size of everything sorted before
+    it (cheaper, or same price and larger).  Ties on both dims keep the
+    smallest key as representative.
+
+    100 TB: one range-partitioned sort, zero joins — the n² dominance
+    semantics for the price of an orderBy.
+    """
+    parts = T(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
+    )
+    w = (
+        Window.orderBy("p_retailprice", F.desc("p_size"), "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = parts.withColumn("prevmax", F.max("p_size").over(w))
+    sky = flagged.where(
+        F.col("prevmax").isNull() | (F.col("p_size") > F.col("prevmax"))
+    )
+    # dedupe exact (price, size) ties to the smallest key
+    wd = Window.partitionBy("p_retailprice", "p_size").orderBy("p_partkey")
+    return (
+        sky.withColumn("rn", F.row_number().over(wd))
+        .where(F.col("rn") == 1)
+        .select("p_partkey", r2(F.col("p_retailprice")).alias("price"), "p_size")
+    )
+
+
+def x191_good_turing(spark, sf_dir):
+    """Good-Turing coverage estimate for the corpus vocabulary: the
+    rarest-count mass estimates how exposed the vocabulary still is to
+    unseen types, and r* = (r+1)·S(r+1)/S(r) gives the smoothed
+    counts for the six rarest observed count classes — the classical
+    answer to "how much vocabulary is
+    this corpus still missing", directly relevant to tokenizer and
+    mixture sizing.
+
+    Plan: token counts (one explode+agg), count-of-counts S(r) (one
+    more |vocab|-row agg), then everything is a ≤6-row relation
+    self-joined on r+1.
+    """
+    tok = T(spark, sf_dir, "documents").select(
+        F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(F.count("*").alias("r"))
+    sr = counts.groupBy("r").agg(F.count("*").alias("s"))
+    nn = tok.agg(F.count("*").alias("n"))
+    # data-adaptive: the 6 SMALLEST observed counts (a synthetic corpus
+    # may have no literal singletons; the rare tail is whatever exists)
+    wlow = Window.orderBy("r")
+    low = sr.withColumn("_rk", F.row_number().over(wlow)).where(F.col("_rk") <= 6).drop("_rk")
+    nxt = sr.select((F.col("r") - 1).alias("r"), F.col("s").alias("s_next"))
+    return (
+        low.join(nxt, "r", "left")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("r").cast("long").alias("r"),
+            F.col("s").cast("long").alias("n_types"),
+            r6(
+                (F.col("r") + 1) * F.coalesce(F.col("s_next"), F.lit(0)) / F.col("s").cast("double")
+            ).alias("r_star"),
+            r6(F.col("s") * F.col("r") / F.col("n").cast("double")).alias("mass_share"),
+        )
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1468,6 +1541,8 @@ QUERIES = {
     "x187_heaps_law": x187_heaps_law,
     "x188_logreg_gd": x188_logreg_gd,
     "x189_cohens_kappa": x189_cohens_kappa,
+    "x190_skyline": x190_skyline,
+    "x191_good_turing": x191_good_turing,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -1726,6 +1801,43 @@ ORACLES = {
 from social_warner_spark.queries.x_series import ORACLES as _X_ORACLES  # noqa: E402
 
 ORACLES["x189_cohens_kappa"] = None  # assembled after _X_ORACLES import below
+
+ORACLES["x190_skyline"] = """
+        WITH flagged AS (
+            SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size,
+                   MAX(CAST(p_size AS BIGINT)) OVER (
+                       ORDER BY p_retailprice, p_size DESC, p_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prevmax
+            FROM part
+        ), sky AS (
+            SELECT * FROM flagged WHERE prevmax IS NULL OR p_size > prevmax
+        ), dedup AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY p_retailprice, p_size
+                                         ORDER BY p_partkey) AS rn
+            FROM sky
+        )
+        SELECT p_partkey, ROUND(p_retailprice, 2) AS price, p_size
+        FROM dedup WHERE rn = 1
+    """
+
+ORACLES["x191_good_turing"] = """
+        WITH tok AS (
+            SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+        ), counts AS (
+            SELECT token, COUNT(*) AS r FROM tok GROUP BY token
+        ), sr AS (
+            SELECT r, COUNT(*) AS s FROM counts GROUP BY r
+        ), nn AS (SELECT COUNT(*) AS n FROM tok),
+        low AS (
+            SELECT r, s, ROW_NUMBER() OVER (ORDER BY r) AS _rk FROM sr
+        )
+        SELECT CAST(l.r AS BIGINT) AS r,
+               CAST(l.s AS BIGINT) AS n_types,
+               ROUND((l.r + 1) * COALESCE(nx.s, 0) / CAST(l.s AS DOUBLE), 6) AS r_star,
+               ROUND(l.s * l.r / CAST(nn.n AS DOUBLE), 6) AS mass_share
+        FROM low l LEFT JOIN sr nx ON nx.r = l.r + 1, nn
+        WHERE l._rk <= 6
+    """
 
 ORACLES["x188_logreg_gd"] = _logreg_oracle(GD_ROUNDS)
 
