@@ -1,5 +1,20 @@
-"""Eleventh extension batch (x164+): substring-level duplication,
-code-switch detection, and deterministic weighted sampling.
+"""Eleventh extension batch (x164–x191): the round-3 operator families.
+
+Substring-level duplication (x164), code-switch profiling (x165),
+stratified weighted sampling (x166), Poisson-bootstrap CIs (x167),
+jackknife influence (x168), effective sample size (x169), BPE merge
+training + encode (x170/x171), KS drift (x172), JL projection audit
+(x173), user-typicality screen (x174), Benford audit (x175), greedy
+set-cover source selection (x176), classifier eval + Cohen's kappa
+(x177/x189), two-pass exact median (x178), pointer-doubling subtree
+rollup (x179), sorted-neighborhood linkage (x180), water-filling fair
+budgets (x181), empirical-Bayes shrinkage (x182), Kaplan-Meier
+survival (x183), rank AUC (x184), relational power iteration (x185),
+DP noisy-count release (x186), Heaps-law fit (x187), relational
+logistic-regression GD (x188), 2-D skyline (x190), Good-Turing
+coverage (x191).
+
+Detailed notes for the founding trio:
 
 - x164 duplicated-span detection — the substring-level complement of the
   document-level dedup family (ExactSubstr in "Deduplicating Training
