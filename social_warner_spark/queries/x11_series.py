@@ -1529,6 +1529,92 @@ def x191_good_turing(spark, sf_dir):
     )
 
 
+#: x192 — calibration bin width over the marker-ratio confidence.
+CAL_BIN_W = 0.02
+
+
+def x192_calibration(spark, sf_dir):
+    """Reliability diagram + expected calibration error for the x3
+    lang-ID predictor, using its marker ratio as the confidence score:
+    per confidence bin, the mean confidence vs the actual accuracy, and
+    the bin's ECE contribution |acc − conf|·n/N.
+
+    Completes the eval-harness family (x177 recall, x189 kappa): a
+    predictor can rank well yet be miscalibrated — this is the query
+    that shows it.  Plan: narrow predictor map → one bin agg.
+    """
+    from social_warner_spark.queries.x_series import x3_lang_id
+
+    pred = x3_lang_id(spark, sf_dir)
+    truth = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = truth.join(pred, "doc_id").select(
+        F.least(F.floor(F.col("marker_ratio") / CAL_BIN_W), F.lit(9)).cast("int").alias("bin"),
+        F.col("marker_ratio").alias("conf"),
+        (F.col("pred_lang") == F.col("lang")).cast("int").alias("ok"),
+    )
+    n = j.agg(F.count("*").alias("nn"))
+    return (
+        j.groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("conf").alias("mean_conf"),
+            F.avg("ok").alias("acc"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "bin",
+            F.col("n").cast("long").alias("n"),
+            r6(F.col("mean_conf")).alias("mean_conf"),
+            r6(F.col("acc")).alias("acc"),
+            r6(
+                F.abs(F.col("acc") - F.col("mean_conf")) * F.col("n") / F.col("nn").cast("double")
+            ).alias("ece_term"),
+        )
+    )
+
+
+def x193_adjusted_rand(spark, sf_dir):
+    """Adjusted Rand Index between the x3 predicted-language partition
+    and the true-language partition — clustering agreement by PAIR
+    counting: ARI = (Σᵢⱼ C(nᵢⱼ,2) − E) / (max − E), with E from the
+    marginals.  All combinatorics stay integer until the final ratio,
+    so the statistic is engine-exact.  The partition-level counterpart
+    of x189's per-item kappa.
+
+    Plan: one contingency agg (|classes|² rows) + marginal aggs.
+    """
+    from social_warner_spark.queries.x_series import x3_lang_id
+
+    pred = x3_lang_id(spark, sf_dir).select("doc_id", "pred_lang")
+    truth = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = truth.join(pred, "doc_id")
+
+    def c2(c):
+        return (c * (c - 1) / 2).cast("double")
+
+    cont = j.groupBy("lang", "pred_lang").agg(F.count("*").alias("nij"))
+    idx = cont.agg(F.sum(c2(F.col("nij"))).alias("sum_ij"))
+    am = j.groupBy("lang").agg(F.count("*").alias("ai")).agg(
+        F.sum(c2(F.col("ai"))).alias("sum_a")
+    )
+    bm = j.groupBy("pred_lang").agg(F.count("*").alias("bj")).agg(
+        F.sum(c2(F.col("bj"))).alias("sum_b")
+    )
+    nn = j.agg(c2(F.count("*")).alias("c2n"), F.count("*").alias("n"))
+    e = F.col("sum_a") * F.col("sum_b") / F.col("c2n")
+    mx = (F.col("sum_a") + F.col("sum_b")) / 2
+    return (
+        idx.crossJoin(am)
+        .crossJoin(bm)
+        .crossJoin(nn)
+        .select(
+            F.col("n").cast("long").alias("n"),
+            r6(F.col("sum_ij")).alias("sum_pairs"),
+            r6((F.col("sum_ij") - e) / (mx - e)).alias("ari"),
+        )
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1558,6 +1644,8 @@ QUERIES = {
     "x189_cohens_kappa": x189_cohens_kappa,
     "x190_skyline": x190_skyline,
     "x191_good_turing": x191_good_turing,
+    "x192_calibration": x192_calibration,
+    "x193_adjusted_rand": x193_adjusted_rand,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -2116,4 +2204,47 @@ ORACLES["x189_cohens_kappa"] = f"""
                ROUND(pe.pe, 6) AS pe,
                ROUND((po.agree / CAST(n.n AS DOUBLE) - pe.pe) / (1 - pe.pe), 6) AS kappa
         FROM n, po, pe
+    """
+
+ORACLES["x192_calibration"] = f"""
+        WITH pred AS ({_X_ORACLES["x3_lang_id"]}),
+        j AS (
+            SELECT LEAST(CAST(floor(p.marker_ratio / {CAL_BIN_W!r}) AS INT), 9) AS bin,
+                   p.marker_ratio AS conf,
+                   CASE WHEN p.pred_lang = d.lang THEN 1 ELSE 0 END AS ok
+            FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        ), nn AS (SELECT COUNT(*) AS nn FROM j)
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(conf), 6) AS mean_conf,
+               ROUND(AVG(ok), 6) AS acc,
+               ROUND(ABS(AVG(ok) - AVG(conf)) * COUNT(*) / CAST(nn.nn AS DOUBLE), 6)
+                   AS ece_term
+        FROM j, nn
+        GROUP BY bin, nn.nn
+    """
+
+ORACLES["x193_adjusted_rand"] = f"""
+        WITH pred AS ({_X_ORACLES["x3_lang_id"]}),
+        j AS (
+            SELECT d.lang, p.pred_lang
+            FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+        ), cont AS (
+            SELECT SUM(nij * (nij - 1) / 2.0) AS sum_ij
+            FROM (SELECT COUNT(*) AS nij FROM j GROUP BY lang, pred_lang)
+        ), am AS (
+            SELECT SUM(ai * (ai - 1) / 2.0) AS sum_a
+            FROM (SELECT COUNT(*) AS ai FROM j GROUP BY lang)
+        ), bm AS (
+            SELECT SUM(bj * (bj - 1) / 2.0) AS sum_b
+            FROM (SELECT COUNT(*) AS bj FROM j GROUP BY pred_lang)
+        ), nn AS (
+            SELECT COUNT(*) AS n, COUNT(*) * (COUNT(*) - 1) / 2.0 AS c2n FROM j
+        )
+        SELECT CAST(nn.n AS BIGINT) AS n,
+               ROUND(cont.sum_ij, 6) AS sum_pairs,
+               ROUND((cont.sum_ij - am.sum_a * bm.sum_b / nn.c2n)
+                     / ((am.sum_a + bm.sum_b) / 2 - am.sum_a * bm.sum_b / nn.c2n), 6)
+                   AS ari
+        FROM cont, am, bm, nn
     """
