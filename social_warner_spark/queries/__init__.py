@@ -74,7 +74,10 @@ CHECK_PRIORITY = (
     "x164_dup_spans",
     # (x30 boilerplate yields to x88: the ngram family keeps x16/x28/x31
     # in-window; the corpus card is the round-2 composed summary)
-    "x88_corpus_card",
+    # (x88 corpus card yields to x194: x9_series keeps seven reps
+    # in-window; the round-3 readiness scorecard composes five newly
+    # added audit operators, so its driver row verifies them together)
+    "x194_corpus_readiness",
     "x35_bm25_search",
     "x32_bloom_prune_join",
     "x39_pagerank",

@@ -1615,6 +1615,61 @@ def x193_adjusted_rand(spark, sf_dir):
     )
 
 
+def x194_corpus_readiness(spark, sf_dir):
+    """Round-3 capstone composite: the per-source CORPUS READINESS
+    scorecard — one row per source joining five audited signals:
+
+    - n_docs and effective-sample-size ratio (x169 — weight skew);
+    - mean duplicated-span fraction (x164 — substring-level dup load;
+      docs with no duplicated span count as 0);
+    - mean dominant-language share (x165 — code-switch contamination);
+    - KS drift statistic + flag vs the rest of the corpus (x172);
+    - water-filled fair token allocation + saturation flag (x181).
+
+    The one-table answer to "which feeds are ready for the mix" —
+    every column's operator is independently oracle-verified, and the
+    composite itself is hash-checked end to end (the x31 flagship
+    pattern applied to the round-3 audit family).
+
+    Plan: composes the audited stage plans; per-source relations join
+    on the tiny source key, so the composite adds no new shuffle class.
+    """
+    from social_warner_spark.operators.dedup import duplicated_spans
+
+    docs = T(spark, sf_dir, "documents")
+
+    ess = x169_effective_sample_size(spark, sf_dir).select("source", "n_docs", "ess_ratio")
+
+    spans = duplicated_spans(docs, w=SPAN_W).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    dup = (
+        docs.select("source", "doc_id")
+        .join(spans.select("doc_id", "dup_frac"), "doc_id", "left")
+        .groupBy("source")
+        .agg(r6(F.avg(F.coalesce(F.col("dup_frac"), F.lit(0.0)))).alias("mean_dup_frac"))
+    )
+
+    mix = (
+        x165_mixed_language(spark, sf_dir)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(r6(F.avg("dom_share")).alias("mean_dom_share"))
+    )
+
+    ks = x172_ks_drift(spark, sf_dir).select("source", "ks", "drifted")
+    alloc = x181_budget_waterfill(spark, sf_dir).select(
+        "source", "allocation", "saturated"
+    )
+
+    return (
+        ess.join(dup, "source")
+        .join(mix, "source")
+        .join(ks, "source")
+        .join(alloc, "source")
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1646,6 +1701,7 @@ QUERIES = {
     "x191_good_turing": x191_good_turing,
     "x192_calibration": x192_calibration,
     "x193_adjusted_rand": x193_adjusted_rand,
+    "x194_corpus_readiness": x194_corpus_readiness,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -2247,4 +2303,31 @@ ORACLES["x193_adjusted_rand"] = f"""
                      / ((am.sum_a + bm.sum_b) / 2 - am.sum_a * bm.sum_b / nn.c2n), 6)
                    AS ari
         FROM cont, am, bm, nn
+    """
+
+ORACLES["x194_corpus_readiness"] = f"""
+        WITH ess AS ({ORACLES["x169_effective_sample_size"]}),
+        dupq AS ({ORACLES["x164_dup_spans"]}),
+        dup AS (
+            SELECT d.source,
+                   ROUND(AVG(COALESCE(q.dup_frac, 0.0)), 6) AS mean_dup_frac
+            FROM documents d LEFT JOIN dupq q ON q.doc_id = d.doc_id
+            GROUP BY d.source
+        ),
+        mixq AS ({ORACLES["x165_mixed_language"]}),
+        mix AS (
+            SELECT d.source, ROUND(AVG(m.dom_share), 6) AS mean_dom_share
+            FROM mixq m JOIN documents d ON d.doc_id = m.doc_id
+            GROUP BY d.source
+        ),
+        ksq AS ({ORACLES["x172_ks_drift"]}),
+        allocq AS ({ORACLES["x181_budget_waterfill"]})
+        SELECT e.source, e.n_docs, e.ess_ratio,
+               dup.mean_dup_frac, mix.mean_dom_share,
+               k.ks, k.drifted, a.allocation, a.saturated
+        FROM ess e
+        JOIN dup ON dup.source = e.source
+        JOIN mix ON mix.source = e.source
+        JOIN ksq k ON k.source = e.source
+        JOIN allocq a ON a.source = e.source
     """
