@@ -1670,6 +1670,40 @@ def x194_corpus_readiness(spark, sf_dir):
     )
 
 
+def x195_forecast_backtest(spark, sf_dir):
+    """Seasonal-naive forecast backtest on the daily order-revenue
+    series: forecast(t) = value(t−7), scored with MAE and MASE (MAE
+    scaled by the one-step naive's MAE — the scale-free forecast metric
+    of Hyndman & Koehler 2006).  MASE < 1 means weekly seasonality
+    carries real signal beyond persistence.
+
+    The evaluation harness for any downstream forecasting job: before
+    shipping a model, this is the baseline it must beat.  Plan: one
+    date agg → |days| grid; lags are two window columns; one final agg.
+    """
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(F.sum("o_totalprice").alias("v"))
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "d",
+        "v",
+        F.lag("v", 7).over(w).alias("f_seasonal"),
+        F.lag("v", 1).over(w).alias("f_naive"),
+    ).where(F.col("f_seasonal").isNotNull() & F.col("f_naive").isNotNull())
+    return lagged.agg(
+        F.count("*").alias("n_days"),
+        r2(F.avg(F.abs(F.col("v") - F.col("f_seasonal")))).alias("mae_seasonal"),
+        r2(F.avg(F.abs(F.col("v") - F.col("f_naive")))).alias("mae_naive"),
+        r6(
+            F.avg(F.abs(F.col("v") - F.col("f_seasonal")))
+            / F.avg(F.abs(F.col("v") - F.col("f_naive")))
+        ).alias("mase"),
+    ).select(F.col("n_days").cast("long").alias("n_days"), "mae_seasonal", "mae_naive", "mase")
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1702,6 +1736,7 @@ QUERIES = {
     "x192_calibration": x192_calibration,
     "x193_adjusted_rand": x193_adjusted_rand,
     "x194_corpus_readiness": x194_corpus_readiness,
+    "x195_forecast_backtest": x195_forecast_backtest,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -2330,4 +2365,22 @@ ORACLES["x194_corpus_readiness"] = f"""
         JOIN mix ON mix.source = e.source
         JOIN ksq k ON k.source = e.source
         JOIN allocq a ON a.source = e.source
+    """
+
+ORACLES["x195_forecast_backtest"] = """
+        WITH daily AS (
+            SELECT o_orderdate AS d, SUM(o_totalprice) AS v
+            FROM orders GROUP BY o_orderdate
+        ), lagged AS (
+            SELECT d, v,
+                   LAG(v, 7) OVER (ORDER BY d) AS f_seasonal,
+                   LAG(v, 1) OVER (ORDER BY d) AS f_naive
+            FROM daily
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(AVG(ABS(v - f_seasonal)), 2) AS mae_seasonal,
+               ROUND(AVG(ABS(v - f_naive)), 2) AS mae_naive,
+               ROUND(AVG(ABS(v - f_seasonal)) / AVG(ABS(v - f_naive)), 6) AS mase
+        FROM lagged
+        WHERE f_seasonal IS NOT NULL AND f_naive IS NOT NULL
     """
