@@ -1704,6 +1704,54 @@ def x195_forecast_backtest(spark, sf_dir):
     ).select(F.col("n_days").cast("long").alias("n_days"), "mae_seasonal", "mae_naive", "mase")
 
 
+def x196_sequence_entropy(spark, sf_dir):
+    """Markov predictability of the per-user event sequence: marginal
+    next-event entropy H(next) vs conditional entropy H(next | current)
+    over the transition matrix, and the information gain between them —
+    how many bits the previous event buys a next-event predictor.
+
+    Plan: transitions from one per-user lead() window; both entropies
+    live on the |types|² transition-count relation.
+    """
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        e.withColumn("nxt", F.lead("event_type").over(w))
+        .where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("nxt"))
+        .agg(F.count("*").alias("c"))
+    )
+    tot = tr.agg(F.sum("c").alias("n"))
+    cur_tot = tr.groupBy("cur").agg(F.sum("c").alias("cc"))
+    nxt_tot = tr.groupBy("nxt").agg(F.sum("c").alias("cn"))
+    h_marg = nxt_tot.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum(
+            (F.col("cn") / F.col("n").cast("double"))
+            * F.log2(F.col("cn") / F.col("n").cast("double"))
+        )).alias("hm")
+    )
+    h_cond = (
+        tr.join(F.broadcast(cur_tot), "cur")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            (-F.sum(
+                (F.col("c") / F.col("n").cast("double"))
+                * F.log2(F.col("c") / F.col("cc").cast("double"))
+            )).alias("hc")
+        )
+    )
+    return (
+        tot.crossJoin(h_marg)
+        .crossJoin(h_cond)
+        .select(
+            F.col("n").cast("long").alias("n_transitions"),
+            r6(F.col("hm")).alias("h_marginal"),
+            r6(F.col("hc")).alias("h_conditional"),
+            r6(F.col("hm") - F.col("hc")).alias("info_gain"),
+        )
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1737,6 +1785,7 @@ QUERIES = {
     "x193_adjusted_rand": x193_adjusted_rand,
     "x194_corpus_readiness": x194_corpus_readiness,
     "x195_forecast_backtest": x195_forecast_backtest,
+    "x196_sequence_entropy": x196_sequence_entropy,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -2383,4 +2432,31 @@ ORACLES["x195_forecast_backtest"] = """
                ROUND(AVG(ABS(v - f_seasonal)) / AVG(ABS(v - f_naive)), 6) AS mase
         FROM lagged
         WHERE f_seasonal IS NOT NULL AND f_naive IS NOT NULL
+    """
+
+ORACLES["x196_sequence_entropy"] = """
+        WITH tr AS (
+            SELECT cur, nxt, COUNT(*) AS c FROM (
+                SELECT event_type AS cur,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events
+            ) WHERE nxt IS NOT NULL GROUP BY cur, nxt
+        ), tot AS (SELECT SUM(c) AS n FROM tr),
+        cur_tot AS (SELECT cur, SUM(c) AS cc FROM tr GROUP BY cur),
+        nxt_tot AS (SELECT nxt, SUM(c) AS cn FROM tr GROUP BY nxt),
+        hm AS (
+            SELECT -SUM((cn / CAST(tot.n AS DOUBLE))
+                        * log2(cn / CAST(tot.n AS DOUBLE))) AS hm
+            FROM nxt_tot, tot
+        ), hc AS (
+            SELECT -SUM((c / CAST(tot.n AS DOUBLE))
+                        * log2(c / CAST(ct.cc AS DOUBLE))) AS hc
+            FROM tr JOIN cur_tot ct USING (cur), tot
+        )
+        SELECT CAST(tot.n AS BIGINT) AS n_transitions,
+               ROUND(hm.hm, 6) AS h_marginal,
+               ROUND(hc.hc, 6) AS h_conditional,
+               ROUND(hm.hm - hc.hc, 6) AS info_gain
+        FROM tot, hm, hc
     """
