@@ -1752,6 +1752,55 @@ def x196_sequence_entropy(spark, sf_dir):
     )
 
 
+#: x197 — CCF lag range.
+CCF_MAX_LAG = 3
+
+
+def x197_cross_correlation(spark, sf_dir):
+    """Cross-correlation function between two daily series — order
+    count and average order value — at lags −3..+3 days: does volume
+    LEAD value (positive-lag correlation) or trail it?
+
+    The lead/lag diagnostic run before any transfer-function or
+    causal-impact model.  Plan: one date agg builds both series on the
+    |days| grid; each lag is a window-shift column and corr() is a
+    single-pass moment aggregate — 7 correlations, one tiny relation.
+    """
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg(
+            F.count("*").cast("double").alias("cnt"),
+            (F.sum("o_totalprice") / F.count("*")).alias("aov"),
+        )
+    )
+    w = Window.orderBy("d")
+    shifted = daily.select(
+        "d",
+        "cnt",
+        "aov",
+        *[
+            F.lag("aov", -k if k < 0 else k).over(w).alias(f"aov_m{k}")
+            if k >= 0
+            else F.lead("aov", -k).over(w).alias(f"aov_m{k}")
+            for k in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1)
+        ],
+    )
+    rows = []
+    for k in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1):
+        rows.append(
+            shifted.where(F.col(f"aov_m{k}").isNotNull()).agg(
+                F.lit(k).alias("lag"),
+                F.count("*").cast("long").alias("n_days"),
+                r6(F.corr("cnt", f"aov_m{k}")).alias("ccf"),
+            )
+        )
+    from functools import reduce
+    from pyspark.sql import DataFrame
+
+    return reduce(DataFrame.unionAll, rows)
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1786,6 +1835,7 @@ QUERIES = {
     "x194_corpus_readiness": x194_corpus_readiness,
     "x195_forecast_backtest": x195_forecast_backtest,
     "x196_sequence_entropy": x196_sequence_entropy,
+    "x197_cross_correlation": x197_cross_correlation,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -2459,4 +2509,32 @@ ORACLES["x196_sequence_entropy"] = """
                ROUND(hc.hc, 6) AS h_conditional,
                ROUND(hm.hm - hc.hc, 6) AS info_gain
         FROM tot, hm, hc
+    """
+
+ORACLES["x197_cross_correlation"] = """
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   CAST(COUNT(*) AS DOUBLE) AS cnt,
+                   SUM(o_totalprice) / COUNT(*) AS aov
+            FROM orders GROUP BY o_orderdate
+        ), shifted AS (
+            SELECT d, cnt, aov,
+                   LEAD(aov, 3) OVER (ORDER BY d) AS l_m3,\n                   LEAD(aov, 2) OVER (ORDER BY d) AS l_m2,\n                   LEAD(aov, 1) OVER (ORDER BY d) AS l_m1,\n                   LAG(aov, 0) OVER (ORDER BY d) AS l0,\n                   LAG(aov, 1) OVER (ORDER BY d) AS l1,\n                   LAG(aov, 2) OVER (ORDER BY d) AS l2,\n                   LAG(aov, 3) OVER (ORDER BY d) AS l3
+            FROM daily
+        )
+        SELECT -3 AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(corr(cnt, l_m3), 6) AS ccf
+        FROM shifted WHERE l_m3 IS NOT NULL\n        UNION ALL\n        SELECT -2 AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(corr(cnt, l_m2), 6) AS ccf
+        FROM shifted WHERE l_m2 IS NOT NULL\n        UNION ALL\n        SELECT -1 AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(corr(cnt, l_m1), 6) AS ccf
+        FROM shifted WHERE l_m1 IS NOT NULL\n        UNION ALL\n        SELECT 0 AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(corr(cnt, l0), 6) AS ccf
+        FROM shifted WHERE l0 IS NOT NULL\n        UNION ALL\n        SELECT 1 AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(corr(cnt, l1), 6) AS ccf
+        FROM shifted WHERE l1 IS NOT NULL\n        UNION ALL\n        SELECT 2 AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(corr(cnt, l2), 6) AS ccf
+        FROM shifted WHERE l2 IS NOT NULL\n        UNION ALL\n        SELECT 3 AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(corr(cnt, l3), 6) AS ccf
+        FROM shifted WHERE l3 IS NOT NULL
     """
