@@ -1801,6 +1801,114 @@ def x197_cross_correlation(spark, sf_dir):
     return reduce(DataFrame.unionAll, rows)
 
 
+#: x198 — priority-sample size.
+PRIO_K = 50
+
+
+def x198_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield-Lund-Thorup 2007): the weighted
+    sampling scheme whose k-item sample supports UNBIASED subset-sum
+    estimation — each doc gets priority q = w/u (w = n_chars,
+    deterministic md5 uniform u), the top-k by priority are kept, and
+    every kept item's estimator weight is max(w, tau) with tau the
+    (k+1)-th priority.  The query reports the sample size alongside the
+    estimated vs true corpus character mass — the estimation property
+    A-ES (x72/x166) does not give you.
+
+    Plan: narrow priority map; tau and the true total are broadcast
+    1-row relations; top-(k+1) via TakeOrderedAndProject.
+    """
+    d = T(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ps|"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    prio = d.select(
+        "doc_id",
+        F.col("n_chars").cast("double").alias("w"),
+        F.round(F.col("n_chars") / u, 6).alias("q"),
+    )
+    topk1 = prio.orderBy(F.desc("q"), "doc_id").limit(PRIO_K + 1)
+    tau = topk1.agg(F.min("q").alias("tau"))
+    true_tot = d.agg(F.sum("n_chars").cast("double").alias("true_mass"))
+    kept = (
+        topk1.crossJoin(F.broadcast(tau))
+        .where(F.col("q") > F.col("tau"))
+        .select("doc_id", "w", "q", "tau")
+    )
+    est = kept.groupBy("tau").agg(
+        F.count("*").cast("long").alias("k"),
+        F.sum(F.greatest(F.col("w"), F.col("tau"))).alias("est_mass"),
+    )
+    return est.crossJoin(F.broadcast(true_tot)).select(
+        "k",
+        r6(F.col("tau")).alias("tau"),
+        r2(F.col("est_mass")).alias("est_mass"),
+        r2(F.col("true_mass")).alias("true_mass"),
+        r6(F.col("est_mass") / F.col("true_mass") - 1).alias("rel_err"),
+    )
+
+
+#: x199 — capture-recapture inclusion probability per sweep.
+CR_P = 0.3
+
+
+def x199_capture_recapture(spark, sf_dir):
+    """Lincoln-Petersen capture-recapture estimate of the vocabulary
+    size from two INDEPENDENT deterministic hash sweeps: sample A keeps
+    types with u_a < 0.3, sample B with u_b < 0.3 (independent md5
+    streams); N-hat = |A|*|B|/|A∩B|, reported against the true distinct
+    count.  The population-estimation trick for "how many X exist"
+    when only samples are affordable — verifiable here because the
+    truth is computable.
+
+    Plan: one distinct-token agg; both sweeps are narrow hash filters
+    over it; three counts.
+    """
+    tok = (
+        T(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("t"))
+        .distinct()
+    )
+
+    def sweep(tag):
+        return (
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(tag), F.col("t"))), 1, 8), 16, 10
+                ).cast("double")
+                + 1.0
+            )
+            / F.lit(4294967296.0)
+        ) < CR_P
+
+    flagged = tok.select(
+        sweep("cra|").cast("int").alias("a"), sweep("crb|").cast("int").alias("b")
+    )
+    agg = flagged.agg(
+        F.count("*").cast("long").alias("true_n"),
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_both"),
+    )
+    return agg.select(
+        "true_n",
+        "n_a",
+        "n_b",
+        "n_both",
+        r6(F.col("n_a") * F.col("n_b") / F.col("n_both").cast("double")).alias("n_hat"),
+        r6(
+            (F.col("n_a") * F.col("n_b") / F.col("n_both").cast("double"))
+            / F.col("true_n")
+            - 1
+        ).alias("rel_err"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1836,6 +1944,8 @@ QUERIES = {
     "x195_forecast_backtest": x195_forecast_backtest,
     "x196_sequence_entropy": x196_sequence_entropy,
     "x197_cross_correlation": x197_cross_correlation,
+    "x198_priority_sample": x198_priority_sample,
+    "x199_capture_recapture": x199_capture_recapture,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -2537,4 +2647,44 @@ ORACLES["x197_cross_correlation"] = """
         FROM shifted WHERE l2 IS NOT NULL\n        UNION ALL\n        SELECT 3 AS lag, CAST(COUNT(*) AS BIGINT) AS n_days,
                ROUND(corr(cnt, l3), 6) AS ccf
         FROM shifted WHERE l3 IS NOT NULL
+    """
+
+ORACLES["x198_priority_sample"] = f"""
+        WITH prio AS (
+            SELECT doc_id, CAST(n_chars AS DOUBLE) AS w,
+                   ROUND(n_chars / ((reduce(list_transform(string_split_regex(substr(md5('ps|' || CAST(doc_id AS VARCHAR)), 1, 8), ''), c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c)-48 ELSE ascii(c)-87 END AS BIGINT)), (a, b) -> a*16+b) + 1.0)
+                         / 4294967296.0), 6) AS q
+            FROM documents
+        ), topk1 AS (
+            SELECT * FROM prio ORDER BY q DESC, doc_id LIMIT {PRIO_K + 1}
+        ), tau AS (SELECT MIN(q) AS tau FROM topk1),
+        kept AS (
+            SELECT t.doc_id, t.w, t.q, tau.tau FROM topk1 t, tau WHERE t.q > tau.tau
+        ), tt AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS true_mass FROM documents)
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               ROUND(ANY_VALUE(tau), 6) AS tau,
+               ROUND(SUM(GREATEST(w, tau)), 2) AS est_mass,
+               ROUND(ANY_VALUE(tt.true_mass), 2) AS true_mass,
+               ROUND(SUM(GREATEST(w, tau)) / ANY_VALUE(tt.true_mass) - 1, 6) AS rel_err
+        FROM kept, tt
+    """
+
+ORACLES["x199_capture_recapture"] = f"""
+        WITH tok AS (
+            SELECT DISTINCT unnest(string_split(trim(text), ' ')) AS t FROM documents
+        ), flagged AS (
+            SELECT CASE WHEN ((reduce(list_transform(string_split_regex(substr(md5('cra|' || t), 1, 8), ''), c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c)-48 ELSE ascii(c)-87 END AS BIGINT)), (a, b) -> a*16+b) + 1.0) / 4294967296.0)
+                        < {CR_P!r} THEN 1 ELSE 0 END AS a,
+                   CASE WHEN ((reduce(list_transform(string_split_regex(substr(md5('crb|' || t), 1, 8), ''), c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c)-48 ELSE ascii(c)-87 END AS BIGINT)), (a, b) -> a*16+b) + 1.0) / 4294967296.0)
+                        < {CR_P!r} THEN 1 ELSE 0 END AS b
+            FROM tok
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS true_n,
+               CAST(SUM(a) AS BIGINT) AS n_a,
+               CAST(SUM(b) AS BIGINT) AS n_b,
+               CAST(SUM(a * b) AS BIGINT) AS n_both,
+               ROUND(SUM(a) * SUM(b) / CAST(SUM(a * b) AS DOUBLE), 6) AS n_hat,
+               ROUND((SUM(a) * SUM(b) / CAST(SUM(a * b) AS DOUBLE)) / COUNT(*) - 1, 6)
+                   AS rel_err
+        FROM flagged
     """
