@@ -1909,6 +1909,122 @@ def x199_capture_recapture(spark, sf_dir):
     )
 
 
+#: x200 — RANSAC candidate models and inlier tolerance.
+RANSAC_CANDS = 10
+RANSAC_TOL = 0.15
+
+
+def x200_ransac_trend(spark, sf_dir):
+    """RANSAC-style robust trend fit of daily average order value vs
+    day index: 10 candidate lines, each through a deterministic
+    hash-chosen pair of days, scored by inlier count (relative residual
+    ≤ 15%); the consensus line wins.  Where OLS (x74's regr_slope) is
+    dragged by outlier days, the consensus fit ignores them — robust
+    regression as pure relational algebra.
+
+    Plan: the candidate relation is 10 rows (two hash-rank joins);
+    scoring is a broadcast 10-row × |days| narrow map → per-candidate
+    counts → 1-row argmax.  No sampling RNG: candidate pairs come from
+    md5 rank ordering, so the "random" consensus is reproducible.
+    """
+    daily = (
+        T(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").alias("d"))
+        .agg((F.sum("o_totalprice") / F.count("*")).alias("y"))
+    )
+    w = Window.orderBy("d")
+    pts = daily.select(F.row_number().over(w).cast("double").alias("x"), "y")
+    hw = Window.orderBy(F.md5(F.concat(F.lit("rs|"), F.col("x").cast("string"))))
+    hranked = pts.select("x", "y", F.row_number().over(hw).alias("hr"))
+    a = hranked.where(F.col("hr") <= RANSAC_CANDS).select(
+        F.col("hr").alias("cand"), F.col("x").alias("x1"), F.col("y").alias("y1")
+    )
+    b = hranked.where(
+        (F.col("hr") > RANSAC_CANDS) & (F.col("hr") <= 2 * RANSAC_CANDS)
+    ).select((F.col("hr") - RANSAC_CANDS).alias("cand"), F.col("x").alias("x2"), F.col("y").alias("y2"))
+    cands = a.join(b, "cand").select(
+        "cand",
+        ((F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1"))).alias("m"),
+        (F.col("y1") - (F.col("y2") - F.col("y1")) / (F.col("x2") - F.col("x1")) * F.col("x1")).alias("c"),
+    )
+    scored = (
+        pts.crossJoin(F.broadcast(cands))
+        .select(
+            "cand",
+            "m",
+            "c",
+            (
+                F.abs(F.col("y") - (F.col("m") * F.col("x") + F.col("c")))
+                / F.abs(F.col("y"))
+                <= RANSAC_TOL
+            ).cast("int").alias("inlier"),
+        )
+        .groupBy("cand", "m", "c")
+        .agg(F.sum("inlier").alias("n_inliers"), F.count("*").alias("n_days"))
+    )
+    return (
+        scored.orderBy(F.desc("n_inliers"), "cand")
+        .limit(1)
+        .select(
+            "cand",
+            F.col("n_inliers").cast("long").alias("n_inliers"),
+            F.col("n_days").cast("long").alias("n_days"),
+            r6(F.col("m")).alias("slope"),
+            r2(F.col("c")).alias("intercept"),
+        )
+    )
+
+
+#: x201 — FDR level.
+FDR_ALPHA = 0.1
+
+
+def x201_fdr_correction(spark, sf_dir):
+    """Benjamini-Hochberg FDR correction over the per-source KS drift
+    tests (x172): approximate p-values from the asymptotic KS tail
+    p ≈ 2·exp(−2·λ²) with λ = ks·sqrt(n_s·m/(n_s+m)), then the BH
+    step-up — reject the smallest i..k p-values where
+    p(i) ≤ (i/m)·α.  The multiple-testing discipline every
+    many-slices drift dashboard needs: 20 sources at α=0.1 would
+    false-alarm constantly without it.
+
+    Plan: x172's grid plans plus |sources|-row windows — the
+    correction itself costs nothing.
+    """
+    ks = x172_ks_drift(spark, sf_dir)
+    tot = ks.agg(F.sum("n_s").alias("n"))
+    scored = ks.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        "ks",
+        F.round(
+            2 * F.exp(
+                -2
+                * F.pow(
+                    F.col("ks")
+                    * F.sqrt(
+                        (F.col("n_s") * (F.col("n") - F.col("n_s"))).cast("double")
+                        / F.col("n")
+                    ),
+                    2,
+                )
+            ),
+            6,
+        ).alias("p"),
+    )
+    wr = Window.orderBy("p", "source")
+    m = scored.agg(F.count("*").alias("m"))
+    ranked = scored.crossJoin(F.broadcast(m)).withColumn("i", F.row_number().over(wr))
+    passed = ranked.withColumn(
+        "bh_ok", (F.col("p") <= F.col("i") / F.col("m").cast("double") * FDR_ALPHA).cast("int")
+    )
+    wcum = Window.orderBy(F.desc("i")).rowsBetween(Window.unboundedPreceding, 0)
+    latched = passed.withColumn("rejected", F.max("bh_ok").over(wcum) == 1)
+    return latched.select(
+        "source", "n_s", "ks", "p", F.col("i").cast("long").alias("rank"), "rejected"
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -1946,6 +2062,8 @@ QUERIES = {
     "x197_cross_correlation": x197_cross_correlation,
     "x198_priority_sample": x198_priority_sample,
     "x199_capture_recapture": x199_capture_recapture,
+    "x200_ransac_trend": x200_ransac_trend,
+    "x201_fdr_correction": x201_fdr_correction,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -2687,4 +2805,64 @@ ORACLES["x199_capture_recapture"] = f"""
                ROUND((SUM(a) * SUM(b) / CAST(SUM(a * b) AS DOUBLE)) / COUNT(*) - 1, 6)
                    AS rel_err
         FROM flagged
+    """
+
+ORACLES["x200_ransac_trend"] = f"""
+        WITH daily AS (
+            SELECT o_orderdate AS d, SUM(o_totalprice) / COUNT(*) AS y
+            FROM orders GROUP BY o_orderdate
+        ), pts AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS x, y FROM daily
+        ), hranked AS (
+            SELECT x, y,
+                   ROW_NUMBER() OVER (ORDER BY md5('rs|' || CAST(x AS VARCHAR))) AS hr
+            FROM pts
+        ), a AS (
+            SELECT hr AS cand, x AS x1, y AS y1 FROM hranked WHERE hr <= {RANSAC_CANDS}
+        ), b AS (
+            SELECT hr - {RANSAC_CANDS} AS cand, x AS x2, y AS y2
+            FROM hranked WHERE hr > {RANSAC_CANDS} AND hr <= 2 * {RANSAC_CANDS}
+        ), cands AS (
+            SELECT a.cand,
+                   (y2 - y1) / (x2 - x1) AS m,
+                   y1 - (y2 - y1) / (x2 - x1) * x1 AS c
+            FROM a JOIN b ON a.cand = b.cand
+        ), scored AS (
+            SELECT cand, m, c,
+                   SUM(CASE WHEN ABS(y - (m * x + c)) / ABS(y) <= {RANSAC_TOL!r}
+                            THEN 1 ELSE 0 END) AS n_inliers,
+                   COUNT(*) AS n_days
+            FROM pts CROSS JOIN cands
+            GROUP BY cand, m, c
+        )
+        SELECT cand,
+               CAST(n_inliers AS BIGINT) AS n_inliers,
+               CAST(n_days AS BIGINT) AS n_days,
+               ROUND(m, 6) AS slope,
+               ROUND(c, 2) AS intercept
+        FROM scored ORDER BY n_inliers DESC, cand LIMIT 1
+    """
+
+ORACLES["x201_fdr_correction"] = f"""
+        WITH ksq AS ({ORACLES["x172_ks_drift"]}),
+        tot AS (SELECT SUM(n_s) AS n FROM ksq),
+        scored AS (
+            SELECT source, n_s, ks,
+                   ROUND(2 * exp(-2 * POW(ks * sqrt(
+                       CAST(n_s * (tot.n - n_s) AS DOUBLE) / tot.n), 2)), 6) AS p
+            FROM ksq, tot
+        ), m AS (SELECT COUNT(*) AS m FROM scored),
+        ranked AS (
+            SELECT s.*, m.m, ROW_NUMBER() OVER (ORDER BY p, source) AS i
+            FROM scored s, m
+        ), passed AS (
+            SELECT *, CASE WHEN p <= i / CAST(m AS DOUBLE) * {FDR_ALPHA!r}
+                           THEN 1 ELSE 0 END AS bh_ok
+            FROM ranked
+        )
+        SELECT source, n_s, ks, p,
+               CAST(i AS BIGINT) AS rank,
+               MAX(bh_ok) OVER (ORDER BY i DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS rejected
+        FROM passed
     """
