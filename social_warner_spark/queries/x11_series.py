@@ -2025,6 +2025,137 @@ def x201_fdr_correction(spark, sf_dir):
     )
 
 
+#: x202 — pre/post split date for the CUPED covariate window.
+CUPED_SPLIT = "2024-01-16"
+
+
+def x202_cuped(spark, sf_dir):
+    """CUPED variance reduction for an A/B readout: per user, the
+    pre-period value sum is the covariate X, the post-period sum the
+    metric Y; theta = cov(X,Y)/var(X) gives the adjusted metric
+    Y' = Y − theta·(X − mean(X)), and the query reports the A/B group
+    means on Y and Y' plus the variance-reduction fraction
+    1 − var(Y')/var(Y) — the industry-standard trick that shrinks
+    experiment confidence intervals for free.  Groups are the
+    deterministic md5 split (reproducible assignment).
+
+    Plan: one per-user two-period conditional agg; theta and means are
+    broadcast 1-row moment fits; everything after is |users|-row.
+    """
+    e = T(spark, sf_dir, "events").select("user_id", "ts", "value")
+    per = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < F.lit(CUPED_SPLIT).cast("timestamp_ntz"), F.col("value")).otherwise(0.0)).alias("x"),
+        F.sum(F.when(F.col("ts") >= F.lit(CUPED_SPLIT).cast("timestamp_ntz"), F.col("value")).otherwise(0.0)).alias("y"),
+    )
+    grp = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8), 16, 10
+    ).cast("long") % 2
+    per = per.withColumn("g", grp)
+    mo = per.agg(
+        (F.covar_samp("x", "y") / F.var_samp("x")).alias("theta"),
+        F.avg("x").alias("mx"),
+    )
+    adj = per.crossJoin(F.broadcast(mo)).withColumn(
+        "y_adj", F.col("y") - F.col("theta") * (F.col("x") - F.col("mx"))
+    )
+    overall = adj.agg(
+        r6(F.var_samp("y")).alias("var_y"),
+        r6(F.var_samp("y_adj")).alias("var_y_adj"),
+        r6(1 - F.var_samp("y_adj") / F.var_samp("y")).alias("var_reduction"),
+        r6(F.first(F.col("theta"))).alias("theta"),
+    )
+    groups = adj.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_users"),
+        r6(F.avg("y")).alias("mean_y"),
+        r6(F.avg("y_adj")).alias("mean_y_adj"),
+    )
+    return groups.crossJoin(F.broadcast(overall))
+
+
+#: x203 — core order and peeling rounds.
+KCORE_K = 80
+KCORE_ROUNDS = 6
+
+
+def x203_kcore(spark, sf_dir):
+    """K-core of the part co-purchase graph by iterative peeling:
+    repeatedly delete nodes with degree < 80 (six rounds — enough to
+    converge here, with convergence REPORTED, not assumed).  The k-core
+    is the standard dense-substructure filter run before community
+    detection or embedding training on a graph.
+
+    Plan: per round one degree agg + two semi-joins that only ever
+    SHRINK the edge relation; each round's edge set is eagerly
+    localCheckpoint-ed (lineage truncation — six rounds of 3-way
+    self-reference would otherwise explode the ANALYSIS cost 3^6-fold,
+    the same reason x27's propagation materializes per round).  No
+    driver-side data beyond the checkpoint trigger.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+        .distinct()
+    )
+    edges = edges.localCheckpoint(eager=True)
+    prev_nodes = None
+    nodes = None
+    for _ in range(KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("src").alias("n"))
+            .unionAll(edges.select(F.col("dst").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        prev_nodes = nodes
+        nodes = deg.where(F.col("d") >= KCORE_K).select("n").localCheckpoint(eager=True)
+        edges = (
+            edges.join(nodes.withColumnsRenamed({"n": "src"}), "src", "left_semi")
+            .join(nodes.withColumnsRenamed({"n": "dst"}), "dst", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    n_nodes = nodes.agg(F.count("*").alias("n_nodes"))
+    n_prev = prev_nodes.agg(F.count("*").alias("n_prev"))
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(n_prev)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            (F.col("n_prev") == F.col("n_nodes")).alias("converged"),
+        )
+    )
+
+
+def _kcore_oracle(rounds: int) -> str:
+    parts = [
+        "WITH e0 AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst "
+        "FROM lineitem a JOIN lineitem b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"n{r} AS MATERIALIZED (SELECT n FROM (SELECT src AS n FROM e{r - 1} "
+            f"UNION ALL SELECT dst FROM e{r - 1}) "
+            f"GROUP BY n HAVING COUNT(*) >= {KCORE_K})"
+        )
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT e.* FROM e{r - 1} e "
+            f"SEMI JOIN n{r} ns ON e.src = ns.n "
+            f"SEMI JOIN n{r} nd ON e.dst = nd.n)"
+        )
+    final = (
+        f"SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM n{rounds}) AS n_nodes,\n"
+        f"       (SELECT CAST(COUNT(*) AS BIGINT) FROM e{rounds}) AS n_edges,\n"
+        f"       (SELECT COUNT(*) FROM n{rounds - 1}) = (SELECT COUNT(*) FROM n{rounds}) AS converged"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2064,6 +2195,8 @@ QUERIES = {
     "x199_capture_recapture": x199_capture_recapture,
     "x200_ransac_trend": x200_ransac_trend,
     "x201_fdr_correction": x201_fdr_correction,
+    "x202_cuped": x202_cuped,
+    "x203_kcore": x203_kcore,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -2866,3 +2999,36 @@ ORACLES["x201_fdr_correction"] = f"""
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 AS rejected
         FROM passed
     """
+
+ORACLES["x202_cuped"] = f"""
+        WITH per AS (
+            SELECT user_id,
+                   SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT} 00:00:00'
+                            THEN value ELSE 0.0 END) AS x,
+                   SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT} 00:00:00'
+                            THEN value ELSE 0.0 END) AS y,
+                   reduce(list_transform(string_split_regex(substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8), ''), c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c)-48 ELSE ascii(c)-87 END AS BIGINT)), (a, b) -> a*16+b) % 2 AS g
+            FROM events GROUP BY user_id
+        ), mo AS (
+            SELECT covar_samp(x, y) / var_samp(x) AS theta, AVG(x) AS mx FROM per
+        ), adj AS (
+            SELECT per.*, y - mo.theta * (x - mo.mx) AS y_adj FROM per, mo
+        ), overall AS (
+            SELECT ROUND(var_samp(y), 6) AS var_y,
+                   ROUND(var_samp(y_adj), 6) AS var_y_adj,
+                   ROUND(1 - var_samp(y_adj) / var_samp(y), 6) AS var_reduction,
+                   ROUND(ANY_VALUE(mo.theta), 6) AS theta
+            FROM adj, mo
+        )
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(AVG(y), 6) AS mean_y,
+               ROUND(AVG(y_adj), 6) AS mean_y_adj,
+               ANY_VALUE(o.var_y) AS var_y,
+               ANY_VALUE(o.var_y_adj) AS var_y_adj,
+               ANY_VALUE(o.var_reduction) AS var_reduction,
+               ANY_VALUE(o.theta) AS theta
+        FROM adj, overall o
+        GROUP BY g
+    """
+
+ORACLES["x203_kcore"] = _kcore_oracle(KCORE_ROUNDS)
