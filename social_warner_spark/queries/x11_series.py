@@ -2156,6 +2156,71 @@ def _kcore_oracle(rounds: int) -> str:
     return ",\n".join(parts) + "\n" + final
 
 
+#: x204 — span-corruption geometry: start probability and span width.
+SC_P = 0.05
+SC_SPAN = 3
+
+
+def x204_span_corruption(spark, sf_dir):
+    """T5-style span-corruption mask layout: every token position is a
+    candidate span START with probability 5% (deterministic md5
+    uniform), each start masks a 3-token span, and overlapping/adjacent
+    spans merge (gaps-and-islands, the x164 device) with the final span
+    capped at the document end.  Per doc: token count, merged mask-span
+    count, masked tokens, and the realized mask rate (expected ≈
+    1−(1−p)^span ≈ 14%).
+
+    The training-example-construction layout for denoising objectives —
+    computed engine-side so the masking plan is auditable and
+    reproducible before any tensor is built.  Plan: position explode →
+    hash filter → per-doc islands window; everything doc-bounded.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", tokens(F.col("text")).alias("toks"))
+    pos = d.select(
+        "doc_id", F.size("toks").alias("n_toks"), F.posexplode("toks").alias("p", "tok")
+    ).drop("tok")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("sc|"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("#"),
+                        F.col("p").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    starts = pos.where(u < SC_P)
+    w = Window.partitionBy("doc_id").orderBy("p")
+    isl = starts.withColumn(
+        "nf",
+        F.when(F.col("p") - F.lag("p").over(w) <= SC_SPAN, F.lit(0)).otherwise(F.lit(1)),
+    ).withColumn("g", F.sum("nf").over(w))
+    spans = isl.groupBy("doc_id", "n_toks", "g").agg(
+        F.min("p").alias("s0"),
+        F.least(F.max("p") + SC_SPAN - 1, F.col("n_toks") - 1).alias("s1"),
+    )
+    per_doc = spans.groupBy("doc_id", "n_toks").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(F.col("s1") - F.col("s0") + 1).alias("n_masked"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_toks",
+        F.col("n_spans").cast("long").alias("n_spans"),
+        F.col("n_masked").cast("long").alias("n_masked"),
+        r6(F.col("n_masked") / F.col("n_toks").cast("double")).alias("mask_rate"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2197,6 +2262,7 @@ QUERIES = {
     "x201_fdr_correction": x201_fdr_correction,
     "x202_cuped": x202_cuped,
     "x203_kcore": x203_kcore,
+    "x204_span_corruption": x204_span_corruption,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3032,3 +3098,36 @@ ORACLES["x202_cuped"] = f"""
     """
 
 ORACLES["x203_kcore"] = _kcore_oracle(KCORE_ROUNDS)
+
+ORACLES["x204_span_corruption"] = f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), pos AS (
+            SELECT doc_id, len(t) AS n_toks,
+                   unnest(generate_series(1, len(t))) - 1 AS p
+            FROM toks
+        ), starts AS (
+            SELECT doc_id, n_toks, p FROM pos
+            WHERE ((reduce(list_transform(string_split_regex(substr(md5('sc|' || CAST(doc_id AS VARCHAR) || '#' || CAST(p AS VARCHAR)), 1, 8), ''), c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c)-48 ELSE ascii(c)-87 END AS BIGINT)), (a, b) -> a*16+b) + 1.0) / 4294967296.0) < {SC_P!r}
+        ), isl AS (
+            SELECT doc_id, n_toks, p,
+                   CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                             <= {SC_SPAN} THEN 0 ELSE 1 END AS nf
+            FROM starts
+        ), grp AS (
+            SELECT doc_id, n_toks, p,
+                   SUM(nf) OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+            FROM isl
+        ), spans AS (
+            SELECT doc_id, n_toks, g, MIN(p) AS s0,
+                   LEAST(MAX(p) + {SC_SPAN} - 1, n_toks - 1) AS s1
+            FROM grp GROUP BY doc_id, n_toks, g
+        )
+        SELECT doc_id,
+               CAST(n_toks AS INT) AS n_toks,
+               CAST(COUNT(*) AS BIGINT) AS n_spans,
+               CAST(SUM(s1 - s0 + 1) AS BIGINT) AS n_masked,
+               ROUND(SUM(s1 - s0 + 1) / CAST(n_toks AS DOUBLE), 6) AS mask_rate
+        FROM spans GROUP BY doc_id, n_toks
+    """
