@@ -2221,6 +2221,95 @@ def x204_span_corruption(spark, sf_dir):
     )
 
 
+def x205_data_ablation(spark, sf_dir):
+    """Leave-one-source-out LM ablation: for every source, train an
+    add-1-smoothed unigram LM on the training split WITHOUT that source
+    and score the held-out split (doc_id % 10 == 0); report each
+    ablated LM's mean log-prob against the all-sources baseline.
+
+    The data-ablation question ("which feed is actually helping the
+    model?") answered in closed form: complement counts
+    c_total(w) − c_s(w) make all 20 ablated LMs fall out of ONE
+    train-count relation — no 20 training passes (the x168 jackknife
+    device applied to model quality instead of a mean).  Smoothing uses
+    the fixed global vocab so every LM shares a denominator form.
+
+    (Sources whose doc-id block falls entirely in the held-out residue
+    have nothing to ablate and are absent — 18 of 20 here.)
+
+    Plan: two token aggs (train totals, train per-source) + the eval
+    token stream joined once against each — shuffle ∝ tokens, never
+    tokens × sources; the per-source expansion happens on the bounded
+    |eval-token-types| × |sources| relation.
+    """
+    d = T(spark, sf_dir, "documents").select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    tok = d.select("doc_id", "source", F.explode("toks").alias("w"))
+    train = tok.where(F.col("doc_id") % 10 != 0)
+    ev = tok.where(F.col("doc_id") % 10 == 0)
+
+    ct = train.groupBy("w").agg(F.count("*").alias("c_tot"))
+    cs = train.groupBy("w", "source").agg(F.count("*").alias("c_s"))
+    nt = train.agg(F.count("*").alias("n_tot"))
+    ns = train.groupBy("source").agg(F.count("*").alias("n_s"))
+    vocab = ct.agg(F.count("*").alias("v"))
+
+    # eval term frequencies (types, not tokens — bounded)
+    ef = ev.groupBy("w").agg(F.count("*").alias("f"))
+    n_eval = ev.agg(F.count("*").alias("ne"))
+
+    # baseline: all-sources LM
+    base = (
+        ef.join(ct, "w", "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_eval))
+        .agg(
+            (
+                F.sum(
+                    F.col("f")
+                    * F.log(
+                        (F.coalesce(F.col("c_tot"), F.lit(0)) + 1)
+                        / (F.col("n_tot") + F.col("v")).cast("double")
+                    )
+                )
+                / F.first("ne")
+            ).alias("lp_base")
+        )
+    )
+
+    grid = (
+        ef.join(ct, "w", "left")
+        .crossJoin(ns.select("source", "n_s"))
+        .join(cs, ["w", "source"], "left")
+        .crossJoin(F.broadcast(nt))
+        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(n_eval))
+    )
+    abl = grid.groupBy("source").agg(
+        F.first("n_s").alias("n_excluded"),
+        (
+            F.sum(
+                F.col("f")
+                * F.log(
+                    (
+                        F.coalesce(F.col("c_tot"), F.lit(0))
+                        - F.coalesce(F.col("c_s"), F.lit(0))
+                        + 1
+                    )
+                    / (F.col("n_tot") - F.col("n_s") + F.col("v")).cast("double")
+                )
+            )
+            / F.first("ne")
+        ).alias("lp"),
+    )
+    return abl.crossJoin(F.broadcast(base)).select(
+        "source",
+        F.col("n_excluded").cast("long").alias("n_excluded"),
+        r6(F.col("lp")).alias("mean_logprob"),
+        r6(F.col("lp") - F.col("lp_base")).alias("delta_vs_full"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2263,6 +2352,7 @@ QUERIES = {
     "x202_cuped": x202_cuped,
     "x203_kcore": x203_kcore,
     "x204_span_corruption": x204_span_corruption,
+    "x205_data_ablation": x205_data_ablation,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3130,4 +3220,43 @@ ORACLES["x204_span_corruption"] = f"""
                CAST(SUM(s1 - s0 + 1) AS BIGINT) AS n_masked,
                ROUND(SUM(s1 - s0 + 1) / CAST(n_toks AS DOUBLE), 6) AS mask_rate
         FROM spans GROUP BY doc_id, n_toks
+    """
+
+ORACLES["x205_data_ablation"] = """
+        WITH tok AS (
+            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w
+            FROM documents
+        ), train AS (SELECT * FROM tok WHERE doc_id % 10 != 0),
+        ev AS (SELECT * FROM tok WHERE doc_id % 10 = 0),
+        ct AS (SELECT w, COUNT(*) AS c_tot FROM train GROUP BY w),
+        cs AS (SELECT w, source, COUNT(*) AS c_s FROM train GROUP BY w, source),
+        nt AS (SELECT COUNT(*) AS n_tot FROM train),
+        ns AS (SELECT source, COUNT(*) AS n_s FROM train GROUP BY source),
+        vocab AS (SELECT COUNT(*) AS v FROM ct),
+        ef AS (SELECT w, COUNT(*) AS f FROM ev GROUP BY w),
+        ne AS (SELECT COUNT(*) AS ne FROM ev),
+        base AS (
+            SELECT SUM(f * ln((COALESCE(ct.c_tot, 0) + 1)
+                              / CAST(nt.n_tot + vocab.v AS DOUBLE))) / ANY_VALUE(ne.ne)
+                   AS lp_base
+            FROM ef LEFT JOIN ct USING (w), nt, vocab, ne
+        ),
+        grid AS (
+            SELECT ef.w, ef.f, ct.c_tot, ns.source, ns.n_s, cs.c_s,
+                   nt.n_tot, vocab.v, ne.ne
+            FROM ef LEFT JOIN ct USING (w)
+            CROSS JOIN ns
+            LEFT JOIN cs ON cs.w = ef.w AND cs.source = ns.source,
+            nt, vocab, ne
+        )
+        SELECT source,
+               CAST(ANY_VALUE(n_s) AS BIGINT) AS n_excluded,
+               ROUND(SUM(f * ln((COALESCE(c_tot, 0) - COALESCE(c_s, 0) + 1)
+                                / CAST(n_tot - n_s + v AS DOUBLE))) / ANY_VALUE(ne), 6)
+                   AS mean_logprob,
+               ROUND(SUM(f * ln((COALESCE(c_tot, 0) - COALESCE(c_s, 0) + 1)
+                                / CAST(n_tot - n_s + v AS DOUBLE))) / ANY_VALUE(ne)
+                     - ANY_VALUE(base.lp_base), 6) AS delta_vs_full
+        FROM grid, base
+        GROUP BY source
     """
