@@ -2310,6 +2310,53 @@ def x205_data_ablation(spark, sf_dir):
     )
 
 
+#: x206 — outlier report size.
+MAHAL_TOP = 20
+
+
+def x206_mahalanobis(spark, sf_dir):
+    """Multivariate outliers by Mahalanobis distance on the
+    (quantity, extendedprice) plane: the 2×2 covariance inverts in
+    closed form, so D² = zᵀΣ⁻¹z is pure column arithmetic — the
+    outlier screen that catches points UNUSUAL IN COMBINATION
+    (high price at low quantity) that per-axis z-scores (x37) miss.
+
+    Top-20 by 6dp-rounded D², ties by line key.  Plan: one moment agg
+    broadcast back; distance is a narrow map; TakeOrderedAndProject.
+    """
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    mo = li.agg(
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.var_samp("x").alias("vx"),
+        F.var_samp("y").alias("vy"),
+        F.covar_samp("x", "y").alias("cxy"),
+    )
+    j = li.crossJoin(F.broadcast(mo))
+    det = F.col("vx") * F.col("vy") - F.col("cxy") * F.col("cxy")
+    dx = F.col("x") - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    d2 = (
+        F.col("vy") * dx * dx - 2 * F.col("cxy") * dx * dy + F.col("vx") * dy * dy
+    ) / det
+    return (
+        j.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("x").alias("quantity"),
+            r2(F.col("y")).alias("price"),
+            F.round(d2, 6).alias("d2"),
+        )
+        .orderBy(F.desc("d2"), "l_orderkey", "l_linenumber")
+        .limit(MAHAL_TOP)
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2353,6 +2400,7 @@ QUERIES = {
     "x203_kcore": x203_kcore,
     "x204_span_corruption": x204_span_corruption,
     "x205_data_ablation": x205_data_ablation,
+    "x206_mahalanobis": x206_mahalanobis,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3259,4 +3307,23 @@ ORACLES["x205_data_ablation"] = """
                      - ANY_VALUE(base.lp_base), 6) AS delta_vs_full
         FROM grid, base
         GROUP BY source
+    """
+
+ORACLES["x206_mahalanobis"] = f"""
+        WITH mo AS (
+            SELECT AVG(l_quantity) AS mx, AVG(l_extendedprice) AS my,
+                   var_samp(l_quantity) AS vx, var_samp(l_extendedprice) AS vy,
+                   covar_samp(l_quantity, l_extendedprice) AS cxy
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_linenumber,
+               l_quantity AS quantity,
+               ROUND(l_extendedprice, 2) AS price,
+               ROUND((vy * (l_quantity - mx) * (l_quantity - mx)
+                      - 2 * cxy * (l_quantity - mx) * (l_extendedprice - my)
+                      + vx * (l_extendedprice - my) * (l_extendedprice - my))
+                     / (vx * vy - cxy * cxy), 6) AS d2
+        FROM lineitem, mo
+        ORDER BY d2 DESC, l_orderkey, l_linenumber
+        LIMIT {MAHAL_TOP}
     """
