@@ -2357,6 +2357,76 @@ def x206_mahalanobis(spark, sf_dir):
     )
 
 
+#: x207 — frequency thresholds and report size.
+SPELL_RARE_MAX = 2
+SPELL_FREQ_MIN = 10
+SPELL_TOP = 20
+
+
+def x207_spell_canonicalize(spark, sf_dir):
+    """OCR/typo canonicalization map: rare tokens (≤2 occurrences)
+    mapped to the most frequent vocabulary token within edit distance 1
+    — the corpus-cleaning rewrite table built before training, which
+    collapses noise variants without touching legitimate rare words
+    (no frequent neighbor → no rule).
+
+    The synthetic corpus has no natural typos, so (the x26 PII-injection
+    precedent) docs with doc_id % 50 == 0 get a deterministic typo
+    appended — their first token with its second character dropped —
+    making the rewrite rules observable and hash-checkable.
+
+    Candidates are blocked on (first char, ±1 length) so the
+    rare×frequent comparison never goes vocabulary-squared; exact
+    Levenshtein verifies.  Per rare token the highest-frequency target
+    wins (ties lexicographic); top-20 rules by target frequency.
+
+    Plan: one token-count agg feeds both sides; the block join's
+    fan-out is bounded by per-block vocabulary; 1-row-per-rare argmax
+    via WindowGroupLimit.
+    """
+    d = T(spark, sf_dir, "documents")
+    t1 = F.element_at(tokens(F.col("text")), 1)
+    typo = F.concat(F.substring(t1, 1, 1), F.substring(t1, 3, 1000))
+    with_typos = d.select(
+        F.when(
+            (F.col("doc_id") % 50 == 0) & (F.length(t1) >= 4),
+            F.concat(F.col("text"), F.lit(" "), typo),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
+    tok = with_typos.select(F.explode(tokens(F.col("text"))).alias("w"))
+    counts = tok.groupBy("w").agg(F.count("*").alias("c"))
+    rare = counts.where(F.col("c") <= SPELL_RARE_MAX).select(
+        F.col("w").alias("rw"),
+        F.col("c").alias("rc"),
+        F.substring("w", 1, 1).alias("b1"),
+        F.length("w").alias("ln"),
+    )
+    freq = counts.where(F.col("c") >= SPELL_FREQ_MIN).select(
+        F.col("w").alias("fw"),
+        F.col("c").alias("fc"),
+        F.substring("w", 1, 1).alias("b1"),
+        F.length("w").alias("fln"),
+    )
+    cand = rare.join(freq, "b1").where(
+        (F.abs(F.col("ln") - F.col("fln")) <= 1)
+        & (F.levenshtein(F.col("rw"), F.col("fw")) == 1)
+    )
+    wr = Window.partitionBy("rw").orderBy(F.desc("fc"), "fw")
+    best = cand.withColumn("rn", F.row_number().over(wr)).where(F.col("rn") == 1)
+    return (
+        best.select(
+            F.col("rw").alias("rare_token"),
+            F.col("rc").cast("long").alias("rare_count"),
+            F.col("fw").alias("target"),
+            F.col("fc").cast("long").alias("target_count"),
+        )
+        .orderBy(F.desc("target_count"), "rare_token")
+        .limit(SPELL_TOP)
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2401,6 +2471,7 @@ QUERIES = {
     "x204_span_corruption": x204_span_corruption,
     "x205_data_ablation": x205_data_ablation,
     "x206_mahalanobis": x206_mahalanobis,
+    "x207_spell_canonicalize": x207_spell_canonicalize,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3326,4 +3397,39 @@ ORACLES["x206_mahalanobis"] = f"""
         FROM lineitem, mo
         ORDER BY d2 DESC, l_orderkey, l_linenumber
         LIMIT {MAHAL_TOP}
+    """
+
+ORACLES["x207_spell_canonicalize"] = f"""
+        WITH with_typos AS (
+            SELECT CASE WHEN doc_id % 50 = 0
+                         AND length(string_split(trim(text), ' ')[1]) >= 4
+                        THEN text || ' ' ||
+                             substr(string_split(trim(text), ' ')[1], 1, 1) ||
+                             substr(string_split(trim(text), ' ')[1], 3)
+                        ELSE text END AS text
+            FROM documents
+        ), counts AS (
+            SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w FROM with_typos
+            ) GROUP BY w
+        ), rare AS (
+            SELECT w AS rw, c AS rc, substr(w, 1, 1) AS b1, length(w) AS ln
+            FROM counts WHERE c <= {SPELL_RARE_MAX}
+        ), freq AS (
+            SELECT w AS fw, c AS fc, substr(w, 1, 1) AS b1, length(w) AS fln
+            FROM counts WHERE c >= {SPELL_FREQ_MIN}
+        ), cand AS (
+            SELECT r.rw, r.rc, f.fw, f.fc,
+                   ROW_NUMBER() OVER (PARTITION BY r.rw
+                                      ORDER BY f.fc DESC, f.fw) AS rn
+            FROM rare r JOIN freq f ON r.b1 = f.b1
+            WHERE ABS(r.ln - f.fln) <= 1 AND levenshtein(r.rw, f.fw) = 1
+        )
+        SELECT rw AS rare_token,
+               CAST(rc AS BIGINT) AS rare_count,
+               fw AS target,
+               CAST(fc AS BIGINT) AS target_count
+        FROM cand WHERE rn = 1
+        ORDER BY target_count DESC, rare_token
+        LIMIT {SPELL_TOP}
     """
