@@ -2427,6 +2427,57 @@ def x207_spell_canonicalize(spark, sf_dir):
     )
 
 
+#: x208 — conformal miscoverage level.
+CONF_ALPHA = 0.1
+
+
+def x208_conformal(spark, sf_dir):
+    """Split-conformal prediction intervals per event type: the
+    calibration split (even event_id) fits a point predictor (the type
+    mean) and the rank-based conformal quantile q̂ = the
+    ⌈(n+1)(1−α)⌉-th smallest absolute residual; the test split (odd
+    event_id) then checks EMPIRICAL COVERAGE of mean ± q̂ — the
+    distribution-free guarantee (≥ 1−α on average) made measurable.
+
+    The uncertainty-quantification harness for any per-entity
+    predictor: no normality assumption, exact rank arithmetic, and the
+    coverage column IS the test.  Plan: two conditional aggs + one
+    per-type rank window on calibration residuals.
+    """
+    e = T(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    cal = e.where(F.col("event_id") % 2 == 0)
+    test = e.where(F.col("event_id") % 2 == 1)
+    mu = cal.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.count("*").alias("n_cal")
+    )
+    resid = cal.join(F.broadcast(mu), "event_type").select(
+        "event_type", "n_cal", "mu", F.abs(F.col("value") - F.col("mu")).alias("r")
+    )
+    wr = Window.partitionBy("event_type").orderBy("r")
+    ranked = resid.withColumn("rk", F.row_number().over(wr))
+    qhat = ranked.where(
+        F.col("rk") == F.ceil((F.col("n_cal") + 1) * (1 - CONF_ALPHA))
+    ).select("event_type", "n_cal", "mu", F.col("r").alias("qhat"))
+    cov = (
+        test.join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type", "n_cal", "mu", "qhat")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.avg(
+                (F.abs(F.col("value") - F.col("mu")) <= F.col("qhat")).cast("double")
+            ).alias("coverage"),
+        )
+    )
+    return cov.select(
+        "event_type",
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        r6(F.col("mu")).alias("mu"),
+        r6(F.col("qhat")).alias("qhat"),
+        r6(F.col("coverage")).alias("coverage"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2472,6 +2523,7 @@ QUERIES = {
     "x205_data_ablation": x205_data_ablation,
     "x206_mahalanobis": x206_mahalanobis,
     "x207_spell_canonicalize": x207_spell_canonicalize,
+    "x208_conformal": x208_conformal,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3432,4 +3484,34 @@ ORACLES["x207_spell_canonicalize"] = f"""
         FROM cand WHERE rn = 1
         ORDER BY target_count DESC, rare_token
         LIMIT {SPELL_TOP}
+    """
+
+ORACLES["x208_conformal"] = f"""
+        WITH cal AS (
+            SELECT event_type, value FROM events WHERE event_id % 2 = 0
+        ), test AS (
+            SELECT event_type, value FROM events WHERE event_id % 2 = 1
+        ), mu AS (
+            SELECT event_type, AVG(value) AS mu, COUNT(*) AS n_cal
+            FROM cal GROUP BY event_type
+        ), ranked AS (
+            SELECT c.event_type, m.n_cal, m.mu,
+                   ABS(c.value - m.mu) AS r,
+                   ROW_NUMBER() OVER (PARTITION BY c.event_type
+                                      ORDER BY ABS(c.value - m.mu)) AS rk
+            FROM cal c JOIN mu m USING (event_type)
+        ), qhat AS (
+            SELECT event_type, n_cal, mu, r AS qhat
+            FROM ranked
+            WHERE rk = CAST(ceil((n_cal + 1) * (1 - {CONF_ALPHA!r})) AS BIGINT)
+        )
+        SELECT q.event_type,
+               CAST(q.n_cal AS BIGINT) AS n_cal,
+               CAST(COUNT(*) AS BIGINT) AS n_test,
+               ROUND(ANY_VALUE(q.mu), 6) AS mu,
+               ROUND(ANY_VALUE(q.qhat), 6) AS qhat,
+               ROUND(AVG(CASE WHEN ABS(t.value - q.mu) <= q.qhat
+                              THEN 1.0 ELSE 0.0 END), 6) AS coverage
+        FROM test t JOIN qhat q USING (event_type)
+        GROUP BY q.event_type, q.n_cal
     """
