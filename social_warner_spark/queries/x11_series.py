@@ -2478,6 +2478,61 @@ def x208_conformal(spark, sf_dir):
     )
 
 
+#: x209 — ALS alternations.
+ALS_ROUNDS = 2
+
+
+def x209_rank1_als(spark, sf_dir):
+    """Rank-1 ALS on the user × event-type value matrix: alternate the
+    closed-form least-squares updates v_j = Σuᵢrᵢⱼ/Σuᵢ² and
+    u_i = Σvⱼrᵢⱼ/Σvⱼ² for two rounds from u ≡ 1, then report the
+    factor scale and the reconstruction RMSE against the global-mean
+    baseline — the matrix-factorization primitive behind collaborative
+    filtering (x149 is the neighborhood method; this is the model
+    method), relational like x185/x188: factors are |users|- and
+    |types|-row relations, no linear-algebra library.
+
+    Plan: per round two join+agg passes over the rating cells; RMSE is
+    one more pass.  Shuffle ∝ nonzero cells throughout.
+    """
+    r = (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(F.avg("value").alias("r"))
+    )
+    from social_warner_spark.caching import register_persisted
+
+    r = register_persisted(r.persist())
+    u = r.select("user_id").distinct().select("user_id", F.lit(1.0).alias("u"))
+    v = None
+    for _ in range(ALS_ROUNDS):
+        v = (
+            r.join(u, "user_id")
+            .groupBy("event_type")
+            .agg((F.sum(F.col("u") * F.col("r")) / F.sum(F.col("u") * F.col("u"))).alias("v"))
+        )
+        u = (
+            r.join(v, "event_type")
+            .groupBy("user_id")
+            .agg((F.sum(F.col("v") * F.col("r")) / F.sum(F.col("v") * F.col("v"))).alias("u"))
+        )
+        u = register_persisted(u.persist())
+        v = register_persisted(v.persist())
+    pred = r.join(u, "user_id").join(v, "event_type")
+    gmean = r.agg(F.avg("r").alias("g"))
+    scored = pred.crossJoin(F.broadcast(gmean)).agg(
+        F.count("*").cast("long").alias("n_cells"),
+        F.sqrt(F.avg(F.pow(F.col("r") - F.col("u") * F.col("v"), 2))).alias("rmse_als"),
+        F.sqrt(F.avg(F.pow(F.col("r") - F.col("g"), 2))).alias("rmse_base"),
+    )
+    return scored.select(
+        "n_cells",
+        r6(F.col("rmse_als")).alias("rmse_als"),
+        r6(F.col("rmse_base")).alias("rmse_base"),
+        r6(1 - F.col("rmse_als") / F.col("rmse_base")).alias("rmse_gain"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2524,6 +2579,7 @@ QUERIES = {
     "x206_mahalanobis": x206_mahalanobis,
     "x207_spell_canonicalize": x207_spell_canonicalize,
     "x208_conformal": x208_conformal,
+    "x209_rank1_als": x209_rank1_als,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3514,4 +3570,15 @@ ORACLES["x208_conformal"] = f"""
                               THEN 1.0 ELSE 0.0 END), 6) AS coverage
         FROM test t JOIN qhat q USING (event_type)
         GROUP BY q.event_type, q.n_cal
+    """
+
+ORACLES["x209_rank1_als"] = """
+        WITH r AS MATERIALIZED (SELECT user_id, event_type, AVG(value) AS r FROM events GROUP BY 1, 2),\nu0 AS (SELECT DISTINCT user_id, 1.0 AS u FROM r),\nv1 AS MATERIALIZED (SELECT event_type, SUM(u * r) / SUM(u * u) AS v FROM r JOIN u0 USING (user_id) GROUP BY event_type),\nu1 AS MATERIALIZED (SELECT user_id, SUM(v * r) / SUM(v * v) AS u FROM r JOIN v1 USING (event_type) GROUP BY user_id),\nv2 AS MATERIALIZED (SELECT event_type, SUM(u * r) / SUM(u * u) AS v FROM r JOIN u1 USING (user_id) GROUP BY event_type),\nu2 AS MATERIALIZED (SELECT user_id, SUM(v * r) / SUM(v * v) AS u FROM r JOIN v2 USING (event_type) GROUP BY user_id),
+        g AS (SELECT AVG(r) AS g FROM r)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               ROUND(sqrt(AVG(POW(r.r - u2.u * v2.v, 2))), 6) AS rmse_als,
+               ROUND(sqrt(AVG(POW(r.r - g.g, 2))), 6) AS rmse_base,
+               ROUND(1 - sqrt(AVG(POW(r.r - u2.u * v2.v, 2)))
+                       / sqrt(AVG(POW(r.r - g.g, 2))), 6) AS rmse_gain
+        FROM r JOIN u2 USING (user_id) JOIN v2 USING (event_type), g
     """
