@@ -2533,6 +2533,134 @@ def x209_rank1_als(spark, sf_dir):
     )
 
 
+def x210_markov_predictor(spark, sf_dir):
+    """Next-event prediction accuracy of the first-order Markov model,
+    honestly evaluated: transitions from TRAIN users (user_id % 5 != 0)
+    fit argmax(next | current); TEST users' transitions score top-1
+    accuracy against the marginal-mode baseline.  Turns x196's entropy
+    bound into a measured lift.
+
+    Plan: train/test transition tables from one lead() window each;
+    the fitted predictor is a |types|-row relation joined into the test
+    stream; two accuracy aggs.
+    """
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = e.withColumn("nxt", F.lead("event_type").over(w)).where(F.col("nxt").isNotNull())
+    train = tr.where(F.col("user_id") % 5 != 0)
+    test = tr.where(F.col("user_id") % 5 == 0)
+
+    tcounts = train.groupBy(F.col("event_type").alias("cur"), "nxt").agg(
+        F.count("*").alias("c")
+    )
+    wb = Window.partitionBy("cur").orderBy(F.desc("c"), "nxt")
+    model = (
+        tcounts.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    wm = Window.orderBy(F.desc("c"), "nxt")
+    marginal = (
+        train.groupBy("nxt")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(wm))
+        .where(F.col("rn") == 1)
+        .select(F.col("nxt").alias("base_pred"))
+    )
+    scored = (
+        test.join(F.broadcast(model), test["event_type"] == model["cur"])
+        .crossJoin(F.broadcast(marginal))
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.avg((F.col("nxt") == F.col("pred")).cast("double")).alias("acc"),
+            F.avg((F.col("nxt") == F.col("base_pred")).cast("double")).alias("acc_base"),
+        )
+    )
+    return scored.select(
+        "n_test",
+        r6(F.col("acc")).alias("acc_markov"),
+        r6(F.col("acc_base")).alias("acc_marginal"),
+        r6(F.col("acc") - F.col("acc_base")).alias("lift"),
+    )
+
+
+def x211_dedup_lm_impact(spark, sf_dir):
+    """Does dedup help the model?  Train add-1 unigram LMs on the RAW
+    train split and on its NEAR-DUP SURVIVORS (the l2 exact-Jaccard
+    machinery at J ≥ 0.8: the higher id of every pair is dropped),
+    evaluate both on the held-out split (doc_id % 10 == 0, never
+    deduped), and report the per-token log-prob delta — the headline
+    training-data question answered with a measurable number instead
+    of folklore.  (The corpus has no EXACT duplicates, so near-dup
+    pruning is the dedup whose impact exists to measure.)
+
+    Plan: the audited l2 pair plans + one anti-join for survivors + two
+    count aggs; eval joins each LM once.
+    """
+    from social_warner_spark.operators.dedup import exact_jaccard_pairs
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    train_docs = d.where(F.col("doc_id") % 10 != 0)
+    ev_docs = d.where(F.col("doc_id") % 10 == 0)
+
+    dropped = exact_jaccard_pairs(train_docs, 0.8).select(
+        F.col("doc_id_b").alias("doc_id")
+    ).distinct()
+    dedup_docs = train_docs.join(dropped, "doc_id", "left_anti")
+
+    def lm_counts(docs):
+        t = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        return t.groupBy("w").agg(F.count("*").alias("c")), t.agg(
+            F.count("*").alias("n")
+        )
+
+    c_raw, n_raw = lm_counts(train_docs)
+    c_ded, n_ded = lm_counts(dedup_docs)
+    vocab = c_raw.agg(F.count("*").alias("v"))  # raw vocab ⊇ dedup vocab
+
+    ef = ev_docs.select(F.explode(tokens(F.col("text"))).alias("w")).groupBy("w").agg(
+        F.count("*").alias("f")
+    )
+    ne = ef.agg(F.sum("f").alias("ne"))
+
+    def mean_lp(cnts, ntot):
+        return (
+            ef.join(cnts, "w", "left")
+            .crossJoin(F.broadcast(ntot))
+            .crossJoin(F.broadcast(vocab))
+            .crossJoin(F.broadcast(ne))
+            .agg(
+                (
+                    F.sum(
+                        F.col("f")
+                        * F.log(
+                            (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                            / (F.col("n") + F.col("v")).cast("double")
+                        )
+                    )
+                    / F.first("ne")
+                ).alias("lp")
+            )
+        )
+
+    lp_raw = mean_lp(c_raw, n_raw)
+    lp_ded = mean_lp(c_ded, n_ded)
+    sizes = train_docs.agg(F.count("*").alias("n_raw_docs")).crossJoin(
+        dedup_docs.agg(F.count("*").alias("n_dedup_docs"))
+    )
+    return (
+        sizes.crossJoin(lp_raw.withColumnsRenamed({"lp": "lp_raw"}))
+        .crossJoin(lp_ded.withColumnsRenamed({"lp": "lp_dedup"}))
+        .select(
+            F.col("n_raw_docs").cast("long").alias("n_raw_docs"),
+            F.col("n_dedup_docs").cast("long").alias("n_dedup_docs"),
+            r6(F.col("lp_raw")).alias("lp_raw"),
+            r6(F.col("lp_dedup")).alias("lp_dedup"),
+            r6(F.col("lp_dedup") - F.col("lp_raw")).alias("dedup_gain"),
+        )
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2580,6 +2708,8 @@ QUERIES = {
     "x207_spell_canonicalize": x207_spell_canonicalize,
     "x208_conformal": x208_conformal,
     "x209_rank1_als": x209_rank1_als,
+    "x210_markov_predictor": x210_markov_predictor,
+    "x211_dedup_lm_impact": x211_dedup_lm_impact,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3581,4 +3711,96 @@ ORACLES["x209_rank1_als"] = """
                ROUND(1 - sqrt(AVG(POW(r.r - u2.u * v2.v, 2)))
                        / sqrt(AVG(POW(r.r - g.g, 2))), 6) AS rmse_gain
         FROM r JOIN u2 USING (user_id) JOIN v2 USING (event_type), g
+    """
+
+ORACLES["x210_markov_predictor"] = """
+        WITH tr AS (
+            SELECT user_id, event_type, nxt FROM (
+                SELECT user_id, event_type,
+                       LEAD(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                FROM events
+            ) WHERE nxt IS NOT NULL
+        ), train AS (SELECT * FROM tr WHERE user_id % 5 != 0),
+        test AS (SELECT * FROM tr WHERE user_id % 5 = 0),
+        model AS (
+            SELECT cur, nxt AS pred FROM (
+                SELECT event_type AS cur, nxt, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY COUNT(*) DESC, nxt) AS rn
+                FROM train GROUP BY event_type, nxt
+            ) WHERE rn = 1
+        ), marginal AS (
+            SELECT nxt AS base_pred FROM (
+                SELECT nxt, COUNT(*) AS c,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, nxt) AS rn
+                FROM train GROUP BY nxt
+            ) WHERE rn = 1
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               ROUND(AVG(CASE WHEN t.nxt = m.pred THEN 1.0 ELSE 0.0 END), 6)
+                   AS acc_markov,
+               ROUND(AVG(CASE WHEN t.nxt = mg.base_pred THEN 1.0 ELSE 0.0 END), 6)
+                   AS acc_marginal,
+               ROUND(AVG(CASE WHEN t.nxt = m.pred THEN 1.0 ELSE 0.0 END)
+                     - AVG(CASE WHEN t.nxt = mg.base_pred THEN 1.0 ELSE 0.0 END), 6)
+                   AS lift
+        FROM test t JOIN model m ON m.cur = t.event_type, marginal mg
+    """
+
+ORACLES["x211_dedup_lm_impact"] = """
+        WITH train_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 != 0
+        ), ev_docs AS (
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        ), tsh AS (
+            SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train_docs) toks,
+                 UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sz AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ix
+            FROM tsh a JOIN tsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), dropped AS (
+            SELECT DISTINCT i.db AS doc_id
+            FROM inter i JOIN sz sa ON sa.doc_id = i.da
+                         JOIN sz sb ON sb.doc_id = i.db
+            WHERE i.ix / CAST(sa.n + sb.n - i.ix AS DOUBLE) >= 0.8
+        ), dedup_docs AS (
+            SELECT t.* FROM train_docs t ANTI JOIN dropped dr ON t.doc_id = dr.doc_id
+        ), c_raw AS (
+            SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w FROM train_docs
+            ) GROUP BY w
+        ), n_raw AS (SELECT SUM(c) AS n FROM c_raw),
+        c_ded AS (
+            SELECT w, COUNT(*) AS c FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w FROM dedup_docs
+            ) GROUP BY w
+        ), n_ded AS (SELECT SUM(c) AS n FROM c_ded),
+        vocab AS (SELECT COUNT(*) AS v FROM c_raw),
+        ef AS (
+            SELECT w, COUNT(*) AS f FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS w FROM ev_docs
+            ) GROUP BY w
+        ), ne AS (SELECT SUM(f) AS ne FROM ef),
+        lp_raw AS (
+            SELECT SUM(f * ln((COALESCE(c, 0) + 1)
+                              / CAST(n_raw.n + vocab.v AS DOUBLE))) / ANY_VALUE(ne.ne)
+                   AS lp
+            FROM ef LEFT JOIN c_raw USING (w), n_raw, vocab, ne
+        ), lp_ded AS (
+            SELECT SUM(f * ln((COALESCE(c, 0) + 1)
+                              / CAST(n_ded.n + vocab.v AS DOUBLE))) / ANY_VALUE(ne.ne)
+                   AS lp
+            FROM ef LEFT JOIN c_ded USING (w), n_ded, vocab, ne
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM train_docs) AS n_raw_docs,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dedup_docs) AS n_dedup_docs,
+               ROUND(lp_raw.lp, 6) AS lp_raw,
+               ROUND(lp_ded.lp, 6) AS lp_dedup,
+               ROUND(lp_ded.lp - lp_raw.lp, 6) AS dedup_gain
+        FROM lp_raw, lp_ded
     """
