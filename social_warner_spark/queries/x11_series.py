@@ -2661,6 +2661,54 @@ def x211_dedup_lm_impact(spark, sf_dir):
     )
 
 
+#: x212 — total sample budget to allocate.
+NEYMAN_BUDGET = 200
+
+
+def x212_neyman_allocation(spark, sf_dir):
+    """Neyman optimal allocation of a 200-doc sampling budget across
+    sources: n_h ∝ N_h·σ_h (stratum size × stratum std-dev of
+    n_chars), compared against proportional allocation via the
+    estimator-variance formula Var = Σ N_h²σ_h²/n_h / N² — the
+    survey-sampling answer to "where should my labeling budget go",
+    with the variance saving made explicit per design.
+
+    Plan: one moment agg to |sources| rows; allocations and variances
+    are closed-form column arithmetic over that tiny relation.
+    """
+    d = T(spark, sf_dir, "documents").select("source", F.col("n_chars").cast("double").alias("x"))
+    st = d.groupBy("source").agg(
+        F.count("*").alias("nh"), F.stddev_samp("x").alias("sh")
+    )
+    tot = st.agg(
+        F.sum(F.col("nh") * F.col("sh")).alias("z"),
+        F.sum("nh").alias("n"),
+    )
+    j = st.crossJoin(F.broadcast(tot))
+    ney = (F.lit(NEYMAN_BUDGET) * F.col("nh") * F.col("sh") / F.col("z")).alias("n_neyman")
+    prop = (F.lit(NEYMAN_BUDGET) * F.col("nh") / F.col("n").cast("double")).alias("n_prop")
+    alloc = j.select("source", "nh", "sh", ney, prop)
+    var_terms = alloc.join(F.broadcast(tot.select("n")), how="cross").select(
+        (F.col("nh") * F.col("nh") * F.col("sh") * F.col("sh") / F.col("n_neyman")).alias("vt_n"),
+        (F.col("nh") * F.col("nh") * F.col("sh") * F.col("sh") / F.col("n_prop")).alias("vt_p"),
+        "n",
+    )
+    var = var_terms.groupBy("n").agg(
+        (F.sum("vt_n") / (F.col("n") * F.col("n"))).alias("var_neyman"),
+        (F.sum("vt_p") / (F.col("n") * F.col("n"))).alias("var_prop"),
+    )
+    return alloc.crossJoin(F.broadcast(var)).select(
+        "source",
+        F.col("nh").cast("long").alias("n_docs"),
+        r6(F.col("sh")).alias("stddev"),
+        r6(F.col("n_neyman")).alias("n_neyman"),
+        r6(F.col("n_prop")).alias("n_prop"),
+        r6(F.col("var_neyman")).alias("var_neyman"),
+        r6(F.col("var_prop")).alias("var_prop"),
+        r6(1 - F.col("var_neyman") / F.col("var_prop")).alias("var_saving"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2710,6 +2758,7 @@ QUERIES = {
     "x209_rank1_als": x209_rank1_als,
     "x210_markov_predictor": x210_markov_predictor,
     "x211_dedup_lm_impact": x211_dedup_lm_impact,
+    "x212_neyman_allocation": x212_neyman_allocation,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3803,4 +3852,35 @@ ORACLES["x211_dedup_lm_impact"] = """
                ROUND(lp_ded.lp, 6) AS lp_dedup,
                ROUND(lp_ded.lp - lp_raw.lp, 6) AS dedup_gain
         FROM lp_raw, lp_ded
+    """
+
+ORACLES["x212_neyman_allocation"] = f"""
+        WITH st AS (
+            SELECT source, COUNT(*) AS nh,
+                   stddev_samp(CAST(n_chars AS DOUBLE)) AS sh
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT SUM(nh * sh) AS z, SUM(nh) AS n FROM st
+        ), alloc AS (
+            SELECT source, nh, sh,
+                   {NEYMAN_BUDGET} * nh * sh / tot.z AS n_neyman,
+                   {NEYMAN_BUDGET} * nh / CAST(tot.n AS DOUBLE) AS n_prop,
+                   tot.n AS n
+            FROM st, tot
+        ), var AS (
+            SELECT SUM(nh * nh * sh * sh / n_neyman) / (ANY_VALUE(n) * ANY_VALUE(n))
+                       AS var_neyman,
+                   SUM(nh * nh * sh * sh / n_prop) / (ANY_VALUE(n) * ANY_VALUE(n))
+                       AS var_prop
+            FROM alloc
+        )
+        SELECT source,
+               CAST(nh AS BIGINT) AS n_docs,
+               ROUND(sh, 6) AS stddev,
+               ROUND(n_neyman, 6) AS n_neyman,
+               ROUND(n_prop, 6) AS n_prop,
+               ROUND(var.var_neyman, 6) AS var_neyman,
+               ROUND(var.var_prop, 6) AS var_prop,
+               ROUND(1 - var.var_neyman / var.var_prop, 6) AS var_saving
+        FROM alloc, var
     """
