@@ -2709,6 +2709,73 @@ def x212_neyman_allocation(spark, sf_dir):
     )
 
 
+#: x213 — O'Brien-Fleming two-sided boundaries for 4 equally-spaced
+#: looks at overall alpha 0.05 (standard published values, hardcoded
+#: literals so both engines compare identically).
+OBF_BOUNDS = (4.048, 2.862, 2.337, 2.024)
+
+
+def x213_sequential_monitor(spark, sf_dir):
+    """Group-sequential A/B monitoring: the experiment is examined at 4
+    interim looks (cumulative day quartiles); at each look the
+    two-sample z for mean(value) under the md5 assignment is compared
+    to the O'Brien-Fleming boundary — the early-stopping discipline
+    that lets you peek without inflating false positives (a fixed
+    z > 1.96 rule at 4 peeks would false-alarm ~11% of the time).
+
+    Output per look: cumulative sizes, means, z, the boundary, and the
+    crossed flag.  Plan: one pass tags each event with its look number
+    (day-quartile via a |days|-row ntile map, broadcast); cumulative
+    stats come from conditional aggs per look — 4 rows end to end.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "user_id", "value", F.to_date("ts").alias("d")
+    )
+    days = e.select("d").distinct()
+    wq = Window.orderBy("d")
+    qd = days.select("d", F.ntile(4).over(wq).alias("q"))
+    g = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    tagged = e.join(F.broadcast(qd), "d").withColumn("g", g)
+    looks = []
+    for k in range(1, 5):
+        cum = tagged.where(F.col("q") <= k)
+        st = cum.groupBy("g").agg(
+            F.count("*").alias("n"), F.avg("value").alias("m"), F.var_samp("value").alias("v")
+        )
+        a = st.where(F.col("g") == 0).select(
+            F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0")
+        )
+        b = st.where(F.col("g") == 1).select(
+            F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("v").alias("v1")
+        )
+        z = (F.col("m1") - F.col("m0")) / F.sqrt(
+            F.col("v1") / F.col("n1") + F.col("v0") / F.col("n0")
+        )
+        bound = OBF_BOUNDS[k - 1]
+        looks.append(
+            a.crossJoin(b).select(
+                F.lit(k).alias("look"),
+                (F.col("n0") + F.col("n1")).cast("long").alias("n_cum"),
+                r6(F.col("m0")).alias("mean_a"),
+                r6(F.col("m1")).alias("mean_b"),
+                r6(z).alias("z"),
+                F.lit(bound).alias("bound"),
+                (F.abs(z) > bound).alias("crossed"),
+            )
+        )
+    from functools import reduce
+    from pyspark.sql import DataFrame
+
+    return reduce(DataFrame.unionAll, looks)
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2759,6 +2826,7 @@ QUERIES = {
     "x210_markov_predictor": x210_markov_predictor,
     "x211_dedup_lm_impact": x211_dedup_lm_impact,
     "x212_neyman_allocation": x212_neyman_allocation,
+    "x213_sequential_monitor": x213_sequential_monitor,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -3883,4 +3951,59 @@ ORACLES["x212_neyman_allocation"] = f"""
                ROUND(var.var_prop, 6) AS var_prop,
                ROUND(1 - var.var_neyman / var.var_prop, 6) AS var_saving
         FROM alloc, var
+    """
+
+ORACLES["x213_sequential_monitor"] = f"""
+        WITH days AS (
+            SELECT d, NTILE(4) OVER (ORDER BY d) AS q
+            FROM (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events)
+        ), tagged AS (
+            SELECT e.value, dy.q, reduce(list_transform(string_split_regex(substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 8), ''), c -> CAST(CASE WHEN c BETWEEN '0' AND '9' THEN ascii(c)-48 ELSE ascii(c)-87 END AS BIGINT)), (a, b) -> a*16+b) % 2 AS g
+            FROM events e JOIN days dy ON CAST(e.ts AS DATE) = dy.d
+        )
+        SELECT 1 AS look,
+               CAST(a.n0 + b.n1 AS BIGINT) AS n_cum,
+               ROUND(a.m0, 6) AS mean_a,
+               ROUND(b.m1, 6) AS mean_b,
+               ROUND((b.m1 - a.m0) / sqrt(b.v1 / b.n1 + a.v0 / a.n0), 6) AS z,
+               {OBF_BOUNDS[0]!r} AS bound,
+               ABS((b.m1 - a.m0) / sqrt(b.v1 / b.n1 + a.v0 / a.n0))
+                   > {OBF_BOUNDS[0]!r} AS crossed
+        FROM (SELECT COUNT(*) AS n0, AVG(value) AS m0, var_samp(value) AS v0
+              FROM tagged WHERE q <= 1 AND g = 0) a,
+             (SELECT COUNT(*) AS n1, AVG(value) AS m1, var_samp(value) AS v1
+              FROM tagged WHERE q <= 1 AND g = 1) b\n        UNION ALL\n        SELECT 2 AS look,
+               CAST(a.n0 + b.n1 AS BIGINT) AS n_cum,
+               ROUND(a.m0, 6) AS mean_a,
+               ROUND(b.m1, 6) AS mean_b,
+               ROUND((b.m1 - a.m0) / sqrt(b.v1 / b.n1 + a.v0 / a.n0), 6) AS z,
+               {OBF_BOUNDS[1]!r} AS bound,
+               ABS((b.m1 - a.m0) / sqrt(b.v1 / b.n1 + a.v0 / a.n0))
+                   > {OBF_BOUNDS[1]!r} AS crossed
+        FROM (SELECT COUNT(*) AS n0, AVG(value) AS m0, var_samp(value) AS v0
+              FROM tagged WHERE q <= 2 AND g = 0) a,
+             (SELECT COUNT(*) AS n1, AVG(value) AS m1, var_samp(value) AS v1
+              FROM tagged WHERE q <= 2 AND g = 1) b\n        UNION ALL\n        SELECT 3 AS look,
+               CAST(a.n0 + b.n1 AS BIGINT) AS n_cum,
+               ROUND(a.m0, 6) AS mean_a,
+               ROUND(b.m1, 6) AS mean_b,
+               ROUND((b.m1 - a.m0) / sqrt(b.v1 / b.n1 + a.v0 / a.n0), 6) AS z,
+               {OBF_BOUNDS[2]!r} AS bound,
+               ABS((b.m1 - a.m0) / sqrt(b.v1 / b.n1 + a.v0 / a.n0))
+                   > {OBF_BOUNDS[2]!r} AS crossed
+        FROM (SELECT COUNT(*) AS n0, AVG(value) AS m0, var_samp(value) AS v0
+              FROM tagged WHERE q <= 3 AND g = 0) a,
+             (SELECT COUNT(*) AS n1, AVG(value) AS m1, var_samp(value) AS v1
+              FROM tagged WHERE q <= 3 AND g = 1) b\n        UNION ALL\n        SELECT 4 AS look,
+               CAST(a.n0 + b.n1 AS BIGINT) AS n_cum,
+               ROUND(a.m0, 6) AS mean_a,
+               ROUND(b.m1, 6) AS mean_b,
+               ROUND((b.m1 - a.m0) / sqrt(b.v1 / b.n1 + a.v0 / a.n0), 6) AS z,
+               {OBF_BOUNDS[3]!r} AS bound,
+               ABS((b.m1 - a.m0) / sqrt(b.v1 / b.n1 + a.v0 / a.n0))
+                   > {OBF_BOUNDS[3]!r} AS crossed
+        FROM (SELECT COUNT(*) AS n0, AVG(value) AS m0, var_samp(value) AS v0
+              FROM tagged WHERE q <= 4 AND g = 0) a,
+             (SELECT COUNT(*) AS n1, AVG(value) AS m1, var_samp(value) AS v1
+              FROM tagged WHERE q <= 4 AND g = 1) b
     """
