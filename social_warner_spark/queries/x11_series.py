@@ -2776,6 +2776,50 @@ def x213_sequential_monitor(spark, sf_dir):
     return reduce(DataFrame.unionAll, looks)
 
 
+#: x214 — folds for cross-fitting.
+OOF_FOLDS = 5
+
+
+def x214_crossfit_oof(spark, sf_dir):
+    """K-fold cross-fitting (the double-ML / stacking primitive): every
+    event gets an OUT-OF-FOLD prediction — the mean of its event type
+    computed WITHOUT its own fold — in closed form from complement
+    sums (fold f's prediction = (S_type − S_type,f)/(n_type − n_type,f);
+    the x168/x205 device), then OOF RMSE vs the leaky in-fold RMSE.
+
+    The leakage-free evaluation every feature-encoding pipeline needs:
+    target encoding scored in-fold always looks better than it is —
+    this query measures exactly how much.
+
+    Plan: one (type, fold) agg + one type agg, joined back as
+    broadcast relations; no per-fold training passes.
+    """
+    e = T(spark, sf_dir, "events").select(
+        "event_type", "value", (F.col("event_id") % OOF_FOLDS).alias("fold")
+    )
+    tf = e.groupBy("event_type", "fold").agg(
+        F.sum("value").alias("sf"), F.count("*").alias("nf")
+    )
+    t = tf.groupBy("event_type").agg(
+        F.sum("sf").alias("st"), F.sum("nf").alias("nt")
+    )
+    j = (
+        e.join(F.broadcast(tf), ["event_type", "fold"])
+        .join(F.broadcast(t), "event_type")
+    )
+    oof = (F.col("st") - F.col("sf")) / (F.col("nt") - F.col("nf")).cast("double")
+    infold = F.col("st") / F.col("nt").cast("double")
+    return j.agg(
+        F.count("*").cast("long").alias("n"),
+        r6(F.sqrt(F.avg(F.pow(F.col("value") - oof, 2)))).alias("rmse_oof"),
+        r6(F.sqrt(F.avg(F.pow(F.col("value") - infold, 2)))).alias("rmse_infold"),
+        r6(
+            F.sqrt(F.avg(F.pow(F.col("value") - oof, 2)))
+            - F.sqrt(F.avg(F.pow(F.col("value") - infold, 2)))
+        ).alias("leakage_gap"),
+    )
+
+
 QUERIES = {
     "x164_dup_spans": x164_dup_spans,
     "x165_mixed_language": x165_mixed_language,
@@ -2827,6 +2871,7 @@ QUERIES = {
     "x211_dedup_lm_impact": x211_dedup_lm_impact,
     "x212_neyman_allocation": x212_neyman_allocation,
     "x213_sequential_monitor": x213_sequential_monitor,
+    "x214_crossfit_oof": x214_crossfit_oof,
 }
 
 _MARKER_IN = {lg: ", ".join(f"'{w}'" for w in LANG_MARKERS[lg]) for lg in _LANGS}
@@ -4006,4 +4051,26 @@ ORACLES["x213_sequential_monitor"] = f"""
               FROM tagged WHERE q <= 4 AND g = 0) a,
              (SELECT COUNT(*) AS n1, AVG(value) AS m1, var_samp(value) AS v1
               FROM tagged WHERE q <= 4 AND g = 1) b
+    """
+
+ORACLES["x214_crossfit_oof"] = f"""
+        WITH e AS (
+            SELECT event_type, value, event_id % {OOF_FOLDS} AS fold FROM events
+        ), tf AS (
+            SELECT event_type, fold, SUM(value) AS sf, COUNT(*) AS nf
+            FROM e GROUP BY event_type, fold
+        ), t AS (
+            SELECT event_type, SUM(sf) AS st, SUM(nf) AS nt FROM tf GROUP BY event_type
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(sqrt(AVG(POW(e.value
+                   - (t.st - tf.sf) / CAST(t.nt - tf.nf AS DOUBLE), 2))), 6)
+                   AS rmse_oof,
+               ROUND(sqrt(AVG(POW(e.value
+                   - t.st / CAST(t.nt AS DOUBLE), 2))), 6) AS rmse_infold,
+               ROUND(sqrt(AVG(POW(e.value
+                   - (t.st - tf.sf) / CAST(t.nt - tf.nf AS DOUBLE), 2)))
+                   - sqrt(AVG(POW(e.value
+                   - t.st / CAST(t.nt AS DOUBLE), 2))), 6) AS leakage_gap
+        FROM e JOIN tf USING (event_type, fold) JOIN t USING (event_type)
     """
