@@ -33,6 +33,10 @@ from social_warner_spark.functions.text import tokens
 
 #: Joins the two halves of a merged symbol; must not occur in the corpus
 #: (asserted nowhere — callers on arbitrary data should pre-scrub).
+#: The SAME constraint applies to the delimiter bar ``|`` itself: a
+#: corpus token containing ``|`` lets the ``|p1||p2|`` pattern match at
+#: a non-symbol boundary and silently corrupts the encoding.  Callers
+#: on arbitrary data must pre-scrub or escape both characters.
 MERGE_SEP = "\x01"
 
 

@@ -242,6 +242,11 @@ def x167_poisson_bootstrap(spark, sf_dir):
     rmeans = cells.groupBy("event_type", "b").agg(
         r6(F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("rmean")
     )
+    # A replicate whose Poisson weights all drew 0 has sum(w)=0 → NULL
+    # rmean; Spark ranks NULLS FIRST ascending but DuckDB NULLS LAST, so
+    # degenerate replicates (possible in very small strata) must leave
+    # before the rank window — identically on both sides.
+    rmeans = rmeans.filter(F.col("rmean").isNotNull())
     rk = Window.partitionBy("event_type").orderBy("rmean", "b")
     ranked = rmeans.withColumn("rn", F.row_number().over(rk))
     lo_rank, hi_rank = 1, int(0.975 * BOOT_B)  # 1 and 39 at B=40
@@ -713,7 +718,7 @@ def _setcover_oracle(rounds: int) -> str:
     parts = [
         "WITH ss AS (SELECT DISTINCT source, "
         "t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh "
-        "FROM (SELECT source, string_split(text, ' ') AS t FROM documents) toks, "
+        "FROM (SELECT source, string_split(trim(text), ' ') AS t FROM documents) toks, "
         "UNNEST(range(1, len(t) - 1)) AS u(i) WHERE len(t) >= 3)"
     ]
     pool_prev = "ss"
@@ -1530,7 +1535,10 @@ def x191_good_turing(spark, sf_dir):
 
 
 #: x192 — calibration bin width over the marker-ratio confidence.
-CAL_BIN_W = 0.02
+#: 10 bins of width 0.1 over [0,1]; the LEAST(…, 9) cap only folds the
+#: exact-1.0 confidence into the top bin (round-2 advice: the old 0.02
+#: width capped at 9 collapsed everything ≥0.18 into one bin).
+CAL_BIN_W = 0.1
 
 
 def x192_calibration(spark, sf_dir):
@@ -3003,7 +3011,7 @@ ORACLES = {
             SELECT event_type, rmean,
                    ROW_NUMBER() OVER (PARTITION BY event_type
                                       ORDER BY rmean, b) AS rn
-            FROM rmeans
+            FROM rmeans WHERE rmean IS NOT NULL
         ), ci AS (
             SELECT event_type,
                    MAX(CASE WHEN rn = 1 THEN rmean END) AS boot_lo,
@@ -3917,7 +3925,7 @@ ORACLES["x211_dedup_lm_impact"] = """
             SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
         ), tsh AS (
             SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
-            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train_docs) toks,
+            FROM (SELECT doc_id, string_split(trim(text), ' ') AS t FROM train_docs) toks,
                  UNNEST(range(1, len(t) - 1)) AS u(i)
             WHERE len(t) >= 3
         ), sz AS (SELECT doc_id, COUNT(*) AS n FROM tsh GROUP BY doc_id),
