@@ -7,17 +7,20 @@ Pandas iteration via ``mapInPandas`` — the ONLY sanctioned Python row path —
 so each task processes whole record batches and the cluster scales the
 decode horizontally.
 
-Codec boundary: pixel/sample DECODE is stubbed in this environment (no
-image/audio libs in the container): `decode_stub` raises
-NotImplementedError unless `fake=True`, in which case it produces a
-deterministic fake feature vector (sha-seeded) so the Spark-side plumbing —
-schema, batch iteration, partitioning — is fully real and tested.
+Codec boundary (narrowed in round 3): PNG (8-bit gray/RGB/RGBA, all five
+row filters) and integer-PCM WAV now DECODE FOR REAL in pure stdlib —
+`decode_png` inflates IDAT with zlib and reverses the per-row filters,
+`decode_wav_samples` walks the RIFF chunks into signed samples — driven
+as `png_pixel_stats` / `wav_sample_stats` mapInPandas operators and
+oracle-checked end to end (queries x215/x216).  Only genuinely
+library-bound codecs (JPEG entropy decode, lossy audio, video) remain
+behind `decode_stub`'s NotImplementedError / `fake=True` gate, which
+still provides the deterministic plumbing-test path.
 
-Container METADATA, however, needs no codec: `parse_media_header` reads
+Container METADATA needs no codec at all: `parse_media_header` reads
 real PNG/JPEG/GIF dimensions and WAV format/duration straight from the
 byte headers (pure Python struct reads), and `probe_media` runs it as the
-standard mapInPandas shape — the honest middle ground between "stub
-everything" and libraries the environment lacks.
+standard mapInPandas shape.
 """
 
 from __future__ import annotations
@@ -288,6 +291,309 @@ def synth_media_payload(doc_id: int, n_chars: int) -> tuple[bytes, str]:
         + b"data" + data_size.to_bytes(4, "little") + bytes(data_size % 4096)
     )
     return payload, "audio/wav"
+
+
+# --- real pixel/sample codecs (pure stdlib: zlib + struct arithmetic) --------
+#
+# Round-3 upgrade of the codec boundary: PNG (8-bit gray/RGB/RGBA, all five
+# row filters, zlib IDAT) and WAV (integer PCM 8/16/32-bit) now decode for
+# real — no image/audio libraries, just the container specs.  Everything
+# else (JPEG entropy decode, lossy audio) stays behind the documented
+# NotImplementedError gate below.
+
+#: PNG color type → samples per pixel (spec §11.2.2; palette unsupported).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a PNG to (width, height, channels, flat sample list).
+
+    Pure stdlib: walks the chunk stream, inflates the concatenated IDAT
+    data with zlib, then reverses the per-row filter (types 0–4: None,
+    Sub, Up, Average, Paeth).  Supports bit depth 8, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), no interlace — the slice a
+    training pipeline's synthetic/screenshot imagery lives in.  Raises
+    ValueError on anything else so callers fall back to the env-gated
+    codec stub rather than silently mis-decoding.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    width = height = channels = None
+    bit_depth = interlace = None
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        size = int.from_bytes(payload[i : i + 4], "big")
+        ctype = payload[i + 4 : i + 8]
+        body = payload[i + 8 : i + 8 + size]
+        if ctype == b"IHDR":
+            width = int.from_bytes(body[0:4], "big")
+            height = int.from_bytes(body[4:8], "big")
+            bit_depth, color_type = body[8], body[9]
+            interlace = body[12]
+            channels = _PNG_CHANNELS.get(color_type)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        i += 12 + size  # size + type + body + CRC
+    if not width or channels is None or bit_depth != 8 or interlace != 0:
+        raise ValueError("unsupported PNG variant (need 8-bit, no interlace)")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("IDAT length mismatch")
+    out: list[int] = []
+    prior = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for k in range(channels, stride):
+                row[k] = (row[k] + row[k - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for k in range(stride):
+                row[k] = (row[k] + prior[k]) & 0xFF
+        elif ftype == 3:  # Average
+            for k in range(stride):
+                left = row[k - channels] if k >= channels else 0
+                row[k] = (row[k] + (left + prior[k]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for k in range(stride):
+                left = row[k - channels] if k >= channels else 0
+                ul = prior[k - channels] if k >= channels else 0
+                row[k] = (row[k] + _paeth(left, prior[k], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad filter type {ftype}")
+        out.extend(row)
+        prior = bytes(row)
+    return width, height, channels, out
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode integer-PCM WAV to (sample_rate, n_channels, flat samples).
+
+    Pure stdlib chunk walk + int.from_bytes: PCM (format tag 1) at 8
+    (unsigned), 16 or 32 (signed little-endian) bits, interleaved
+    channel order preserved.  Raises ValueError on compressed/float
+    formats — those stay behind the codec gate.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, fmt_tag, n_channels, sample_rate, bits = 12, None, None, None, None
+    data = None
+    while i + 8 <= len(payload):
+        chunk_id = payload[i : i + 4]
+        size = int.from_bytes(payload[i + 4 : i + 8], "little")
+        body = payload[i + 8 : i + 8 + size]
+        if chunk_id == b"fmt ":
+            fmt_tag = int.from_bytes(body[0:2], "little")
+            n_channels = int.from_bytes(body[2:4], "little")
+            sample_rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif chunk_id == b"data":
+            data = body
+        i += 8 + size + (size % 2)
+    if fmt_tag != 1 or bits not in (8, 16, 32) or not n_channels or data is None:
+        raise ValueError("unsupported WAV variant (need integer PCM)")
+    step = bits // 8
+    signed = bits != 8
+    samples = [
+        int.from_bytes(data[j : j + step], "little", signed=signed)
+        for j in range(0, len(data) - len(data) % (step * n_channels), step)
+    ]
+    return sample_rate, n_channels, samples
+
+
+def _png_filter_row(ftype: int, row: bytes, prior: bytes, channels: int) -> bytes:
+    """Apply PNG filter `ftype` to a raw row (encoder side of decode_png)."""
+    stride = len(row)
+    out = bytearray(row)
+    if ftype == 1:
+        for k in range(stride - 1, channels - 1, -1):
+            out[k] = (row[k] - row[k - channels]) & 0xFF
+    elif ftype == 2:
+        for k in range(stride):
+            out[k] = (row[k] - prior[k]) & 0xFF
+    elif ftype == 3:
+        for k in range(stride):
+            left = row[k - channels] if k >= channels else 0
+            out[k] = (row[k] - (left + prior[k]) // 2) & 0xFF
+    elif ftype == 4:
+        for k in range(stride):
+            left = row[k - channels] if k >= channels else 0
+            ul = prior[k - channels] if k >= channels else 0
+            out[k] = (row[k] - _paeth(left, prior[k], ul)) & 0xFF
+    return bytes(out)
+
+
+def synth_png_content(doc_id: int) -> bytes:
+    """A REAL, fully-decodable RGB PNG: dimensions from the x49 formulas,
+    pixel (x,y,c) = (7·doc_id + 31·y + 13·x + 5·c) mod 256, row filter
+    cycling y mod 5 so every filter type is exercised, real zlib IDAT and
+    CRCs.  The integer pixel formula is what lets a SQL oracle state the
+    expected pixel statistics while Spark round-trips actual bytes.
+    """
+    import zlib
+
+    width = 16 + doc_id % 32
+    height = 9 + doc_id % 17
+    channels = 3
+    stream = bytearray()
+    prior = bytes(width * channels)
+    for y in range(height):
+        row = bytes(
+            (7 * doc_id + 31 * y + 13 * x + 5 * c) % 256
+            for x in range(width)
+            for c in range(channels)
+        )
+        ftype = y % 5
+        stream.append(ftype)
+        stream += _png_filter_row(ftype, row, prior, channels)
+        prior = row
+    ihdr_body = (
+        width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])
+    )
+    idat_body = zlib.compress(bytes(stream), 6)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ctype + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr_body)
+        + chunk(b"IDAT", idat_body)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_wav_content(doc_id: int, n_chars: int) -> bytes:
+    """A REAL integer-PCM WAV: audio params from the x49 formulas (but a
+    bounded sample count), sample (k,c) = ((31·doc_id + 7·k + 3·c) mod
+    2001) − 1000 as signed 16-bit little-endian interleaved frames."""
+    sample_rate = 8000 * (1 + doc_id % 3)
+    n_channels = 1 + (doc_id // 2) % 2
+    bits = 16
+    block_align = n_channels * bits // 8
+    byte_rate = sample_rate * block_align
+    n_samples = 100 + n_chars % 256
+    frames = bytearray()
+    for k in range(n_samples):
+        for c in range(n_channels):
+            v = ((31 * doc_id + 7 * k + 3 * c) % 2001) - 1000
+            frames += v.to_bytes(2, "little", signed=True)
+    fmt_body = (
+        (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + bits.to_bytes(2, "little")
+    )
+    return (
+        b"RIFF" + (36 + len(frames)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + b"data" + len(frames).to_bytes(4, "little") + bytes(frames)
+    )
+
+
+PNG_STATS_SCHEMA = (
+    "item_id long, width int, height int, n_values long, "
+    "value_sum long, value_min int, value_max int"
+)
+WAV_STATS_SCHEMA = (
+    "item_id long, sample_rate int, n_channels int, n_samples long, "
+    "sample_sum long, sample_sq_sum long, sample_min int, sample_max int"
+)
+
+
+def png_pixel_stats(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real pixel statistics per image via decode_png inside mapInPandas.
+
+    Sums stay integer (engine-exact); callers derive means/RMS with one
+    division so cross-engine doubles agree.  Same 100 TB shape as
+    probe_media: per-item work, zero shuffle, horizontal scale.
+    """
+
+    _pickle_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.split()[0]: [] for k in PNG_STATS_SCHEMA.split(", ")}
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, vals = decode_png(payload)
+                rows["item_id"].append(int(item_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_values"].append(len(vals))
+                rows["value_sum"].append(sum(vals))
+                rows["value_min"].append(min(vals))
+                rows["value_max"].append(max(vals))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=PNG_STATS_SCHEMA)
+
+
+def wav_sample_stats(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Real PCM sample statistics per clip via decode_wav_samples."""
+
+    _pickle_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.split()[0]: [] for k in WAV_STATS_SCHEMA.split(", ")}
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rate, nch, samples = decode_wav_samples(payload)
+                rows["item_id"].append(int(item_id))
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(len(samples) // nch)
+                rows["sample_sum"].append(sum(samples))
+                rows["sample_sq_sum"].append(sum(v * v for v in samples))
+                rows["sample_min"].append(min(samples))
+                rows["sample_max"].append(max(samples))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+def with_synth_media_content(
+    df: DataFrame, id_col: str = "doc_id", n_chars_col: str = "n_chars"
+) -> DataFrame:
+    """Attach FULLY-DECODABLE media per row: odd ids → synth_png_content,
+    even ids → synth_wav_content (vs with_synth_media's header-only
+    payloads, kept separate so x49's probe contract is unchanged)."""
+
+    _pickle_module_by_value()
+
+    @F.pandas_udf("binary")
+    def make_payload(ids: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synth_png_content(int(i))
+                if int(i) % 2 == 1
+                else synth_wav_content(int(i), int(n))
+                for i, n in zip(ids, n_chars)
+            ]
+        )
+
+    return df.withColumn("payload", make_payload(F.col(id_col), F.col(n_chars_col)))
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:

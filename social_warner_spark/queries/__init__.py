@@ -31,6 +31,7 @@ from social_warner_spark.queries import (
     x9_series,
     x10_series,
     x11_series,
+    x12_series,
     x_series,
 )
 
@@ -50,6 +51,7 @@ _SERIES = (
     x9_series,
     x10_series,
     x11_series,
+    x12_series,
     sql_series,
 )
 

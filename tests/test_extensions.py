@@ -324,6 +324,104 @@ def test_synth_media_roundtrip():
             assert p["duration_ms"] == (100 + n_chars) * 1000 // sr
 
 
+def test_decode_png_full_roundtrip():
+    """synth_png_content → decode_png reproduces the exact pixel formula
+    (every row filter type is exercised: the synth cycles y mod 5)."""
+    from social_warner_spark.operators.multimodal import decode_png, synth_png_content
+
+    for doc_id in (1, 3, 9, 41, 333):
+        w, h, ch, vals = decode_png(synth_png_content(doc_id))
+        assert (w, h, ch) == (16 + doc_id % 32, 9 + doc_id % 17, 3)
+        assert h >= 5  # all five filter types present
+        assert vals == [
+            (7 * doc_id + 31 * y + 13 * x + 5 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        ]
+
+
+def test_decode_png_gray_and_alpha_color_types():
+    """decode_png handles color types 0/4/6 (gray, gray+alpha, RGBA) and
+    rejects palette/16-bit variants with ValueError (codec-gate contract)."""
+    import zlib
+
+    from social_warner_spark.operators.multimodal import decode_png
+
+    def png(width, height, bit_depth, color_type, raw_rows):
+        ihdr = (
+            width.to_bytes(4, "big") + height.to_bytes(4, "big")
+            + bytes([bit_depth, color_type, 0, 0, 0])
+        )
+        stream = b"".join(b"\x00" + r for r in raw_rows)  # filter 0 rows
+        idat = zlib.compress(stream)
+
+        def chunk(ctype, body):
+            return (
+                len(body).to_bytes(4, "big") + ctype + body
+                + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+        )
+
+    # grayscale 3x2
+    w, h, ch, vals = decode_png(png(3, 2, 8, 0, [bytes([1, 2, 3]), bytes([4, 5, 6])]))
+    assert (w, h, ch, vals) == (3, 2, 1, [1, 2, 3, 4, 5, 6])
+    # RGBA 1x1
+    w, h, ch, vals = decode_png(png(1, 1, 8, 6, [bytes([9, 8, 7, 255])]))
+    assert (w, h, ch, vals) == (1, 1, 4, [9, 8, 7, 255])
+    # gray+alpha 2x1
+    w, h, ch, vals = decode_png(png(2, 1, 8, 4, [bytes([1, 255, 2, 128])]))
+    assert (w, h, ch, vals) == (2, 1, 2, [1, 255, 2, 128])
+    # palette (color type 3) and 16-bit depth are gated
+    with pytest.raises(ValueError):
+        decode_png(png(1, 1, 8, 3, [bytes([0])]))
+    with pytest.raises(ValueError):
+        decode_png(png(1, 1, 16, 0, [bytes([0, 0])]))
+
+
+def test_decode_wav_samples_roundtrip_and_gates():
+    from social_warner_spark.operators.multimodal import (
+        decode_wav_samples,
+        synth_wav_content,
+    )
+
+    for doc_id, n_chars in [(2, 50), (4, 300), (10, 0)]:
+        rate, nch, samples = decode_wav_samples(synth_wav_content(doc_id, n_chars))
+        ns = 100 + n_chars % 256
+        assert rate == 8000 * (1 + doc_id % 3)
+        assert nch == 1 + (doc_id // 2) % 2
+        assert samples == [
+            ((31 * doc_id + 7 * k + 3 * c) % 2001) - 1000
+            for k in range(ns)
+            for c in range(nch)
+        ]
+    # 8-bit PCM is unsigned
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    wav8 = (
+        b"RIFF" + (36 + 3).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + fmt
+        + b"data" + (3).to_bytes(4, "little") + bytes([0, 128, 255]) + b"\x00"
+    )
+    assert decode_wav_samples(wav8) == (8000, 1, [0, 128, 255])
+    # float / compressed formats are gated
+    float_fmt = (3).to_bytes(2, "little") + fmt[2:]
+    wavf = (
+        b"RIFF" + (36).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + (16).to_bytes(4, "little") + float_fmt
+        + b"data" + (0).to_bytes(4, "little")
+    )
+    with pytest.raises(ValueError):
+        decode_wav_samples(wavf)
+
+
 def test_decode_stub_gating():
     with pytest.raises(NotImplementedError):
         decode_stub(b"img-bytes", "image/png", fake=False)

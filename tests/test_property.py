@@ -98,6 +98,41 @@ def test_random_filter_group_agg(spark, sf_smoke, p, group, measure):
     assert ok, f"{col} {op} {lit} group {group} measure {measure}: {msg}"
 
 
+@settings(max_examples=40, deadline=None)
+@given(
+    doc_id=st.integers(min_value=0, max_value=10_000),
+    n_chars=st.integers(min_value=0, max_value=5_000),
+)
+def test_full_media_decode_roundtrip_property(doc_id, n_chars):
+    """Any fully-synthesized container DECODES back to exactly the formula
+    pixels/samples (pure Python) — the invariant x215/x216 rely on."""
+    from social_warner_spark.operators.multimodal import (
+        decode_png,
+        decode_wav_samples,
+        synth_png_content,
+        synth_wav_content,
+    )
+
+    if doc_id % 2 == 1:
+        w, h, ch, vals = decode_png(synth_png_content(doc_id))
+        assert (w, h, ch) == (16 + doc_id % 32, 9 + doc_id % 17, 3)
+        assert vals == [
+            (7 * doc_id + 31 * y + 13 * x + 5 * c) % 256
+            for y in range(h)
+            for x in range(w)
+            for c in range(3)
+        ]
+    else:
+        rate, nch, samples = decode_wav_samples(synth_wav_content(doc_id, n_chars))
+        ns = 100 + n_chars % 256
+        assert rate == 8000 * (1 + doc_id % 3)
+        assert samples == [
+            ((31 * doc_id + 7 * k + 3 * c) % 2001) - 1000
+            for k in range(ns)
+            for c in range(nch)
+        ]
+
+
 @settings(max_examples=60, deadline=None)
 @given(
     doc_id=st.integers(min_value=0, max_value=10_000),
