@@ -251,11 +251,23 @@ def neardup_clusters(
     components recipe on Spark (no recursive SQL needed); near-dup
     components are shallow, so 2–3 rounds in practice.  The only
     driver-side value is the per-round convergence flag (one scalar).
+
+    Lineage: the edge relation and each round's labels are eagerly
+    ``localCheckpoint``-ed — without the cut, every round's plan embeds
+    the full shingle-join lineage again and downstream consumers
+    (x119/x138 compose this operator) pay Catalyst analysis cost
+    exponential in round count.  On a multi-executor cluster prefer
+    ``checkpoint()`` to a reliable dir for fault-tolerance; local mode
+    has no executor loss to survive.
     """
     pairs = exact_jaccard_pairs(df, threshold, text_col, id_col, n).select(
         "doc_id_a", "doc_id_b"
     )
-    edges = pairs.toDF("src", "dst").unionByName(pairs.toDF("dst", "src"))
+    edges = (
+        pairs.toDF("src", "dst")
+        .unionByName(pairs.toDF("dst", "src"))
+        .localCheckpoint(eager=True)
+    )
     labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
 
     for _ in range(max_iters):
@@ -274,7 +286,7 @@ def neardup_clusters(
                 ).alias("lab"),
             )
         )
-        updated = updated.persist()
+        updated = updated.localCheckpoint(eager=True)
         changed = (
             updated.alias("u")
             .join(labels.alias("o"), "id")
@@ -282,16 +294,14 @@ def neardup_clusters(
             .limit(1)
             .count()
         )
-        labels.unpersist()  # no-op on the unpersisted round-0 frame
         labels = updated
         if changed == 0:
             break
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
 
-    from social_warner_spark.caching import register_persisted
-
-    register_persisted(labels)
+    # labels is already materialized by the final round's localCheckpoint;
+    # multi-action consumers re-read the checkpoint blocks, not the lineage.
     return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
 
 

@@ -705,9 +705,12 @@ def x176_source_set_cover(spark, sf_dir):
                 F.lit(r).alias("round"), "source", F.col("m").alias("marginal_new")
             ).crossJoin(cum)
         )
+        # lineage cut per round (the x203 pattern): without it three
+        # rounds of anti-join self-reference compound to a 200+-Exchange
+        # plan that taxes Catalyst analysis at every reuse.
         rem = rem.join(F.broadcast(best.select("source")), "source", "left_anti").join(
             newly, "sh", "left_anti"
-        )
+        ).localCheckpoint(eager=True)
     from functools import reduce
     from pyspark.sql import DataFrame
 
@@ -1157,6 +1160,11 @@ def x185_power_iteration(spark, sf_dir):
     The building block of PCA/spectral methods at corpus scale: no
     64×64 matrix on the driver, no linear-algebra library — shuffle
     cost per round is one |vectors|-row and one |dims|-row aggregation.
+
+    Each round's |dims|-row ``w`` is eagerly localCheckpoint-ed: the
+    lineage cut keeps the five-round plan at ~1 round's Exchange count
+    instead of compounding (the x203 k-core lesson); on a cluster,
+    reliable ``checkpoint()`` is the fault-tolerant variant.
     """
     rows = (
         T(spark, sf_dir, "embeddings")
@@ -1181,7 +1189,7 @@ def x185_power_iteration(spark, sf_dir):
             .groupBy("j")
             .agg(F.sum(F.col("x") * F.col("d")).alias("w"))
         )
-        w = register_persisted(w.persist())
+        w = w.localCheckpoint(eager=True)
         nrm_df = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
         v = w.crossJoin(F.broadcast(nrm_df)).select(
             "j", (F.col("w") / F.col("nrm")).alias("v")
@@ -1359,9 +1367,11 @@ def x188_logreg_gd(spark, sf_dir):
             .groupBy("j")
             .agg((F.sum(F.col("x") * (F.col("y") - F.col("p"))) / F.first("n")).alias("g"))
         )
-        w = register_persisted(
-            w.join(g, "j").select("j", (F.col("w") + GD_LR * F.col("g")).alias("w")).persist()
-        )
+        # |dims|-row weight relation: eager checkpoint cuts the per-round
+        # lineage (the x185/x203 pattern) so GD_ROUNDS don't compound.
+        w = w.join(g, "j").select(
+            "j", (F.col("w") + GD_LR * F.col("g")).alias("w")
+        ).localCheckpoint(eager=True)
     loss = p.agg(
         F.round(
             -F.avg(
