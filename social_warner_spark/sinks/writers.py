@@ -99,6 +99,7 @@ def write_table(
     fmt: str = "parquet",
     allow_field_addition: bool = True,
     partition_by: list[str] | None = None,
+    connector_format: str | None = None,
 ) -> int:
     """Write with reference dispositions; returns row count written.
 
@@ -106,6 +107,14 @@ def write_table(
     The row count is captured with the Observation API riding the write
     action itself — no separate count() scan (the reference's explicit
     record count, main.py:88-91, for free).
+
+    ``connector_format`` routes the assembled WritePlan through a
+    stand-in registered format while keeping the plan semantics of
+    ``fmt``: tests drive the fmt="bigquery" branch end to end through a
+    recording Python DataSource (tests/test_sinks.py) without the
+    connector jar, and a deployment can swap in a custom connector
+    build the same way.  The plan (mode, options) is identical either
+    way — only the `.format()` name differs.
     """
     from pyspark.sql import Observation
     import pyspark.sql.functions as F
@@ -117,7 +126,7 @@ def write_table(
         raise ValueError("no rows to load (reference raises on empty input)")
     obs = Observation()
     df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
-    writer = df.write.mode(plan.mode).format(plan.fmt)
+    writer = df.write.mode(plan.mode).format(connector_format or plan.fmt)
     for k, v in plan.options.items():
         writer = writer.option(k, v)
     if plan.partition_by:
