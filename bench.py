@@ -67,6 +67,17 @@ HEADLINE = [
     # round-3 additions (same caveat: compare per-query, not totals)
     "x164_dup_spans",        # substring-level dup spans (shingle-hash heavy)
     "x170_bpe_merges",       # iterative BPE training (5 pair-count rounds)
+    # round-3 verdict task 5: the plan-heaviest previously-unbenched
+    # queries (top ratchet Exchange counts) now have a timed record
+    "x185_power_iteration",  # iterative eigensolver (checkpointed rounds)
+    "x119_split_leakage",    # near-dup clusters ⋈ split (composed heavy)
+    "x138_cluster_size_histogram",  # cluster-size accounting over propagation
+    "x77_cluster_survivors", # keep-one-per-cluster policy application
+    "x27_neardup_clusters",  # transitive min-label propagation itself
+    "x179_subtree_rollup",   # recursive hierarchy rollup
+    "x176_source_set_cover", # greedy marginal-coverage loop
+    "x100_hierarchy_depth",  # iterative pointer-doubling depth
+    "x215_png_pixels",       # real PNG decode (zlib+filters) via mapInPandas
 ]
 
 

@@ -35,6 +35,10 @@ SCALE_SET = [
     "x172_ks_drift",           # KS sup over a 10× value grid
     "x176_source_set_cover",   # greedy picks change with corpus
     "x178_twopass_median",     # bucket-boundary rank location at 10× rows
+    "x27_neardup_clusters",    # propagation chain depth grows with corpus
+    "x61_semantic_dedup",      # IVF-bucketed cosine thresholds at 10× vectors
+    "x215_png_pixels",         # round-3 real-decode machinery at 10× docs
+    "x216_wav_samples",        # round-3 real-decode machinery at 10× docs
 ]
 
 QUERIES = all_queries()
