@@ -87,6 +87,47 @@ def test_jaccard_max_doc_freq_exact_rescore(spark, docs):
     assert capped == base
 
 
+def test_jaccard_cap_no_false_negatives_on_hot_shingle_corpus(spark):
+    """The PERF.md skew fixture, correctness half: a corpus where EVERY
+    document shares an 8-shingle boilerplate run (each hot shingle hits
+    all N docs → N² candidate rows uncapped) plus unique content, with
+    100 true dup pairs embedded.  At max_doc_freq=100 the hot shingles
+    leave candidate generation entirely, yet the pair set AND jaccard
+    values must be identical — the dup pairs share plenty of cool
+    shingles.  (The measured 4k/8k/16k-doc timing curve lives in
+    PERF.md "hot-shingle cap" — quadratic uncapped, flat capped.)"""
+    boiler = "terms of service apply all rights reserved contact us today"
+    n = 1000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(boiler + " "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit(f"u{j}x"),
+                        F.when(F.col("id") < 200, F.floor(F.col("id") / 2))
+                        .otherwise(F.col("id"))
+                        .cast("string"),
+                    )
+                    for j in range(12)
+                ],
+            ),
+        ).alias("text"),
+    )
+    base = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in exact_jaccard_pairs(docs, 0.5).collect()
+    }
+    capped = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in exact_jaccard_pairs(docs, 0.5, max_doc_freq=100).collect()
+    }
+    assert len(base) == 100, "fixture must embed exactly the 100 dup pairs"
+    assert capped == base
+
+
 def test_minhash_signature_determinism(spark, docs):
     a = minhash_signatures(docs.limit(50), num_hashes=4).collect()
     b = minhash_signatures(docs.limit(50), num_hashes=4).collect()
