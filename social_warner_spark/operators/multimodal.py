@@ -573,6 +573,96 @@ def wav_sample_stats(
     return df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
 
 
+AHASH_SCHEMA = (
+    "item_id long, width int, height int, n_pixels long, "
+    "gray_sum long, phash long"
+)
+FRAME_RMS_SCHEMA = (
+    "item_id long, frame_idx int, n_in_frame int, sq_sum long"
+)
+
+#: Sample-grid strides for the perceptual hash (co-prime to typical dims
+#: so the 16 probe points spread over the image).
+AHASH_BITS = 16
+_AHASH_XSTRIDE, _AHASH_YSTRIDE = 7, 13
+
+
+def png_ahash(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Average-hash perceptual fingerprint per image, integer-exact.
+
+    Decodes the real PNG, grays each probe point p_k = ((7k) mod w,
+    (13k) mod h) as the channel SUM (no division), and sets bit k iff
+    the probe's channel-sum × n_pixels exceeds the image's total sample
+    sum — the aHash ">` mean brightness" test kept in integers so a SQL
+    oracle states the identical bits.  Equal hashes bucket visually-
+    similar images; the standard cheap pre-filter before pixel-level or
+    embedding comparison in an image dedup pipeline.
+    """
+
+    _pickle_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {k.split()[0]: [] for k in AHASH_SCHEMA.split(", ")}
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, ch, vals = decode_png(payload)
+                total = sum(vals)
+                n_px = w * h
+                phash = 0
+                for k in range(AHASH_BITS):
+                    x = (_AHASH_XSTRIDE * k) % w
+                    y = (_AHASH_YSTRIDE * k) % h
+                    base = (y * w + x) * ch
+                    psum = sum(vals[base : base + ch])
+                    # gray(p) > mean-gray  ⟺  psum·n_px > total (integers)
+                    if psum * n_px > total:
+                        phash |= 1 << k
+                rows["item_id"].append(int(item_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(n_px)
+                rows["gray_sum"].append(total)
+                rows["phash"].append(phash)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def wav_frame_rms_cells(
+    df: DataFrame,
+    frame: int = 100,
+    id_col: str = "item_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Row-expanding audio framing: one row per `frame`-sample window
+    with EXACT integer (count, Σv²) cells — the engine derives RMS and
+    segments (silence detection, loudness profiling) relationally.
+    Frames are over the interleaved sample stream (channel-agnostic
+    energy), matching the k//frame grouping a SQL oracle states.
+    """
+
+    _pickle_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k.split()[0]: [] for k in FRAME_RMS_SCHEMA.split(", ")
+            }
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                _, _, samples = decode_wav_samples(payload)
+                for f0 in range(0, len(samples), frame):
+                    chunk = samples[f0 : f0 + frame]
+                    rows["item_id"].append(int(item_id))
+                    rows["frame_idx"].append(f0 // frame)
+                    rows["n_in_frame"].append(len(chunk))
+                    rows["sq_sum"].append(sum(v * v for v in chunk))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=FRAME_RMS_SCHEMA)
+
+
 def with_synth_media_content(
     df: DataFrame, id_col: str = "doc_id", n_chars_col: str = "n_chars"
 ) -> DataFrame:

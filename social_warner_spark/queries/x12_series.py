@@ -89,9 +89,83 @@ def x216_wav_samples(spark, sf_dir):
     )
 
 
+#: x218 — frame length (interleaved samples) and quiet-frame RMS bound.
+FRAME_N = 100
+QUIET_RMS = 550.0
+
+
+def x217_image_ahash(spark, sf_dir):
+    """Perceptual average-hash bucketing over REAL decoded images.
+
+    Per image, operators/multimodal.png_ahash decodes the actual PNG
+    bytes and fingerprints 16 probe points against the mean brightness
+    — all integer comparisons, so the oracle restates the identical
+    bits from the pixel formula.  Images are then bucketed by hash
+    (window count): the standard cheap pre-filter an image dedup
+    pipeline runs before pixel- or embedding-level comparison.
+
+    100 TB: per-item decode (zero shuffle) + one window on the 16-bit
+    hash key — bucket cardinality ≤ 65536, heavily combinable.
+    """
+    from pyspark.sql import Window
+
+    from social_warner_spark.operators.multimodal import (
+        png_ahash,
+        with_synth_media_content,
+    )
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .where(F.col("doc_id") % 2 == 1)
+    )
+    hashed = png_ahash(with_synth_media_content(d), id_col="doc_id")
+    return hashed.select(
+        F.col("item_id").alias("doc_id"),
+        "phash",
+        F.count("*").over(Window.partitionBy("phash")).cast("long").alias("n_bucket"),
+    )
+
+
+def x218_wav_frames(spark, sf_dir):
+    """Audio loudness segmentation over REAL decoded PCM: 100-sample
+    frame RMS profile per clip — frame count, quiet-frame count
+    (RMS < 550), and the min/max frame RMS (dynamic range).
+
+    operators/multimodal.wav_frame_rms_cells expands each clip to
+    exact integer (count, Σv²) frame cells; RMS and the segmentation
+    are derived RELATIONALLY from the cells, so the Python boundary
+    ships integers only.  The voice-activity/silence-trim shape of an
+    audio training-data pipeline.
+    """
+    from social_warner_spark.operators.multimodal import (
+        wav_frame_rms_cells,
+        with_synth_media_content,
+    )
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .where(F.col("doc_id") % 2 == 0)
+    )
+    cells = wav_frame_rms_cells(with_synth_media_content(d), frame=FRAME_N, id_col="doc_id")
+    rms = cells.select(
+        "item_id",
+        F.sqrt(F.col("sq_sum").cast("double") / F.col("n_in_frame")).alias("r"),
+    )
+    return rms.groupBy("item_id").agg(
+        F.count("*").cast("long").alias("n_frames"),
+        F.sum((F.col("r") < QUIET_RMS).cast("long")).alias("n_quiet"),
+        r6(F.min("r")).alias("rms_min"),
+        r6(F.max("r")).alias("rms_max"),
+    ).withColumnRenamed("item_id", "doc_id")
+
+
 QUERIES = {
     "x215_png_pixels": x215_png_pixels,
     "x216_wav_samples": x216_wav_samples,
+    "x217_image_ahash": x217_image_ahash,
+    "x218_wav_frames": x218_wav_frames,
 }
 
 ORACLES = {
@@ -115,6 +189,62 @@ ORACLES = {
                CAST(MIN(v) AS INT) AS pixel_min,
                CAST(MAX(v) AS INT) AS pixel_max
         FROM px GROUP BY doc_id, w, h
+    """,
+    "x217_image_ahash": """
+        WITH dims AS (
+            SELECT doc_id, 16 + doc_id % 32 AS w, 9 + doc_id % 17 AS h
+            FROM documents WHERE doc_id % 2 = 1
+        ), tot AS (
+            SELECT d.doc_id, d.w, d.h,
+                   SUM((7 * d.doc_id + 31 * y.y + 13 * x.x + 5 * c.c) % 256) AS total
+            FROM dims d,
+                 UNNEST(range(0, d.h)) AS y(y),
+                 UNNEST(range(0, d.w)) AS x(x),
+                 UNNEST(range(0, 3)) AS c(c)
+            GROUP BY d.doc_id, d.w, d.h
+        ), bits AS (
+            SELECT t.doc_id,
+                   SUM(CASE WHEN (
+                         ((7 * t.doc_id + 31 * ((13 * k.k) % t.h)
+                           + 13 * ((7 * k.k) % t.w)) % 256)
+                       + ((7 * t.doc_id + 31 * ((13 * k.k) % t.h)
+                           + 13 * ((7 * k.k) % t.w) + 5) % 256)
+                       + ((7 * t.doc_id + 31 * ((13 * k.k) % t.h)
+                           + 13 * ((7 * k.k) % t.w) + 10) % 256)
+                       ) * t.w * t.h > t.total
+                       THEN CAST(1 AS BIGINT) << k.k ELSE 0 END) AS phash
+            FROM tot t, UNNEST(range(0, 16)) AS k(k)
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, phash,
+               CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_bucket
+        FROM bits
+    """,
+    "x218_wav_frames": """
+        WITH par AS (
+            SELECT doc_id,
+                   1 + (doc_id // 2) % 2 AS nch,
+                   100 + n_chars % 256 AS ns
+            FROM documents WHERE doc_id % 2 = 0
+        ), cells AS (
+            SELECT p.doc_id,
+                   (k.k * p.nch + c.c) // 100 AS frame_idx,
+                   COUNT(*) AS n,
+                   SUM(CAST(((31 * p.doc_id + 7 * k.k + 3 * c.c) % 2001) - 1000 AS BIGINT)
+                       * (((31 * p.doc_id + 7 * k.k + 3 * c.c) % 2001) - 1000)) AS sq
+            FROM par p,
+                 UNNEST(range(0, p.ns)) AS k(k),
+                 UNNEST(range(0, p.nch)) AS c(c)
+            GROUP BY p.doc_id, frame_idx
+        ), rms AS (
+            SELECT doc_id, SQRT(sq / CAST(n AS DOUBLE)) AS r FROM cells
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_frames,
+               CAST(SUM(CASE WHEN r < 550 THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet,
+               ROUND(MIN(r), 6) AS rms_min,
+               ROUND(MAX(r), 6) AS rms_max
+        FROM rms GROUP BY doc_id
     """,
     "x216_wav_samples": """
         WITH par AS (
