@@ -31,13 +31,34 @@ def test_query_matches_oracle(spark, sf_correct, name):
 
 def test_check_priority_window_spans_every_family():
     """The driver verifies the first CHECKED_WINDOW queries in iteration
-    order; every series module must keep at least one representative
-    inside that window so no operator family silently loses its driver
-    correctness row in a future swap."""
+    order; every series module must have at least one representative
+    with a HARD driver signal — either inside the current window or
+    already driver-verified in a recorded round (CORRECTNESS_r*.json).
+    (Round 3 rotated the window to 50 never-checked queries per the
+    round-2 verdict, so prior-round rows are what keep the early
+    families covered.)"""
+    import glob
+    import json
+    import os
+
     from social_warner_spark import queries as q
 
     window = set(q.CHECK_PRIORITY)
     assert len(window) == q.CHECKED_WINDOW
+    repo_root = os.path.join(os.path.dirname(__file__), "..")
+    verified: set[str] = set()
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            rows = json.load(f)
+        verified |= {
+            name
+            for name, row in rows.items()
+            if row.get("rows_match") and row.get("schema_match")
+        }
+    covered = window | verified
     for mod in q._SERIES:
-        inside = window & set(mod.QUERIES)
-        assert inside, f"{mod.__name__} has no query in the checked window"
+        inside = covered & set(mod.QUERIES)
+        assert inside, (
+            f"{mod.__name__} has no query in the checked window or any "
+            "recorded driver round"
+        )
