@@ -17,6 +17,7 @@ rounding convention so cross-engine hashes agree.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark.sql import Window
 
 from social_warner_spark.queries.common import T, r6
 
@@ -161,14 +162,153 @@ def x218_wav_frames(spark, sf_dir):
     ).withColumnRenamed("item_id", "doc_id")
 
 
+#: x219 — Bradley–Terry MM iterations.
+BT_ROUNDS = 5
+
+
+def x219_bradley_terry(spark, sf_dir):
+    """Bradley–Terry preference strengths over event types — the
+    pairwise-preference model under RLHF reward data and LLM-judge
+    win-rate leaderboards, fitted fully relationally.
+
+    Preference pairs: per user, type i beats type j when the user's
+    mean value for i exceeds that for j (compared as cross-multiplied
+    integer-count sums — one fp multiply each side, no division).  The
+    minorization-maximization recurrence p_i ← W_i / Σ_j n_ij/(p_i+p_j)
+    (Hunter 2004, doi:10.1214/aos/1079120141) runs 5 rounds over the
+    symmetrized (i, j, n, w) relation; each round is one |pairs|-row
+    join-agg, strengths normalized to mean 1 and floored at 1e-9 (both
+    engines identically) for the all-losses edge.  No driver-side
+    vectors: k, Σp, and the strengths are 1-row/|types|-row relations.
+
+    100 TB: the user-pair stage is |users|·C(types,2) rows off ONE
+    groupBy; MM rounds touch only the |types|²-bounded sym relation.
+    """
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    per = e.groupBy("user_id", "event_type").agg(
+        F.sum("value").alias("sv"), F.count("*").alias("cv")
+    )
+    a = per.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("i"),
+        F.col("sv").alias("si"), F.col("cv").alias("ci"),
+    )
+    b = per.select(
+        F.col("user_id").alias("u"), F.col("event_type").alias("j"),
+        F.col("sv").alias("sj"), F.col("cv").alias("cj"),
+    )
+    cmp_ = (
+        a.join(b, "u")
+        .where(F.col("i") < F.col("j"))
+        .select(
+            "i", "j",
+            (F.col("si") * F.col("cj") > F.col("sj") * F.col("ci")).cast("long").alias("wi"),
+            (F.col("si") * F.col("cj") < F.col("sj") * F.col("ci")).cast("long").alias("wj"),
+        )
+    )
+    g = (
+        cmp_.groupBy("i", "j")
+        .agg(F.sum("wi").alias("wi"), F.sum("wj").alias("wj"))
+        .where(F.col("wi") + F.col("wj") > 0)
+    )
+    sym = (
+        g.select("i", "j", (F.col("wi") + F.col("wj")).alias("n"), F.col("wi").alias("w"))
+        .unionByName(
+            g.select(
+                F.col("j").alias("i"), F.col("i").alias("j"),
+                (F.col("wi") + F.col("wj")).alias("n"), F.col("wj").alias("w"),
+            )
+        )
+        .localCheckpoint(eager=True)  # tiny relation; cuts the MM-loop lineage
+    )
+    tot = sym.groupBy("i").agg(F.sum("w").alias("wins"), F.sum("n").alias("games"))
+    p = sym.select("i").distinct().withColumn("p", F.lit(1.0))
+    k_df = p.agg(F.count("*").alias("k"))
+    for _ in range(BT_ROUNDS):
+        pi = p.select("i", F.col("p").alias("p_i"))
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("p_j"))
+        den = (
+            sym.join(pi, "i").join(pj, "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("n") / (F.col("p_i") + F.col("p_j"))).alias("den"))
+        )
+        raw = tot.join(den, "i").select("i", (F.col("wins") / F.col("den")).alias("pr_"))
+        s = raw.agg(F.sum("pr_").alias("s"))
+        # |types|-row strengths, referenced 3× next round (pi, pj, Σp):
+        # eager checkpoint cuts the 3^rounds lineage compounding.
+        p = (
+            raw.crossJoin(F.broadcast(s))
+            .crossJoin(F.broadcast(k_df))
+            .select(
+                "i",
+                F.greatest(
+                    F.col("pr_") * F.col("k") / F.col("s"), F.lit(1e-9)
+                ).alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    wr = Window.orderBy(F.desc("bt_score"), "event_type")
+    return (
+        tot.join(p, "i")
+        .select(
+            F.col("i").alias("event_type"),
+            F.col("games").cast("long").alias("games"),
+            F.col("wins").cast("long").alias("wins"),
+            r6(F.col("p")).alias("bt_score"),
+        )
+        .withColumn("rk", F.row_number().over(wr).cast("int"))
+    )
+
+
+def _bt_oracle(rounds: int) -> str:
+    parts = [
+        "WITH per AS MATERIALIZED (SELECT user_id, event_type, SUM(value) AS sv, "
+        "COUNT(*) AS cv FROM events GROUP BY 1, 2)",
+        "pr AS MATERIALIZED (SELECT a.event_type AS i, b.event_type AS j, "
+        "SUM(CASE WHEN a.sv * b.cv > b.sv * a.cv THEN 1 ELSE 0 END) AS wi, "
+        "SUM(CASE WHEN a.sv * b.cv < b.sv * a.cv THEN 1 ELSE 0 END) AS wj "
+        "FROM per a JOIN per b ON a.user_id = b.user_id "
+        "AND a.event_type < b.event_type GROUP BY 1, 2)",
+        "g AS MATERIALIZED (SELECT * FROM pr WHERE wi + wj > 0)",
+        "sym AS MATERIALIZED (SELECT i, j, wi + wj AS n, wi AS w FROM g "
+        "UNION ALL SELECT j, i, wi + wj, wj FROM g)",
+        "tot AS MATERIALIZED (SELECT i, SUM(w) AS wins, SUM(n) AS games FROM sym GROUP BY i)",
+        "kk AS (SELECT COUNT(*) AS k FROM (SELECT DISTINCT i FROM sym))",
+        "p0 AS MATERIALIZED (SELECT DISTINCT i, CAST(1.0 AS DOUBLE) AS p FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT s.i, SUM(s.n / (pi.p + pj.p)) AS den FROM sym s "
+            f"JOIN p{r - 1} pi ON s.i = pi.i JOIN p{r - 1} pj ON s.j = pj.i "
+            f"GROUP BY s.i)"
+        )
+        parts.append(
+            f"r{r} AS (SELECT t.i, t.wins / d.den AS pr_ FROM tot t "
+            f"JOIN d{r} d ON t.i = d.i)"
+        )
+        parts.append(f"s{r} AS (SELECT SUM(pr_) AS s FROM r{r})")
+        parts.append(
+            f"p{r} AS MATERIALIZED (SELECT i, GREATEST(pr_ * k / s, 1e-9) AS p "
+            f"FROM r{r}, s{r}, kk)"
+        )
+    final = (
+        "SELECT t.i AS event_type, CAST(t.games AS BIGINT) AS games, "
+        "CAST(t.wins AS BIGINT) AS wins, ROUND(p.p, 6) AS bt_score, "
+        "CAST(ROW_NUMBER() OVER (ORDER BY ROUND(p.p, 6) DESC, t.i) AS INT) AS rk "
+        f"FROM tot t JOIN p{rounds} p ON t.i = p.i"
+    )
+    return ",\n".join(parts) + "\n" + final
+
+
 QUERIES = {
     "x215_png_pixels": x215_png_pixels,
     "x216_wav_samples": x216_wav_samples,
     "x217_image_ahash": x217_image_ahash,
     "x218_wav_frames": x218_wav_frames,
+    "x219_bradley_terry": x219_bradley_terry,
 }
 
 ORACLES = {
+    "x219_bradley_terry": _bt_oracle(BT_ROUNDS),
     "x215_png_pixels": """
         WITH px AS (
             SELECT d.doc_id,
