@@ -433,6 +433,9 @@ def x100_hierarchy_depth(spark, sf_dir):
             F.col("l.anc") == F.col("r._n"),
             "left",
         )
+        # labels is self-joined (two references) every round: the eager
+        # checkpoint stops the 2^rounds lineage compounding AND the
+        # re-execution of earlier rounds (the x203 pattern).
         labels = j.select(
             F.col("l.node").alias("node"),
             F.coalesce(F.col("r._anc"), F.col("l.anc")).alias("anc"),
@@ -442,7 +445,7 @@ def x100_hierarchy_depth(spark, sf_dir):
             )
             .otherwise(F.col("l.d"))
             .alias("d"),
-        )
+        ).localCheckpoint(eager=True)
     return labels.groupBy(F.col("d").alias("depth")).agg(
         F.count("*").alias("n_suppliers")
     )

@@ -841,8 +841,6 @@ def x179_subtree_rollup(spark, sf_dir):
     100 TB: closure size is Σ depth(n) ≈ N·log N pairs of two longs;
     each round one equi-join shuffle.  Oracle: recursive CTE.
     """
-    from social_warner_spark.caching import register_persisted
-
     nodes = T(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_retailprice").alias("val")
     )
@@ -850,14 +848,17 @@ def x179_subtree_rollup(spark, sf_dir):
     edges = nodes.where(F.col("node") > 1).select(
         "node", F.floor(F.col("node") / 2).cast("long").alias("anc")
     )
-    p = register_persisted(selfp.unionAll(edges).distinct().persist())
+    # the closure is self-joined (two references) every round: eager
+    # checkpoints stop the 2^rounds lineage compounding (x203 pattern)
+    # while keeping each round materialized exactly once.
+    p = selfp.unionAll(edges).distinct().localCheckpoint(eager=True)
     for _ in range(SUBTREE_DOUBLINGS):
         jump = (
             p.alias("a")
             .join(p.alias("b"), F.col("a.anc") == F.col("b.node"))
             .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
         )
-        p = register_persisted(jump.distinct().persist())
+        p = jump.distinct().localCheckpoint(eager=True)
     sub = (
         p.join(nodes, "node")
         .groupBy("anc")
