@@ -78,6 +78,9 @@ HEADLINE = [
     "x176_source_set_cover", # greedy marginal-coverage loop
     "x100_hierarchy_depth",  # iterative pointer-doubling depth
     "x215_png_pixels",       # real PNG decode (zlib+filters) via mapInPandas
+    "x217_image_ahash",      # perceptual-hash bucketing over real decode
+    "x219_bradley_terry",    # pairwise-preference MM fit (checkpointed rounds)
+    "x220_pq_ann",           # product-quantization ADC + exact re-rank ANN
 ]
 
 

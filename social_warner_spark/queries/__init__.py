@@ -32,6 +32,7 @@ from social_warner_spark.queries import (
     x10_series,
     x11_series,
     x12_series,
+    x13_series,
     x_series,
 )
 
@@ -52,6 +53,7 @@ _SERIES = (
     x10_series,
     x11_series,
     x12_series,
+    x13_series,
     sql_series,
 )
 
@@ -69,6 +71,15 @@ _SERIES = (
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries).  Queries not listed
 #: follow in stable module order; total set is unchanged.
+#:
+#: Round-4 rotation plan (for the next session): after r03 lands,
+#: driver coverage is ~146/286; fill the next window with the remaining
+#: never-checked ids — the x93–x163 product-analytics/audit tail not
+#: yet covered (x94–x98, x101–x109, x111–x118, x120–x137, x139–x163),
+#: the early x-series micro-operators (x5, x6, x9, x12, x14, x17–x23,
+#: x25, x26, x29, x30, x33, x36, x37), and the round-3 additions
+#: without rows yet (x217, x218, x219).  Keep zero overlap with
+#: CORRECTNESS_r01–r03.
 CHECK_PRIORITY = (
     # round-3 new machinery: real PNG/WAV pixel+sample decode
     "x215_png_pixels",

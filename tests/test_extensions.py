@@ -643,3 +643,49 @@ def test_parse_media_header_bmp_flac():
     assert r["media_type"] == "audio/flac"
     assert (r["sample_rate"], r["n_channels"], r["bits_per_sample"]) == (44100, 2, 16)
     assert r["duration_ms"] == 2000
+
+
+def test_pq_ann_rerank_recall_vs_exact(spark, emb):
+    """PQ/ADC + exact re-rank vs the exact L2 anchor (the x220 config:
+    m=16 subspaces of 4 dims, 16 codewords, 50-candidate shortlist).
+    Measured on this fixed near-random corpus: ADC-only ~0.34, with the
+    exact re-rank 0.92 (sf0.001) / 0.84 (sf0.01, sf0.1).  Floors are
+    measured-minus-margin; clustered real corpora sit higher."""
+    from pyspark.sql import Window
+
+    from social_warner_spark.operators.similarity import _l2sq, l2_topk_pq
+
+    probes = emb.where(F.col("vec_id") < 10)
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("vc"),
+    )
+    p = probes.select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").cast("array<double>").alias("vp"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.asc("d"), F.asc("neighbor_id"))
+    exact = {
+        (r.probe_id, r.neighbor_id)
+        for r in (
+            c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+            .withColumn("d", F.round(_l2sq(F.col("vp"), F.col("vc")), 6))
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 5)
+        ).collect()
+    }
+
+    def run(rerank):
+        got = l2_topk_pq(
+            emb, probes, k=5, m=16, ncode=16, sublen=4, iters=1, rerank=rerank
+        ).collect()
+        return {(r.probe_id, r.neighbor_id) for r in got}
+
+    reranked = run(50)
+    recall = len(reranked & exact) / len(exact)
+    assert recall >= 0.8, f"PQ+rerank recall too low: {recall}"
+
+    adc_only = run(0)
+    assert len(reranked & exact) > len(adc_only & exact), (
+        "exact re-rank must add recall over ADC-only ranking"
+    )
