@@ -81,6 +81,7 @@ HEADLINE = [
     "x217_image_ahash",      # perceptual-hash bucketing over real decode
     "x219_bradley_terry",    # pairwise-preference MM fit (checkpointed rounds)
     "x220_pq_ann",           # product-quantization ADC + exact re-rank ANN
+    "x221_kcenter_coreset",  # Gonzalez farthest-point rounds (checkpointed)
 ]
 
 

@@ -78,12 +78,13 @@ _SERIES = (
 #: yet covered (x94–x98, x101–x109, x111–x118, x120–x137, x139–x163),
 #: the early x-series micro-operators (x5, x6, x9, x12, x14, x17–x23,
 #: x25, x26, x29, x30, x33, x36, x37), and the round-3 additions
-#: without rows yet (x217, x218, x219).  Keep zero overlap with
-#: CORRECTNESS_r01–r03.
+#: without rows yet (x217, x218, x219, x221–x223, q6).  Keep zero
+#: overlap with CORRECTNESS_r01–r03.
 CHECK_PRIORITY = (
-    # round-3 new machinery: real PNG/WAV pixel+sample decode
+    # round-3 new machinery: real PNG/WAV pixel+sample decode, PQ ANN
     "x215_png_pixels",
     "x216_wav_samples",
+    "x220_pq_ann",
     # changed this round (re-binned / oracle-tokenization advice fixes)
     "x192_calibration",
     "x211_dedup_lm_impact",
@@ -124,7 +125,6 @@ CHECK_PRIORITY = (
     "q3_shipping_priority",
     "q4_order_priority",
     "q5_local_supplier_volume",
-    "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
     "q10_returned_items",
