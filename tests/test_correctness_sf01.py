@@ -39,6 +39,9 @@ SCALE_SET = [
     "x61_semantic_dedup",      # IVF-bucketed cosine thresholds at 10× vectors
     "x215_png_pixels",         # round-3 real-decode machinery at 10× docs
     "x216_wav_samples",        # round-3 real-decode machinery at 10× docs
+    "x220_pq_ann",             # codebook fit + ADC shortlist at 10× vectors
+    "x221_kcenter_coreset",    # farthest-point argmax ties at 10× candidates
+    "x223_quantile_normalize", # rank interpolation against a 10× global ECDF
 ]
 
 QUERIES = all_queries()
