@@ -454,11 +454,302 @@ def _quantile_normalize_oracle() -> str:
     """
 
 
+#: hard-negative mining geometry: 4 sign planes, Hamming<=1 multiprobe,
+#: top-3 cross-class negatives per probe.
+HN_PLANES = 4
+HN_K = 3
+HN_PROBES = 10
+
+
+def x224_hard_negative_mining(spark, sf_dir):
+    """Cross-class hard-negative mining for contrastive / retrieval
+    training (the DPR recipe — Karpukhin et al., arXiv:2004.04906: the
+    best negatives are the most-similar examples with a DIFFERENT
+    label).  For each probe, candidates come from its sign-LSH bucket
+    neighborhood (Hamming<=1 multiprobe — the x8 machinery), are
+    restricted to documents whose language label differs from the
+    probe's, and the top-3 by cosine are the mined negatives.
+
+    100 TB: the embedding-to-label attach is one co-partitioned id
+    equi-join; candidate generation is the bucket equi-join (probe side
+    explodes its 1+planes variants, the corpus never does); the label
+    inequality is a post-join filter on already-joined rows, never a
+    join condition that would degrade to a nested loop.
+    """
+    from social_warner_spark.functions.vectors import cosine
+    from social_warner_spark.operators.similarity import (
+        sign_bucket,
+        sign_bucket_variants,
+    )
+
+    emb = T(spark, sf_dir, "embeddings")
+    labels = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    base = emb.join(labels, "vec_id")
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("lang").alias("neg_lang"),
+        F.col("embedding").alias("vc"),
+        sign_bucket(F.col("embedding"), HN_PLANES).alias("bk"),
+    )
+    p = base.where(F.col("vec_id") < HN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lang").alias("probe_lang"),
+        F.col("embedding").alias("vp"),
+        F.explode(
+            sign_bucket_variants(F.col("embedding"), HN_PLANES, multiprobe=1)
+        ).alias("bk"),
+    )
+    scored = (
+        c.join(F.broadcast(p), "bk")
+        .where(
+            (F.col("probe_id") != F.col("neighbor_id"))
+            & (F.col("probe_lang") != F.col("neg_lang"))
+        )
+        .withColumn("cos", F.round(cosine(F.col("vp"), F.col("vc")), 6))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HN_K)
+        .select("probe_id", "probe_lang", "neighbor_id", "neg_lang", "cos", "rk")
+    )
+
+
+def _hard_negative_oracle() -> str:
+    from social_warner_spark.queries.x3_series import _IVF_COS
+
+    bk = " || ".join(
+        f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+        for i in range(HN_PLANES)
+    )
+    hamming = " + ".join(
+        f"CASE WHEN substr(p.bk,{i + 1},1)=substr(c.bk,{i + 1},1) THEN 0 ELSE 1 END"
+        for i in range(HN_PLANES)
+    )
+    cos = _IVF_COS.format(a="p.embedding", b="c.embedding")
+    return f"""
+        WITH lab AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding, d.lang, ({bk}) AS bk
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ), scored AS (
+            SELECT p.vec_id AS probe_id, p.lang AS probe_lang,
+                   c.vec_id AS neighbor_id, c.lang AS neg_lang,
+                   {cos} AS cos
+            FROM lab p JOIN lab c
+              ON ({hamming}) <= 1
+             AND p.vec_id != c.vec_id
+             AND p.lang != c.lang
+            WHERE p.vec_id < {HN_PROBES}
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                                              ORDER BY cos DESC, neighbor_id)
+                           AS INT) AS rk
+            FROM scored
+        )
+        SELECT probe_id, probe_lang, neighbor_id, neg_lang, cos, rk
+        FROM ranked WHERE rk <= {HN_K}
+    """
+
+
+#: DoReMi-lite temperature for turning excess cross-entropy into weights.
+DOREMI_T = 0.5
+
+
+def x225_doremi_weights(spark, sf_dir):
+    """DoReMi-lite domain reweighting (Xie et al., "DoReMi: Optimizing
+    Data Mixtures Speeds Up Language Model Pretraining",
+    arXiv:2305.10429, reduced to its relational core): sources whose
+    text the corpus-level unigram LM finds HARDER (higher per-token
+    cross-entropy) get upweighted — excess loss over the easiest source,
+    pushed through a temperature softmax.
+
+    Output per source: doc/token counts, unigram cross-entropy, excess
+    over the minimum, and the normalized mixture weight.
+
+    100 TB: the LM fit is x43's one token groupBy with a 1-row broadcast
+    total; per-source loss is a second map-side-combined agg over the
+    same token stream; min-loss and the softmax normalizer travel as
+    broadcast 1-row relations — the whole query is two token-stream
+    passes and three 1-row broadcasts, nothing per-pair.
+    """
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("tok"))
+    tokstats = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    tot = tokstats.agg(F.sum("c").alias("total"))
+    # |sources| rows, but the lineage behind them is the full token join —
+    # persist so the three downstream consumers (min-loss, softmax
+    # normalizer, final projection) don't each re-run the LM fit.
+    src = register_persisted(
+        tok.join(tokstats, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            r6(-F.avg(F.log(F.col("c") / F.col("total")))).alias("xent"),
+        )
+        .persist()
+    )
+    ndocs = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    minx = src.agg(F.min("xent").alias("minx"))
+    staged = register_persisted(
+        src.join(ndocs, "source")
+        .crossJoin(F.broadcast(minx))
+        .withColumn("excess", F.round(F.col("xent") - F.col("minx"), 6))
+        .withColumn("wraw", F.exp(F.col("excess") / F.lit(DOREMI_T)))
+        .persist()
+    )
+    sw = staged.agg(F.sum("wraw").alias("sw"))
+    return staged.crossJoin(F.broadcast(sw)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "xent",
+        "excess",
+        r6(F.col("wraw") / F.col("sw")).alias("weight"),
+    )
+
+
+_DOREMI_ORACLE = f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents
+        ), ts AS (
+            SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+        ), tot AS (
+            SELECT SUM(c) AS total FROM ts
+        ), src AS MATERIALIZED (
+            SELECT source, COUNT(*) AS n_tokens,
+                   ROUND(-AVG(ln(c / total)), 6) AS xent
+            FROM tok JOIN ts USING (tok), tot
+            GROUP BY source
+        ), nd AS (
+            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+        ), mn AS (
+            SELECT MIN(xent) AS minx FROM src
+        ), ex AS MATERIALIZED (
+            SELECT s.source, nd.n_docs, s.n_tokens, s.xent,
+                   ROUND(s.xent - mn.minx, 6) AS excess
+            FROM src s JOIN nd USING (source), mn
+        ), sw AS (
+            SELECT SUM(EXP(excess / {DOREMI_T})) AS sw FROM ex
+        )
+        SELECT source, n_docs, n_tokens, xent, excess,
+               ROUND(EXP(excess / {DOREMI_T}) / sw.sw, 6) AS weight
+        FROM ex, sw
+"""
+
+
+#: D4-style prototype pruning: 8 IVF clusters, drop the ceil(2n/5) most
+#: prototypical (closest-to-centroid) points per cluster.
+D4_NLIST = 8
+
+
+def x226_d4_prune(spark, sf_dir):
+    """D4-style cluster-prototype pruning (Tirumala et al., "D4:
+    Improving LLM Pretraining via Document De-Duplication and
+    Diversification", arXiv:2308.12284, building on SemDeDup
+    arXiv:2303.09540): cluster the embedding corpus (the x24 IVF fit),
+    then drop the most PROTOTYPICAL ceil(2n/5) points of each cluster —
+    the ones nearest their centroid, which carry the least marginal
+    information — keeping the diverse remainder.
+
+    The prune count uses the integer-exact form (2n+4)//5 rather than
+    ceil(0.4·n): DuckDB parses 0.4 as DECIMAL while Spark uses a DOUBLE,
+    and 0.4·n crosses integer boundaries differently under the two
+    representations.
+
+    100 TB: the fit is iters+1 corpus passes with nlist·dim-row
+    shuffles; assignment is a broadcast-centroid map + map-side-combined
+    max_by; ranking is one window per cluster (WindowGroupLimit-style
+    bounded state).  Nothing pairwise.
+    """
+    from pyspark.sql import Window
+
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.functions.vectors import cosine
+    from social_warner_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = T(spark, sf_dir, "embeddings")
+    centroids = register_persisted(
+        ivf_centroids(emb, nlist=D4_NLIST, iters=1).persist()
+    )
+    assigned = ivf_assign(emb, centroids)
+    scored = assigned.join(F.broadcast(centroids), "cluster").withColumn(
+        "ccos", F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("ccos"), F.asc("vec_id"))
+    wn = Window.partitionBy("cluster")
+    return (
+        scored.withColumn("prk", F.row_number().over(w))
+        .withColumn("cluster_n", F.count("*").over(wn))
+        .where(
+            F.col("prk")
+            > F.floor((2 * F.col("cluster_n") + 4) / F.lit(5)).cast("long")
+        )
+        .select("vec_id", "cluster", "ccos", "prk", "cluster_n")
+    )
+
+
+def _d4_oracle() -> str:
+    from social_warner_spark.queries.x3_series import _IVF_COS
+
+    cos_seed = _IVF_COS.format(a="e.embedding", b="s.cvec")
+    cos_cent = _IVF_COS.format(a="e.embedding", b="c.cvec")
+    return f"""
+        WITH seeds AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+                   embedding::DOUBLE[] AS cvec
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {D4_NLIST})
+        ), assign0 AS (
+            SELECT vec_id, embedding, cluster FROM (
+                SELECT e.vec_id, e.embedding, s.cluster,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos_seed} DESC, s.cluster) AS rk
+                FROM embeddings e CROSS JOIN seeds s
+            ) WHERE rk = 1
+        ), means AS (
+            SELECT cluster, i AS pos, ROUND(AVG(embedding[i]::DOUBLE), 6) AS m
+            FROM assign0, UNNEST(range(1, len(embedding) + 1)) u(i)
+            GROUP BY cluster, i
+        ), cent1 AS MATERIALIZED (
+            SELECT cluster, list(m ORDER BY pos) AS cvec FROM means GROUP BY cluster
+        ), assign1 AS (
+            SELECT vec_id, cluster, ccos FROM (
+                SELECT e.vec_id, c.cluster, {cos_cent} AS ccos,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {cos_cent} DESC, c.cluster) AS rk
+                FROM embeddings e CROSS JOIN cent1 c
+            ) WHERE rk = 1
+        ), sized AS (
+            SELECT vec_id, cluster, ccos,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                                           ORDER BY ccos DESC, vec_id)
+                        AS INT) AS prk,
+                   COUNT(*) OVER (PARTITION BY cluster) AS cluster_n
+            FROM assign1
+        )
+        SELECT vec_id, cluster, ccos, prk, cluster_n
+        FROM sized WHERE prk > (2 * cluster_n + 4) // 5
+    """
+
+
 QUERIES = {
     "x220_pq_ann": x220_pq_ann,
     "x221_kcenter_coreset": x221_kcenter_coreset,
     "x222_label_noise_screen": x222_label_noise_screen,
     "x223_quantile_normalize": x223_quantile_normalize,
+    "x224_hard_negative_mining": x224_hard_negative_mining,
+    "x225_doremi_weights": x225_doremi_weights,
+    "x226_d4_prune": x226_d4_prune,
 }
 
 ORACLES = {
@@ -466,4 +757,7 @@ ORACLES = {
     "x221_kcenter_coreset": _kcenter_oracle(),
     "x222_label_noise_screen": _label_noise_oracle(),
     "x223_quantile_normalize": _quantile_normalize_oracle(),
+    "x224_hard_negative_mining": _hard_negative_oracle(),
+    "x225_doremi_weights": _DOREMI_ORACLE,
+    "x226_d4_prune": _d4_oracle(),
 }

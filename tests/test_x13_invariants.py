@@ -117,3 +117,102 @@ def test_quantile_normalize_endpoints_and_monotonicity(spark, sf_correct):
         if r.source in prev:
             assert r.quality_norm >= prev[r.source], r.source
         prev[r.source] = r.quality_norm
+
+
+def test_hard_negatives_recall_vs_exact_cross_class(spark, sf_smoke):
+    """Bucketed hard-negative mining vs the exact cross-class top-3
+    anchor.  Two measured floors: identity recall >= 0.4 (measured
+    0.53/0.43/0.73 at sf0.001/0.01/0.1 — the 4-plane LSH tier on
+    near-random vectors), and mined HARDNESS >= 0.85 of the optimal
+    mean cosine (measured 0.95/0.91/0.97) — for negative mining, the
+    pairs the buckets surface must be nearly as hard as the exact
+    argmax set even when their identities differ."""
+    from pyspark.sql import Window
+
+    from social_warner_spark.functions.vectors import cosine
+    from social_warner_spark.queries.common import T
+    from social_warner_spark.queries.x13_series import (
+        HN_K,
+        HN_PROBES,
+        x224_hard_negative_mining,
+    )
+
+    mined = x224_hard_negative_mining(spark, sf_smoke).collect()
+    assert mined
+    for r in mined:
+        assert r.probe_lang != r.neg_lang
+
+    emb = T(spark, sf_smoke, "embeddings")
+    labels = T(spark, sf_smoke, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    base = emb.join(labels, "vec_id")
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("lang").alias("neg_lang"),
+        F.col("embedding").alias("vc"),
+    )
+    p = base.where(F.col("vec_id") < HN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("lang").alias("probe_lang"),
+        F.col("embedding").alias("vp"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    exact = (
+        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
+        .where(F.col("probe_lang") != F.col("neg_lang"))
+        .withColumn("cos", F.round(cosine(F.col("vp"), F.col("vc")), 6))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= HN_K)
+    ).collect()
+    exact_ids = {(r.probe_id, r.neighbor_id) for r in exact}
+    got = {(r.probe_id, r.neighbor_id) for r in mined}
+    recall = len(got & exact_ids) / len(exact_ids)
+    assert recall >= 0.4, f"hard-negative identity recall too low: {recall}"
+    hardness = (sum(r.cos for r in mined) / len(mined)) / (
+        sum(r.cos for r in exact) / len(exact)
+    )
+    assert hardness >= 0.85, f"mined negatives too easy: {hardness}"
+
+
+def test_doremi_weights_normalized_and_monotone(spark, sf_correct):
+    """Softmax sanity: weights sum to 1, the excess-loss floor is
+    exactly 0, and weight is strictly monotone in excess (the whole
+    point of the reweighting)."""
+    from social_warner_spark.queries.x13_series import x225_doremi_weights
+
+    rows = x225_doremi_weights(spark, sf_correct).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    assert min(r.excess for r in rows) == 0.0
+    by_excess = sorted(rows, key=lambda r: r.excess)
+    for a, b in zip(by_excess, by_excess[1:]):
+        if b.excess > a.excess:
+            assert b.weight > a.weight, (a.source, b.source)
+        else:
+            assert b.weight == a.weight
+
+
+def test_d4_prune_keeps_the_diverse_tail_per_cluster(spark, sf_correct):
+    """Prune-geometry invariants from the output alone: per cluster the
+    kept count is exactly n - (2n+4)//5, kept ranks are the contiguous
+    tail, and ccos never increases as prk grows (most-prototypical
+    points are the ones missing)."""
+    from collections import defaultdict
+
+    from social_warner_spark.queries.x13_series import x226_d4_prune
+
+    rows = x226_d4_prune(spark, sf_correct).collect()
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r.cluster].append(r)
+    assert clusters
+    for cl, members in clusters.items():
+        n = members[0].cluster_n
+        assert all(m.cluster_n == n for m in members)
+        drop = (2 * n + 4) // 5
+        assert len(members) == n - drop, (cl, n, drop, len(members))
+        ranks = sorted(m.prk for m in members)
+        assert ranks == list(range(drop + 1, n + 1)), cl
+        by_rank = sorted(members, key=lambda m: m.prk)
+        for a, b in zip(by_rank, by_rank[1:]):
+            assert a.ccos >= b.ccos, cl
