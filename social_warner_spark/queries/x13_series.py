@@ -742,6 +742,174 @@ def _d4_oracle() -> str:
     """
 
 
+#: DSIR selection size and target language.
+DSIR_K = 50
+DSIR_TARGET = "en"
+
+
+def x227_dsir_selection(spark, sf_dir):
+    """DSIR-style data selection via importance resampling (Xie et al.,
+    "Data Selection for Language Models via Importance Resampling",
+    arXiv:2302.03169, reduced to its relational core): score every doc
+    by the mean per-token log likelihood ratio between an add-1-smoothed
+    unigram model of the TARGET distribution (here the '{target}'-labeled
+    docs) and one of the raw corpus, then keep the top-{k} most
+    target-like.  The complement of x225: DoReMi reweights DOMAINS by
+    hardness, DSIR selects DOCUMENTS by target-likeness.
+
+    100 TB: both LMs come from ONE token groupBy (the target counts are
+    a conditional sum in the same aggregate); vocabulary size and token
+    totals are a single broadcast row; per-doc scoring is the token
+    stream joined once to the |vocab| stats and partial-agg-reduced.
+    The top-k is a TakeOrderedAndProject, never a global sort.
+    """
+    from social_warner_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    stats = tok.groupBy("tok").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("lang") == DSIR_TARGET).cast("long")).alias("ct"),
+    )
+    totals = stats.agg(
+        F.sum("cr").alias("nr"),
+        F.sum("ct").alias("nt"),
+        F.count("*").alias("v"),
+    )
+    llr = F.log(
+        ((F.col("ct") + 1) / (F.col("nt") + F.col("v")))
+        / ((F.col("cr") + 1) / (F.col("nr") + F.col("v")))
+    )
+    scored = (
+        tok.join(stats, "tok")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tokens"), r6(F.avg(llr)).alias("avg_llr"))
+    )
+    from pyspark.sql import Window
+
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject — distributed
+    # k-row heaps, no global sort); the rank window then runs over the
+    # k-row result only, so its single partition is bounded by k.
+    top = scored.orderBy(F.desc("avg_llr"), F.asc("doc_id")).limit(DSIR_K)
+    w = Window.orderBy(F.desc("avg_llr"), F.asc("doc_id"))
+    return top.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "lang", "n_tokens", "avg_llr", "rk"
+    )
+
+
+x227_dsir_selection.__doc__ = x227_dsir_selection.__doc__.format(
+    target=DSIR_TARGET, k=DSIR_K
+)
+
+_DSIR_ORACLE = f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, lang, unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents
+        ), stats AS (
+            SELECT tok, COUNT(*) AS cr,
+                   SUM(CASE WHEN lang = '{DSIR_TARGET}' THEN 1 ELSE 0 END) AS ct
+            FROM tok GROUP BY tok
+        ), totals AS (
+            SELECT SUM(cr) AS nr, SUM(ct) AS nt, COUNT(*) AS v FROM stats
+        ), scored AS (
+            SELECT t.doc_id, t.lang, COUNT(*) AS n_tokens,
+                   ROUND(AVG(ln(((s.ct + 1) / (tt.nt + tt.v))
+                              / ((s.cr + 1) / (tt.nr + tt.v)))), 6) AS avg_llr
+            FROM tok t JOIN stats s USING (tok), totals tt
+            GROUP BY t.doc_id, t.lang
+        )
+        SELECT doc_id, lang, n_tokens, avg_llr,
+               CAST(ROW_NUMBER() OVER (ORDER BY avg_llr DESC, doc_id) AS INT) AS rk
+        FROM scored
+        QUALIFY rk <= {DSIR_K}
+"""
+
+
+#: Length-bucketed batching geometry.
+PACK_B = 8
+
+
+def x228_padding_efficiency(spark, sf_dir):
+    """Length-grouped batching payoff, measured: fixed-size training
+    batches pad every sequence to the batch max, so batching in length
+    order (the standard length-grouped / bucketed sampler) vs arrival
+    order is pure saved compute.  Both layouts are formed relationally —
+    length order via operators/transforms.global_index (range-partitioned
+    ranks, NO single-partition window), arrival order via doc_id blocks —
+    and each reports total real tokens, padded slots, waste, and the
+    waste ratio.
+
+    100 TB: two |docs|-row narrow maps + two |batches|-row aggregates;
+    the comparison relation is 2 rows.
+    """
+    from social_warner_spark.functions.text import token_count_ws
+    from social_warner_spark.operators.transforms import global_index
+
+    d = T(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("len")
+    )
+    by_len = global_index(d, [F.col("len"), F.col("doc_id")], out_col="gidx")
+    layouts = {
+        "length_grouped": by_len.withColumn(
+            "batch", F.floor((F.col("gidx") - 1) / PACK_B)
+        ),
+        "arrival_order": d.withColumn("batch", F.floor(F.col("doc_id") / PACK_B)),
+    }
+    outs = []
+    for name, df in layouts.items():
+        per_batch = df.groupBy("batch").agg(
+            F.count("*").alias("bn"),
+            F.sum("len").alias("real_sum"),
+            F.max("len").alias("mx"),
+        )
+        outs.append(
+            per_batch.agg(
+                F.count("*").alias("n_batches"),
+                F.sum("real_sum").alias("real_tokens"),
+                F.sum(F.col("bn") * F.col("mx")).alias("padded_slots"),
+                r6(
+                    (F.sum(F.col("bn") * F.col("mx")) - F.sum("real_sum"))
+                    / F.sum(F.col("bn") * F.col("mx")).cast("double")
+                ).alias("waste_ratio"),
+            )
+            .withColumn("strategy", F.lit(name))
+            .select(
+                "strategy", "n_batches", "real_tokens", "padded_slots", "waste_ratio"
+            )
+        )
+    return outs[0].unionAll(outs[1])
+
+
+_PADDING_ORACLE = f"""
+        WITH d AS MATERIALIZED (
+            SELECT doc_id, len(string_split(trim(text), ' ')) AS len
+            FROM documents
+        ), ranked AS (
+            SELECT doc_id, len,
+                   ROW_NUMBER() OVER (ORDER BY len, doc_id) AS gidx
+            FROM d
+        ), tagged AS (
+            SELECT 'length_grouped' AS strategy,
+                   (gidx - 1) // {PACK_B} AS batch, len FROM ranked
+            UNION ALL
+            SELECT 'arrival_order' AS strategy,
+                   doc_id // {PACK_B} AS batch, len FROM d
+        ), per_batch AS (
+            SELECT strategy, batch, COUNT(*) AS bn, SUM(len) AS real_sum,
+                   MAX(len) AS mx
+            FROM tagged GROUP BY strategy, batch
+        )
+        SELECT strategy, COUNT(*) AS n_batches, SUM(real_sum) AS real_tokens,
+               SUM(bn * mx) AS padded_slots,
+               ROUND((SUM(bn * mx) - SUM(real_sum))
+                     / CAST(SUM(bn * mx) AS DOUBLE), 6) AS waste_ratio
+        FROM per_batch GROUP BY strategy
+"""
+
+
 QUERIES = {
     "x220_pq_ann": x220_pq_ann,
     "x221_kcenter_coreset": x221_kcenter_coreset,
@@ -750,6 +918,8 @@ QUERIES = {
     "x224_hard_negative_mining": x224_hard_negative_mining,
     "x225_doremi_weights": x225_doremi_weights,
     "x226_d4_prune": x226_d4_prune,
+    "x227_dsir_selection": x227_dsir_selection,
+    "x228_padding_efficiency": x228_padding_efficiency,
 }
 
 ORACLES = {
@@ -760,4 +930,6 @@ ORACLES = {
     "x224_hard_negative_mining": _hard_negative_oracle(),
     "x225_doremi_weights": _DOREMI_ORACLE,
     "x226_d4_prune": _d4_oracle(),
+    "x227_dsir_selection": _DSIR_ORACLE,
+    "x228_padding_efficiency": _PADDING_ORACLE,
 }
