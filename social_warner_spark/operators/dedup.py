@@ -27,7 +27,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
-from social_warner_spark.functions.text import tokens, word_shingles
+from social_warner_spark.functions.text import tokens
 from social_warner_spark.functions.vectors import cosine, dot, l2_norm
 
 
