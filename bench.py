@@ -82,6 +82,8 @@ HEADLINE = [
     "x219_bradley_terry",    # pairwise-preference MM fit (checkpointed rounds)
     "x220_pq_ann",           # product-quantization ADC + exact re-rank ANN
     "x221_kcenter_coreset",  # Gonzalez farthest-point rounds (checkpointed)
+    "x229_margin_bitext_mining",  # all-pairs scoring + reciprocal windows
+    "x231_hits_scores",      # HITS mutual-reinforcement rounds
 ]
 
 

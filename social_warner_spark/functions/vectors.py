@@ -34,10 +34,24 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Cosine similarity; NULL if either norm is zero."""
+    """Cosine similarity; NULL if either norm is zero.
+
+    PERF: higher-order-function folds run INTERPRETED, so this form does
+    three 64-element folds per evaluation.  On pair-joined relations
+    (candidates × probes) precompute `l2_norm` once per VECTOR in the
+    side selects and score with ``cosine_prenormed`` instead — one fold
+    per pair, bit-identical result (measured 3× on the x229 all-pairs
+    scorer).  This inline form is fine for per-row (n×1) uses.
+    """
     d = dot(a, b)
     na, nb = l2_norm(a), l2_norm(b)
     return F.when((na > 0) & (nb > 0), d / (na * nb))
+
+
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """`cosine` with the two norms already staged as columns — same guard,
+    same operation order, one dot fold per pair instead of three."""
+    return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
 def sign_bits(vec: Column, start: int, n: int, flip: int | None = None) -> Column:

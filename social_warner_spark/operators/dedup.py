@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 from social_warner_spark.functions.text import tokens
-from social_warner_spark.functions.vectors import cosine, dot, l2_norm
+from social_warner_spark.functions.vectors import dot, l2_norm
 
 
 def content_hash(text: Column) -> Column:
@@ -577,10 +577,26 @@ def embedding_neardup_pairs(
     BroadcastNestedLoopJoin scoring all n² pairs).
     """
     if bands is None:
-        a = df.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
-        b = df.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+        from social_warner_spark.functions.vectors import cosine_prenormed
+
+        a = df.select(
+            F.col(id_col).alias("a"),
+            F.col(vec_col).alias("va"),
+            l2_norm(F.col(vec_col)).alias("na"),
+        )
+        b = df.select(
+            F.col(id_col).alias("b"),
+            F.col(vec_col).alias("vb"),
+            l2_norm(F.col(vec_col)).alias("nb"),
+        )
         joined = a.join(F.broadcast(b), F.col("a") < F.col("b"))
-        scored = joined.withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        scored = joined.withColumn(
+            "cos",
+            F.round(
+                cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            ),
+        )
     else:
         keyed = df.select(
             F.col(id_col),
@@ -672,16 +688,30 @@ def semantic_dedup(
     assigned = register_persisted(
         ivf_assign(corpus, centroids, vec_col, id_col).persist()
     )
+    from social_warner_spark.functions.vectors import cosine_prenormed
+
     a = assigned.select(
-        F.col(id_col).alias("a"), "cluster", F.col(vec_col).alias("va")
+        F.col(id_col).alias("a"),
+        "cluster",
+        F.col(vec_col).alias("va"),
+        l2_norm(F.col(vec_col)).alias("na"),
     )
     b = assigned.select(
-        F.col(id_col).alias("b"), "cluster", F.col(vec_col).alias("vb")
+        F.col(id_col).alias("b"),
+        "cluster",
+        F.col(vec_col).alias("vb"),
+        l2_norm(F.col(vec_col)).alias("nb"),
     )
     dupes = (
         a.join(b, "cluster")
         .where(F.col("a") < F.col("b"))
-        .where(F.round(cosine(F.col("va"), F.col("vb")), 6) >= threshold)
+        .where(
+            F.round(
+                cosine_prenormed(F.col("va"), F.col("vb"), F.col("na"), F.col("nb")),
+                6,
+            )
+            >= threshold
+        )
         .select(F.col("b").alias(id_col))
         .distinct()
     )

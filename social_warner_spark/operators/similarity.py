@@ -25,7 +25,6 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql.types import DoubleType
 
-from social_warner_spark.functions.vectors import cosine
 
 
 def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -46,12 +45,28 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact top-k cosine neighbors for each probe (self-matches excluded)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"))
-    p = probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vp"))
-    scored = (
-        c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("vp"), F.col("vc")), 6))
+    """Exact top-k cosine neighbors for each probe (self-matches excluded).
+
+    Norms are staged per VECTOR (not per pair): the fold lambdas run
+    interpreted, so the pair expression is one dot fold via
+    cosine_prenormed — bit-identical to the inline form, 3× cheaper."""
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vc"),
+        l2_norm(F.col(vec_col)).alias("nc"),
+    )
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("vp"),
+        l2_norm(F.col(vec_col)).alias("np"),
+    )
+    scored = c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id")).withColumn(
+        "cos",
+        F.round(
+            cosine_prenormed(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc")), 6
+        ),
     )
     return _ranked_topk(scored, k)
 
@@ -98,20 +113,30 @@ def cosine_topk_bucketed(
     for the recall lost to hyperplane-boundary neighbors.  Recall vs the
     exact variant is tested by tolerance.
     """
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("vc"),
+        l2_norm(F.col(vec_col)).alias("nc"),
         sign_bucket(F.col(vec_col), planes).alias("bk"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
         F.col(vec_col).alias("vp"),
+        l2_norm(F.col(vec_col)).alias("np"),
         F.explode(sign_bucket_variants(F.col(vec_col), planes, multiprobe)).alias("bk"),
     )
     scored = (
         c.join(F.broadcast(p), "bk")
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("vp"), F.col("vc")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenormed(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc")),
+                6,
+            ),
+        )
     )
     return _ranked_topk(scored, k)
 
@@ -131,10 +156,27 @@ def ivf_assign(
     makes ties resolve to the lowest cluster id, matching the SQL oracle's
     `row_number() ... ORDER BY ccos DESC, cluster` exactly.
     """
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+
     scored = (
-        corpus.select(id_col, vec_col)
-        .join(F.broadcast(centroids.select("cluster", F.col("cvec"))), how="cross")
-        .withColumn("ccos", F.round(cosine(F.col(vec_col), F.col("cvec")), 6))
+        corpus.select(id_col, vec_col, l2_norm(F.col(vec_col)).alias("_vn"))
+        .join(
+            F.broadcast(
+                centroids.select(
+                    "cluster", "cvec", l2_norm(F.col("cvec")).alias("_cn")
+                )
+            ),
+            how="cross",
+        )
+        .withColumn(
+            "ccos",
+            F.round(
+                cosine_prenormed(
+                    F.col(vec_col), F.col("cvec"), F.col("_vn"), F.col("_cn")
+                ),
+                6,
+            ),
+        )
     )
     return (
         scored.groupBy(id_col)
@@ -220,22 +262,45 @@ def cosine_topk_ivf(
     )
     assigned = ivf_assign(corpus, centroids, vec_col, id_col)
 
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+
     wp = Window.partitionBy("probe_id").orderBy(F.desc("ccos"), F.asc("cluster"))
     probe_clusters = (
-        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col).alias("vp"))
+        probes.select(
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).alias("vp"),
+            l2_norm(F.col(vec_col)).alias("np"),
+        )
         .join(F.broadcast(centroids), how="cross")
-        .withColumn("ccos", F.round(cosine(F.col("vp"), F.col("cvec")), 6))
+        .withColumn(
+            "ccos",
+            F.round(
+                cosine_prenormed(
+                    F.col("vp"), F.col("cvec"), F.col("np"), l2_norm(F.col("cvec"))
+                ),
+                6,
+            ),
+        )
         .withColumn("crk", F.row_number().over(wp))
         .where(F.col("crk") <= nprobe)
-        .select("probe_id", "vp", "cluster")
+        .select("probe_id", "vp", "np", "cluster")
     )
     scored = (
         assigned.select(
-            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vc"), "cluster"
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("vc"),
+            l2_norm(F.col(vec_col)).alias("nc"),
+            "cluster",
         )
         .join(F.broadcast(probe_clusters), "cluster")
         .where(F.col("probe_id") != F.col("neighbor_id"))
-        .withColumn("cos", F.round(cosine(F.col("vp"), F.col("vc")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenormed(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc")),
+                6,
+            ),
+        )
     )
     return _ranked_topk(scored, k)
 

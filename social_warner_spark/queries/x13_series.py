@@ -1,4 +1,8 @@
-"""x13 series — round-3 continuation: product-quantization ANN (x220+).
+"""x13 series — round-3 continuation (x220+): the modern training-data
+curation batch — PQ ANN, k-center coresets, confident-learning label
+noise, quantile normalization, hard-negative mining, DoReMi/DSIR data
+mixing and selection, D4 prototype pruning, padding-efficiency, margin
+bitext mining, vocab budget sweep, HITS.
 
 Product quantization (Jégou, Douze, Schmid — "Product Quantization for
 Nearest Neighbor Search", IEEE TPAMI 2011) is the third ANN tier after
@@ -476,7 +480,7 @@ def x224_hard_negative_mining(spark, sf_dir):
     inequality is a post-join filter on already-joined rows, never a
     join condition that would degrade to a nested loop.
     """
-    from social_warner_spark.functions.vectors import cosine
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
     from social_warner_spark.operators.similarity import (
         sign_bucket,
         sign_bucket_variants,
@@ -491,12 +495,14 @@ def x224_hard_negative_mining(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"),
         F.col("lang").alias("neg_lang"),
         F.col("embedding").alias("vc"),
+        l2_norm(F.col("embedding")).alias("nc"),
         sign_bucket(F.col("embedding"), HN_PLANES).alias("bk"),
     )
     p = base.where(F.col("vec_id") < HN_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("lang").alias("probe_lang"),
         F.col("embedding").alias("vp"),
+        l2_norm(F.col("embedding")).alias("np"),
         F.explode(
             sign_bucket_variants(F.col("embedding"), HN_PLANES, multiprobe=1)
         ).alias("bk"),
@@ -507,7 +513,13 @@ def x224_hard_negative_mining(spark, sf_dir):
             (F.col("probe_id") != F.col("neighbor_id"))
             & (F.col("probe_lang") != F.col("neg_lang"))
         )
-        .withColumn("cos", F.round(cosine(F.col("vp"), F.col("vc")), 6))
+        .withColumn(
+            "cos",
+            F.round(
+                cosine_prenormed(F.col("vp"), F.col("vc"), F.col("np"), F.col("nc")),
+                6,
+            ),
+        )
     )
     from pyspark.sql import Window
 
@@ -937,7 +949,7 @@ def x229_margin_bitext_mining(spark, sf_dir):
     equi-join on the (src, tgt) pair.
     """
     from social_warner_spark.caching import register_persisted
-    from social_warner_spark.functions.vectors import cosine
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
     from pyspark.sql import Window
 
     emb = T(spark, sf_dir, "embeddings")
@@ -945,15 +957,26 @@ def x229_margin_bitext_mining(spark, sf_dir):
         F.col("doc_id").alias("vec_id"), "lang"
     )
     base = emb.join(labels, "vec_id")
+    # Norms are computed n× (once per vector, the x7 lesson), not pairs×:
+    # higher-order-function lambdas run interpreted, so the per-pair work
+    # must be ONE dot fold, not three (measured 9.5 -> 3.2 s at sf0.1).
+    # sqrt(dot(v,v)) here is bit-identical to the oracle's inline form.
     a = base.where(F.col("lang") == MARGIN_SRC).select(
-        F.col("vec_id").alias("fr_id"), F.col("embedding").alias("va")
+        F.col("vec_id").alias("fr_id"),
+        F.col("embedding").alias("va"),
+        l2_norm(F.col("embedding")).alias("na"),
     )
     b = base.where(F.col("lang") == MARGIN_TGT).select(
-        F.col("vec_id").alias("en_id"), F.col("embedding").alias("vb")
+        F.col("vec_id").alias("en_id"),
+        F.col("embedding").alias("vb"),
+        l2_norm(F.col("embedding")).alias("nb"),
+    )
+    pair_cos = cosine_prenormed(
+        F.col("va"), F.col("vb"), F.col("na"), F.col("nb")
     )
     scored = register_persisted(
         b.join(F.broadcast(a), how="cross")
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .withColumn("cos", F.round(pair_cos, 6))
         .select("fr_id", "en_id", "cos")
         .persist()
     )

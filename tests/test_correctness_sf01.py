@@ -42,6 +42,9 @@ SCALE_SET = [
     "x220_pq_ann",             # codebook fit + ADC shortlist at 10× vectors
     "x221_kcenter_coreset",    # farthest-point argmax ties at 10× candidates
     "x223_quantile_normalize", # rank interpolation against a 10× global ECDF
+    "x224_hard_negative_mining",  # bucket candidate volume at 10× vectors
+    "x226_d4_prune",           # cluster sizes / prune boundaries at 10×
+    "x229_margin_bitext_mining",  # pair volume + kNN normalizers at 10×
 ]
 
 QUERIES = all_queries()
