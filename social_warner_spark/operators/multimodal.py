@@ -416,6 +416,241 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
     return sample_rate, n_channels, samples
 
 
+def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:
+    """Real GIF-flavor LZW compression (dictionary build, variable code
+    width, LSB-first bit packing, 4096-entry reset) — the encoder half of
+    the synthesized multi-frame GIFs."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    out = bytearray()
+    cur = nbits = 0
+    codesize = mcs + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += codesize
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    table: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    w: tuple[int, ...] = ()
+    for k in indices:
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code == 4096:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            codesize = mcs + 1
+        elif next_code == (1 << codesize) and codesize < 12:
+            codesize += 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
+    """Real GIF LZW decompression: dictionary reconstruction including the
+    KwKwK self-reference case.  The decoder's table lags the encoder's by
+    exactly one entry, so the code-width bump fires at 2^w − 1 here (the
+    classic desync bug if done at 2^w)."""
+    clear = 1 << mcs
+    eoi = clear + 1
+    codesize = mcs + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    cur = nbits = 0
+    out: list[int] = []
+    w: tuple[int, ...] | None = None
+    for byte in data:
+        cur |= byte << nbits
+        nbits += 8
+        while nbits >= codesize:
+            code = cur & ((1 << codesize) - 1)
+            cur >>= codesize
+            nbits -= codesize
+            if code == clear:
+                table = [(i,) for i in range(clear)] + [(), ()]
+                codesize = mcs + 1
+                w = None
+                continue
+            if code == eoi:
+                return out
+            if w is None:
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                    table.append(w + (entry[0],))
+                else:  # KwKwK: the code being defined by this very step
+                    entry = w + (w[0],)
+                    table.append(entry)
+                if len(table) == (1 << codesize) - 1 and codesize < 12:
+                    codesize += 1
+            out.extend(entry)
+            w = entry
+    return out
+
+
+def decode_gif_frames(
+    payload: bytes,
+) -> tuple[int, int, list[tuple[int, int, int]], list[list[int]]]:
+    """Decode an (unanimated-extension-free or GCE-bearing) GIF to
+    (width, height, global color table, per-frame index lists) with a
+    REAL LZW decompressor — pure stdlib, no codec libs.
+
+    Supports what the synthesizer and common non-interlaced GIFs emit:
+    global color table, any number of image descriptors (frames),
+    extension blocks skipped structurally.  Raises ValueError on
+    interlaced or locally-tabled frames — those stay behind the codec
+    gate."""
+    if payload[:3] != b"GIF" or payload[3:6] not in (b"87a", b"89a"):
+        raise ValueError("not a GIF")
+    width = int.from_bytes(payload[6:8], "little")
+    height = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    i = 13
+    colors: list[tuple[int, int, int]] = []
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        for c in range(n):
+            colors.append(
+                (payload[i + 3 * c], payload[i + 3 * c + 1], payload[i + 3 * c + 2])
+            )
+        i += 3 * n
+    frames: list[list[int]] = []
+    while i < len(payload):
+        b = payload[i]
+        if b == 0x3B:  # trailer
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            i += 2
+            while payload[i] != 0:
+                i += 1 + payload[i]
+            i += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        fw = int.from_bytes(payload[i + 5 : i + 7], "little")
+        fh = int.from_bytes(payload[i + 7 : i + 9], "little")
+        fflags = payload[i + 9]
+        if fflags & 0xC0:
+            raise ValueError("local color tables / interlace not supported")
+        i += 10
+        mcs = payload[i]
+        i += 1
+        data = bytearray()
+        while payload[i] != 0:
+            size = payload[i]
+            data += payload[i + 1 : i + 1 + size]
+            i += 1 + size
+        i += 1
+        indices = _gif_lzw_decode(bytes(data), mcs)
+        if len(indices) != fw * fh:
+            raise ValueError("LZW payload does not cover the frame")
+        frames.append(indices)
+    return width, height, colors, frames
+
+
+def synth_gif_content(doc_id: int) -> bytes:
+    """A REAL multi-frame GIF89a: 2 + id%3 frames of 8+id%9 × 6+id%7
+    indexed pixels, index (x,y,f) = (11·id + 13·f + 31·y + 7·x) mod 256,
+    global color table color(i) = (i, 3i mod 256, 7i mod 256), image data
+    genuinely LZW-compressed.  The index/color formulas are what let a
+    SQL oracle state expected per-frame statistics while Spark
+    round-trips the actual compressed bytes."""
+    width = 8 + doc_id % 9
+    height = 6 + doc_id % 7
+    n_frames = 2 + doc_id % 3
+    out = bytearray(b"GIF89a")
+    out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 256 entries
+    for c in range(256):
+        out += bytes([c, (3 * c) % 256, (7 * c) % 256])
+    for f in range(n_frames):
+        out += b"\x2c" + bytes(4)
+        out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
+        out += b"\x00\x08"  # no local table / no interlace; min code size 8
+        lzw = _gif_lzw_encode(
+            [
+                (11 * doc_id + 13 * f + 31 * y + 7 * x) % 256
+                for y in range(height)
+                for x in range(width)
+            ],
+            8,
+        )
+        for j in range(0, len(lzw), 255):
+            block = lzw[j : j + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+GIF_FRAME_SCHEMA = (
+    "item_id long, frame_idx int, width int, height int, n_px long, "
+    "idx_sum long, rgb_sum long"
+)
+
+
+def gif_frame_stats(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Per-FRAME statistics via decode_gif_frames inside mapInPandas —
+    the frame-sampling shape for video-like media: one input row fans
+    out to one output row per decoded frame, all sums exact integers so
+    the engine derives means cross-engine-exactly.
+
+    100 TB: per-item decode, zero shuffle; frame fan-out is bounded by
+    frames-per-item, and only integer cells leave Python."""
+
+    _pickle_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k.split()[0]: [] for k in GIF_FRAME_SCHEMA.split(", ")
+            }
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, colors, frames = decode_gif_frames(payload)
+                for fi, frame in enumerate(frames):
+                    rows["item_id"].append(int(item_id))
+                    rows["frame_idx"].append(fi)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["n_px"].append(len(frame))
+                    rows["idx_sum"].append(sum(frame))
+                    rows["rgb_sum"].append(sum(sum(colors[v]) for v in frame))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=GIF_FRAME_SCHEMA)
+
+
+def with_synth_gif_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a fully-decodable multi-frame GIF payload per row."""
+
+    _pickle_module_by_value()
+
+    @F.pandas_udf("binary")
+    def make_payload(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_gif_content(int(i)) for i in ids])
+
+    return df.withColumn("payload", make_payload(F.col(id_col)))
+
+
 def _png_filter_row(ftype: int, row: bytes, prior: bytes, channels: int) -> bytes:
     """Apply PNG filter `ftype` to a raw row (encoder side of decode_png)."""
     stride = len(row)

@@ -1243,6 +1243,73 @@ def _hits_oracle() -> str:
     )
 
 
+def x232_gif_frame_stats(spark, sf_dir):
+    """Real multi-frame GIF decode — the frame-sampling shape for
+    video-like media, with an actual compression codec in the loop: per
+    doc (ids ≡ 0 mod 3) a REAL GIF89a is synthesized (2 + id%3 frames,
+    genuinely LZW-compressed index streams, 256-entry color table), then
+    operators/multimodal.decode_gif_frames runs a full LZW decompressor
+    (dictionary reconstruction, KwKwK case, variable code widths,
+    LSB-first bit unpacking) and per-FRAME index/RGB statistics come out
+    as exact integers.  The oracle restates the pixel-index and
+    color-table formulas over generate_series — a decoder that drops a
+    code, mis-times the width bump, or mis-maps the palette
+    hash-mismatches immediately.
+
+    100 TB: one input row fans out to one row per decoded frame inside
+    mapInPandas — per-item work, zero shuffle, only integer cells leave
+    Python; the mean is derived engine-side.
+    """
+    from social_warner_spark.operators.multimodal import (
+        gif_frame_stats,
+        with_synth_gif_content,
+    )
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 0)
+    )
+    stats = gif_frame_stats(with_synth_gif_content(d), id_col="doc_id")
+    return stats.select(
+        F.col("item_id").alias("doc_id"),
+        "frame_idx",
+        "width",
+        "height",
+        "n_px",
+        "idx_sum",
+        "rgb_sum",
+        r6(F.col("rgb_sum") / (3 * F.col("n_px")).cast("double")).alias("mean_rgb"),
+    )
+
+
+_GIF_ORACLE = """
+        WITH d AS (
+            SELECT doc_id FROM documents WHERE doc_id % 3 = 0
+        ), geo AS (
+            SELECT doc_id, CAST(8 + doc_id % 9 AS INT) AS width,
+                   CAST(6 + doc_id % 7 AS INT) AS height,
+                   2 + doc_id % 3 AS nf
+            FROM d
+        ), px AS (
+            SELECT g.doc_id, CAST(f AS INT) AS frame_idx, g.width, g.height,
+                   ((11 * g.doc_id + 13 * f + 31 * y + 7 * x) % 256) AS idx
+            FROM geo g,
+                 UNNEST(range(0, g.nf)) t(f),
+                 UNNEST(range(0, g.height)) u(y),
+                 UNNEST(range(0, g.width)) v(x)
+        )
+        SELECT doc_id, frame_idx, width, height,
+               COUNT(*) AS n_px,
+               CAST(SUM(idx) AS BIGINT) AS idx_sum,
+               CAST(SUM(idx + (3 * idx) % 256 + (7 * idx) % 256) AS BIGINT)
+                 AS rgb_sum,
+               ROUND(SUM(idx + (3 * idx) % 256 + (7 * idx) % 256)
+                     / CAST(3 * COUNT(*) AS DOUBLE), 6) AS mean_rgb
+        FROM px GROUP BY doc_id, frame_idx, width, height
+"""
+
+
 QUERIES = {
     "x220_pq_ann": x220_pq_ann,
     "x221_kcenter_coreset": x221_kcenter_coreset,
@@ -1256,6 +1323,7 @@ QUERIES = {
     "x229_margin_bitext_mining": x229_margin_bitext_mining,
     "x230_vocab_budget_sweep": x230_vocab_budget_sweep,
     "x231_hits_scores": x231_hits_scores,
+    "x232_gif_frame_stats": x232_gif_frame_stats,
 }
 
 ORACLES = {
@@ -1271,4 +1339,5 @@ ORACLES = {
     "x229_margin_bitext_mining": _margin_oracle(),
     "x230_vocab_budget_sweep": _VOCAB_ORACLE,
     "x231_hits_scores": _hits_oracle(),
+    "x232_gif_frame_stats": _GIF_ORACLE,
 }

@@ -689,3 +689,56 @@ def test_pq_ann_rerank_recall_vs_exact(spark, emb):
     assert len(reranked & exact) > len(adc_only & exact), (
         "exact re-rank must add recall over ADC-only ranking"
     )
+
+
+def test_gif_lzw_roundtrip_stress():
+    """The LZW pair must survive the hard codec paths: maximal repetition
+    (KwKwK chains), incompressible random streams (code-width bumps up to
+    12 bits), the 4096-entry dictionary reset, and empty/1-px frames."""
+    import random
+
+    from social_warner_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = random.Random(7)
+    cases = [
+        [0] * 5000,
+        [rng.randrange(256) for _ in range(10000)],
+        list(range(256)) * 20,
+        [5],
+        [],
+        [rng.randrange(4) for _ in range(60000)],  # forces the 4096 reset
+    ]
+    for seq in cases:
+        assert _gif_lzw_decode(_gif_lzw_encode(seq, 8), 8) == seq
+
+
+def test_gif_decode_matches_pixel_formula():
+    """decode_gif_frames must reproduce every index of every frame of the
+    synthesized GIF (real LZW bytes in between), plus the color table."""
+    from social_warner_spark.operators.multimodal import (
+        decode_gif_frames,
+        synth_gif_content,
+    )
+
+    for did in (0, 17, 42):
+        w, h, colors, frames = decode_gif_frames(synth_gif_content(did))
+        assert (w, h, len(frames)) == (8 + did % 9, 6 + did % 7, 2 + did % 3)
+        assert colors[200] == (200, (3 * 200) % 256, (7 * 200) % 256)
+        for f, frame in enumerate(frames):
+            assert frame == [
+                (11 * did + 13 * f + 31 * y + 7 * x) % 256
+                for y in range(h)
+                for x in range(w)
+            ]
+
+
+def test_gif_decode_rejects_unsupported():
+    import pytest as _pytest
+
+    from social_warner_spark.operators.multimodal import decode_gif_frames
+
+    with _pytest.raises(ValueError):
+        decode_gif_frames(b"NOTAGIF")
