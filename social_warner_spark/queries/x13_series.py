@@ -1310,6 +1310,128 @@ _GIF_ORACLE = """
 """
 
 
+#: Scaling-curve steps: nested md5-hex training subsets (~25/50/75/87.5%
+#: of docs) with the top hex range held out for evaluation.
+SCALING_STEPS = ((1, "4"), (2, "8"), (3, "c"), (4, "e"))
+
+
+def x233_scaling_curve(spark, sf_dir):
+    """Data-scaling-curve fit (the loss-vs-dataset-size power law of
+    Hestness et al. arXiv:1712.00409 / Kaplan et al. arXiv:2001.08361,
+    at unigram scale): train add-1 unigram LMs on four NESTED md5-hash
+    subsets of the corpus, evaluate each on the same held-out hash
+    range, and fit ln(loss) ~ ln(train tokens) by least squares — the
+    scaling exponent every data-buying decision starts from.
+
+    Nesting via hex-prefix thresholds means ONE (step, token) count
+    relation (conditional on h < threshold) yields all four models; the
+    held-out stream is scored against it with a single left join.
+
+    100 TB: one token pass builds the per-bucket counts; the step
+    explode multiplies only the |types|-bounded relation; totals are a
+    4-row broadcast; the OLS is regr_slope over 4 points.
+
+    Corpus note: the synthetic testdata has a ~31-type vocabulary, so
+    every subset is already vocabulary-saturated and the fitted exponent
+    is near zero — the curve still decreases monotonically (invariant-
+    tested); on a real heavy-tailed corpus the unseen-token mass drives
+    a substantial negative exponent.
+    """
+    from social_warner_spark.caching import register_persisted
+    from social_warner_spark.functions.text import tokens
+
+    d = T(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("sc|"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    tok = d.select(h.alias("h"), F.explode(tokens(F.col("text"))).alias("tok"))
+    trainh = (
+        tok.where(F.col("h") < "e").groupBy("tok", "h").agg(F.count("*").alias("c"))
+    )
+    steps = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(s).alias("step"), F.lit(t).alias("thr"))
+                for s, t in SCALING_STEPS
+            ]
+        )
+    )
+    percount = register_persisted(
+        trainh.select("tok", "h", "c", steps.alias("st"))
+        .where(F.col("h") < F.col("st.thr"))
+        .groupBy(F.col("st.step").alias("step"), "tok")
+        .agg(F.sum("c").alias("c"))
+        .persist()
+    )
+    totals = percount.groupBy("step").agg(
+        F.sum("c").alias("n_train"), F.count("*").alias("v")
+    )
+    heldx = (
+        tok.where(F.col("h") >= "e")
+        .select("tok", steps.alias("st"))
+        .select("tok", F.col("st.step").alias("step"))
+    )
+    scored = (
+        heldx.join(percount, ["step", "tok"], "left")
+        .fillna({"c": 0})
+        .join(F.broadcast(totals), "step")
+        .groupBy("step")
+        .agg(
+            F.count("*").alias("n_heldout"),
+            r6(
+                -F.avg(
+                    F.log((F.col("c") + 1) / (F.col("n_train") + F.col("v")))
+                )
+            ).alias("xent"),
+        )
+    )
+    curve = register_persisted(
+        scored.join(F.broadcast(totals), "step").persist()
+    )
+    ols = curve.agg(
+        r6(F.expr("regr_slope(ln(xent), ln(n_train))")).alias("scaling_exponent")
+    )
+    return curve.crossJoin(F.broadcast(ols)).select(
+        "step", "n_train", "v", "n_heldout", "xent", "scaling_exponent"
+    )
+
+
+_SCALING_STEP_ROWS = ", ".join(f"({s}, '{t}')" for s, t in SCALING_STEPS)
+
+_SCALING_ORACLE = f"""
+        WITH tok AS MATERIALIZED (
+            SELECT substr(md5('sc|' || doc_id), 1, 1) AS h,
+                   unnest(string_split(trim(text), ' ')) AS tok
+            FROM documents
+        ), steps(step, thr) AS (VALUES {_SCALING_STEP_ROWS}),
+        pc AS MATERIALIZED (
+            SELECT s.step, t.tok, COUNT(*) AS c
+            FROM tok t CROSS JOIN steps s
+            WHERE t.h < s.thr
+            GROUP BY s.step, t.tok
+        ), totals AS MATERIALIZED (
+            SELECT step, CAST(SUM(c) AS BIGINT) AS n_train, COUNT(*) AS v
+            FROM pc GROUP BY step
+        ), scored AS MATERIALIZED (
+            SELECT s.step, COUNT(*) AS n_heldout,
+                   ROUND(-AVG(ln((COALESCE(p.c, 0) + 1)
+                                 / (tt.n_train + tt.v))), 6) AS xent
+            FROM (SELECT tok FROM tok WHERE h >= 'e') hx
+            CROSS JOIN steps s
+            LEFT JOIN pc p ON p.step = s.step AND p.tok = hx.tok
+            JOIN totals tt ON tt.step = s.step
+            GROUP BY s.step
+        ), ols AS (
+            SELECT ROUND(REGR_SLOPE(ln(sc.xent), ln(tt.n_train)), 6)
+                     AS scaling_exponent
+            FROM scored sc JOIN totals tt USING (step)
+        )
+        SELECT tt.step, tt.n_train, tt.v, sc.n_heldout, sc.xent,
+               o.scaling_exponent
+        FROM totals tt JOIN scored sc USING (step) CROSS JOIN ols o
+"""
+
+
 QUERIES = {
     "x220_pq_ann": x220_pq_ann,
     "x221_kcenter_coreset": x221_kcenter_coreset,
@@ -1324,6 +1446,7 @@ QUERIES = {
     "x230_vocab_budget_sweep": x230_vocab_budget_sweep,
     "x231_hits_scores": x231_hits_scores,
     "x232_gif_frame_stats": x232_gif_frame_stats,
+    "x233_scaling_curve": x233_scaling_curve,
 }
 
 ORACLES = {
@@ -1340,4 +1463,5 @@ ORACLES = {
     "x230_vocab_budget_sweep": _VOCAB_ORACLE,
     "x231_hits_scores": _hits_oracle(),
     "x232_gif_frame_stats": _GIF_ORACLE,
+    "x233_scaling_curve": _SCALING_ORACLE,
 }

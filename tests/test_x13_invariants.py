@@ -317,3 +317,22 @@ def test_hits_scores_are_l1_normalized_per_role(spark, sf_correct):
     assert counts["hub"] > 0 and counts["authority"] > 0
     for role, s in sums.items():
         assert abs(s - 1.0) < 1e-2, (role, s)
+
+
+def test_scaling_curve_is_monotone_and_negative(spark, sf_correct):
+    """More training data can only help the add-1 unigram on held-out
+    text: cross-entropy strictly decreases along the nested subsets,
+    train-token counts strictly increase, the held-out set is fixed,
+    and the fitted exponent is negative."""
+    from social_warner_spark.queries.x13_series import x233_scaling_curve
+
+    rows = sorted(
+        x233_scaling_curve(spark, sf_correct).collect(), key=lambda r: r.step
+    )
+    assert [r.step for r in rows] == [1, 2, 3, 4]
+    assert len({r.n_heldout for r in rows}) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_train > a.n_train
+        assert b.xent < a.xent, (a.step, a.xent, b.step, b.xent)
+    assert rows[0].scaling_exponent < 0
+    assert len({r.scaling_exponent for r in rows}) == 1
