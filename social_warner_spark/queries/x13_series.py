@@ -1432,6 +1432,111 @@ _SCALING_ORACLE = f"""
 """
 
 
+#: uncertainty-sampling queue depth.
+UNC_K = 50
+
+
+def x234_uncertainty_sampling(spark, sf_dir):
+    """Margin-based uncertainty sampling (Lewis & Gale, SIGIR 1994; the
+    workhorse strategy of Settles' Active Learning survey, UW-Madison
+    CS-TR-1648): the labeling budget goes to the docs where x3's
+    language scorer is LEAST sure — smallest gap between its top two
+    class scores.  Output: the {k} most ambiguous docs (positive
+    evidence required, margin ascending, doc_id tie-break) with both
+    candidate labels — the annotation queue a labeling vendor would be
+    handed.
+
+    100 TB: scores are a zero-shuffle narrow map; best/second come from
+    sorting a bounded |langs|-array per row (no explode, no shuffle);
+    selection is orderBy+limit (TakeOrderedAndProject), the rank window
+    runs over the k-row result only.
+    """
+    from pyspark.sql import Window
+
+    from social_warner_spark.functions.text import LANG_MARKERS, tokens
+
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    n = F.greatest(F.size(t), F.lit(1))
+    langs = sorted(LANG_MARKERS)
+    arr = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    (
+                        -r6(
+                            F.size(
+                                F.filter(t, lambda x: x.isin(*LANG_MARKERS[lg]))
+                            )
+                            / n
+                        )
+                    ).alias("neg_s"),
+                    F.lit(lg).alias("lg"),
+                )
+                for lg in langs
+            ]
+        )
+    )
+    staged = d.select(
+        "doc_id",
+        (-F.element_at(arr, 1)["neg_s"]).alias("s1"),
+        F.element_at(arr, 1)["lg"].alias("best_lang"),
+        (-F.element_at(arr, 2)["neg_s"]).alias("s2"),
+        F.element_at(arr, 2)["lg"].alias("second_lang"),
+    ).where(F.col("s1") > 0)
+    picked = (
+        staged.withColumn("margin", F.round(F.col("s1") - F.col("s2"), 6))
+        .orderBy(F.asc("margin"), F.asc("doc_id"))
+        .limit(UNC_K)
+    )
+    w = Window.orderBy(F.asc("margin"), F.asc("doc_id"))
+    return picked.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "best_lang", "second_lang", "margin", "rk"
+    )
+
+
+x234_uncertainty_sampling.__doc__ = x234_uncertainty_sampling.__doc__.format(k=UNC_K)
+
+
+def _uncertainty_oracle() -> str:
+    from social_warner_spark.queries.x_series import _LANGS, _lang_score_sql
+
+    score_cols = ",\n                   ".join(
+        f"ROUND({_lang_score_sql(lg)}, 6) AS s_{lg}" for lg in _LANGS
+    )
+    long_sql = "\n            UNION ALL\n".join(
+        f"            SELECT doc_id, '{lg}' AS j, s_{lg} AS s FROM sc"
+        for lg in _LANGS
+    )
+    return f"""
+        WITH sc AS MATERIALIZED (
+            SELECT doc_id,
+                   {score_cols}
+            FROM documents
+        ), long AS (
+{long_sql}
+        ), ranked AS (
+            SELECT doc_id, j, s,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, j) AS rk
+            FROM long
+        ), top2 AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN rk = 1 THEN s END) AS s1,
+                   MAX(CASE WHEN rk = 1 THEN j END) AS best_lang,
+                   MAX(CASE WHEN rk = 2 THEN s END) AS s2,
+                   MAX(CASE WHEN rk = 2 THEN j END) AS second_lang
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT doc_id, best_lang, second_lang,
+               ROUND(s1 - s2, 6) AS margin,
+               CAST(ROW_NUMBER() OVER (ORDER BY ROUND(s1 - s2, 6), doc_id)
+                    AS INT) AS rk
+        FROM top2 WHERE s1 > 0
+        QUALIFY rk <= {UNC_K}
+    """
+
+
 QUERIES = {
     "x220_pq_ann": x220_pq_ann,
     "x221_kcenter_coreset": x221_kcenter_coreset,
@@ -1447,6 +1552,7 @@ QUERIES = {
     "x231_hits_scores": x231_hits_scores,
     "x232_gif_frame_stats": x232_gif_frame_stats,
     "x233_scaling_curve": x233_scaling_curve,
+    "x234_uncertainty_sampling": x234_uncertainty_sampling,
 }
 
 ORACLES = {
@@ -1464,4 +1570,5 @@ ORACLES = {
     "x231_hits_scores": _hits_oracle(),
     "x232_gif_frame_stats": _GIF_ORACLE,
     "x233_scaling_curve": _SCALING_ORACLE,
+    "x234_uncertainty_sampling": _uncertainty_oracle(),
 }

@@ -455,3 +455,21 @@ def test_two_sample_ks_matches_bruteforce(spark, a, b):
         want = max(want, abs(fa - fb))
     assert r["n_a"] == len(a) and r["n_b"] == len(b)
     assert abs(r["ks"] - round(want, 6)) <= 1e-6
+
+
+@given(
+    seq=st.lists(st.integers(min_value=0, max_value=255), max_size=4000),
+    mcs=st.sampled_from([2, 4, 8]),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrip_property(seq, mcs):
+    """Any index stream within the alphabet round-trips through the GIF
+    LZW pair at any legal minimum code size."""
+    from social_warner_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    alphabet = 1 << mcs
+    seq = [v % alphabet for v in seq]
+    assert _gif_lzw_decode(_gif_lzw_encode(seq, mcs), mcs) == seq

@@ -336,3 +336,63 @@ def test_scaling_curve_is_monotone_and_negative(spark, sf_correct):
         assert b.xent < a.xent, (a.step, a.xent, b.step, b.xent)
     assert rows[0].scaling_exponent < 0
     assert len({r.scaling_exponent for r in rows}) == 1
+
+
+def test_uncertainty_queue_picks_the_global_minimum_margins(spark, sf_correct):
+    """The queue must be exactly the k smallest margins: recompute every
+    doc's top-2 margin independently (long-form explode + window instead
+    of the query's per-row array sort) and check the selected cutoff."""
+    from pyspark.sql import Window
+
+    from social_warner_spark.functions.text import LANG_MARKERS, tokens
+    from social_warner_spark.queries.common import T
+    from social_warner_spark.queries.x13_series import (
+        UNC_K,
+        x234_uncertainty_sampling,
+    )
+
+    rows = sorted(
+        x234_uncertainty_sampling(spark, sf_correct).collect(), key=lambda r: r.rk
+    )
+    assert len(rows) == UNC_K
+    margins = [r.margin for r in rows]
+    assert margins == sorted(margins)
+    for r in rows:
+        assert r.best_lang != r.second_lang
+        assert r.margin >= 0
+
+    d = T(spark, sf_correct, "documents").select("doc_id", "text")
+    t = tokens(F.col("text"))
+    n = F.greatest(F.size(t), F.lit(1))
+    long = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lg).alias("j"),
+                        F.round(
+                            F.size(F.filter(t, lambda x: x.isin(*LANG_MARKERS[lg])))
+                            / n,
+                            6,
+                        ).alias("s"),
+                    )
+                    for lg in sorted(LANG_MARKERS)
+                ]
+            )
+        ).alias("e"),
+    ).select("doc_id", "e.j", "e.s")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("j"))
+    top2 = (
+        long.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("s"))).alias("s1"),
+            F.max(F.when(F.col("rk") == 2, F.col("s"))).alias("s2"),
+        )
+        .where(F.col("s1") > 0)
+        .withColumn("m", F.round(F.col("s1") - F.col("s2"), 6))
+    )
+    kth = sorted(r.m for r in top2.collect())[UNC_K - 1]
+    assert margins[-1] <= kth
