@@ -651,6 +651,351 @@ def with_synth_gif_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.withColumn("payload", make_payload(F.col(id_col)))
 
 
+# --- baseline JPEG (grayscale): real entropy decode + IDCT ------------------
+
+#: JPEG zig-zag coefficient order (ITU T.81 Figure A.6).
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: Canonical Huffman geometry for the synthesized JPEGs: 12 DC magnitude
+#: categories at 4 bits; all 162 standard AC (run, size) symbols at
+#: 8 bits (256 slots, all-ones code left unused so 1-padding cannot
+#: alias a symbol).
+_JPEG_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_VALS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+)
+_JPEG_AC_BITS = [0] * 16
+_JPEG_AC_BITS[7] = len(_JPEG_AC_VALS)
+
+
+def _jpeg_canonical_codes(bits: list[int], vals: list[int]) -> dict:
+    """symbol -> (code, length) per the canonical DHT construction."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol for the generic Huffman reader."""
+    table: dict[tuple[int, int], int] = {}
+    code = k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _jpeg_cat_bits(v: int) -> tuple[int, int]:
+    """Magnitude category + appended bits (T.81 F.1.2.1 / F.12)."""
+    cat, a = 0, abs(v)
+    while a:
+        cat += 1
+        a >>= 1
+    return cat, v if v >= 0 else v + (1 << cat) - 1
+
+
+class _JpegBitWriter:
+    """MSB-first bit stream with 0xFF byte stuffing and 1-padding."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.cur = self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.cur = (self.cur << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.cur)
+                if self.cur == 0xFF:
+                    self.out.append(0x00)
+                self.cur = self.n = 0
+
+    def flush(self) -> bytes:
+        while self.n:
+            self.write(1, 1)
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first reader that strips 0xFF00 stuffing."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = self.cur = self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.data[self.pos] != 0x00:
+                    raise ValueError("marker inside entropy-coded data")
+                self.pos += 1
+            self.cur, self.n = b, 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _jpeg_read_symbol(br: _JpegBitReader, table: dict) -> int:
+    code = 0
+    for ln in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _jpeg_extend(v: int, cat: int) -> int:
+    """Sign-extend appended bits (T.81 F.12 EXTEND)."""
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    c = np.zeros((8, 8))
+    for x in range(8):
+        for u in range(8):
+            cu = (1 / np.sqrt(2)) if u == 0 else 1.0
+            c[x, u] = cu * np.cos((2 * x + 1) * u * np.pi / 16)
+    return c
+
+
+def _jpeg_encode_blocks(
+    blocks: list[list[int]], width: int, height: int, quant: list[int]
+) -> bytes:
+    """Assemble a REAL baseline grayscale JPEG from per-block quantized
+    coefficient lists (zig-zag order, 64 each): DQT + SOF0 + DHT + SOS +
+    Huffman-coded scan (DPCM DC, run-length AC with ZRL/EOB)."""
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev = 0
+    for coefs in blocks:
+        diff = coefs[0] - prev
+        prev = coefs[0]
+        cat, bits = _jpeg_cat_bits(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            bw.write(bits, cat)
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and coefs[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+                break
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                bw.write(code, ln)
+                run -= 16
+            cat, bits = _jpeg_cat_bits(coefs[k])
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            bw.write(bits, cat)
+            k += 1
+        else:
+            pass
+    data = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    return (
+        b"\xff\xd8"
+        + seg(0xDB, bytes([0x00]) + bytes(quant))
+        + seg(
+            0xC0,
+            bytes([8])
+            + height.to_bytes(2, "big")
+            + width.to_bytes(2, "big")
+            + bytes([1, 1, 0x11, 0]),
+        )
+        + seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + data
+        + b"\xff\xd9"
+    )
+
+
+def synth_jpeg_content(doc_id: int) -> bytes:
+    """A REAL baseline grayscale JPEG of 8·(2+id%3) × 8·(1+id%2) pixels
+    whose blocks are DC-only with quant step 8: dequantized DC = 8·dcq,
+    so the (exact, generic) IDCT yields the flat value dcq + 128 with NO
+    float rounding ambiguity — dcq(bx,by) = ((id + 3·bx + 5·by) mod 32)
+    − 16.  Real DPCM + Huffman entropy coding in between, so the decoder
+    must get every layer right for the oracle-stated statistics to
+    match."""
+    width = 8 * (2 + doc_id % 3)
+    height = 8 * (1 + doc_id % 2)
+    blocks = []
+    for by in range(height // 8):
+        for bx in range(width // 8):
+            dcq = ((doc_id + 3 * bx + 5 * by) % 32) - 16
+            blocks.append([dcq] + [0] * 63)
+    return _jpeg_encode_blocks(blocks, width, height, [8] * 64)
+
+
+def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode a baseline sequential GRAYSCALE JPEG to (width, height,
+    row-major pixels) — real entropy decode (canonical Huffman tables
+    from DHT, DPCM DC, run-length AC incl. ZRL/EOB, 0xFF00 unstuffing)
+    followed by dequantization and a genuine 2-D IDCT (numpy matrix
+    form) with level shift and clamping.  Raises ValueError on
+    progressive/chroma/16-bit-quant variants — those stay behind the
+    codec gate."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    i = 2
+    quant: list[int] | None = None
+    width = height = None
+    huff: dict[int, dict] = {}
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError("bad segment marker")
+        marker = payload[i + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(payload[i + 2 : i + 4], "big")
+        body = payload[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            if body[0] & 0xF0:
+                raise ValueError("16-bit quant tables not supported")
+            quant = list(body[1:65])
+        elif marker == 0xC0:
+            if body[0] != 8 or body[5] != 1:
+                raise ValueError("only 8-bit single-component baseline")
+            height = int.from_bytes(body[1:3], "big")
+            width = int.from_bytes(body[3:5], "big")
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc_th = body[j]
+                bits = list(body[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(body[j + 17 : j + 17 + nv])
+                huff[tc_th] = _jpeg_decode_table(bits, vals)
+                j += 17 + nv
+        elif marker == 0xDA:
+            if quant is None or width is None:
+                raise ValueError("scan before tables/frame header")
+            dc_id = body[2] >> 4
+            ac_id = body[2] & 0x0F
+            br = _JpegBitReader(payload[i + 2 + ln :])
+            cmat = _jpeg_idct_matrix()
+            nbx = (width + 7) // 8
+            nby = (height + 7) // 8
+            pixels = np.zeros((nby * 8, nbx * 8), dtype=np.int64)
+            prev = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    cat = _jpeg_read_symbol(br, huff[0x00 | dc_id])
+                    prev += _jpeg_extend(br.read_bits(cat), cat) if cat else 0
+                    coefs = np.zeros(64)
+                    coefs[0] = prev * quant[0]
+                    k = 1
+                    while k < 64:
+                        sym = _jpeg_read_symbol(br, huff[0x10 | ac_id])
+                        if sym == 0x00:  # EOB
+                            break
+                        if sym == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += sym >> 4
+                        size = sym & 0x0F
+                        zz = _JPEG_ZIGZAG[k]
+                        coefs[zz] = _jpeg_extend(br.read_bits(size), size) * quant[zz]
+                        k += 1
+                    grid = coefs.reshape(8, 8)  # [v, u] in natural order
+                    # B[y, x] = Σ_v Σ_u C[y,v]·C[x,u]·F[v,u]
+                    block = (cmat @ grid @ cmat.T) / 4.0
+                    vals = np.clip(np.rint(block) + 128, 0, 255).astype(np.int64)
+                    pixels[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = vals
+            return width, height, [
+                int(pixels[y, x]) for y in range(height) for x in range(width)
+            ]
+        i += 2 + ln
+    raise ValueError("no scan found")
+
+
+JPEG_STATS_SCHEMA = (
+    "item_id long, width int, height int, n_px long, "
+    "px_sum long, px_min int, px_max int"
+)
+
+
+def jpeg_pixel_stats(
+    df: DataFrame, id_col: str = "item_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Grayscale pixel statistics per image via decode_jpeg_gray inside
+    mapInPandas — same shape as png_pixel_stats: per-item decode, zero
+    shuffle, exact integer cells out."""
+
+    _pickle_module_by_value()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                k.split()[0]: [] for k in JPEG_STATS_SCHEMA.split(", ")
+            }
+            for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                w, h, px = decode_jpeg_gray(payload)
+                rows["item_id"].append(int(item_id))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_px"].append(len(px))
+                rows["px_sum"].append(sum(px))
+                rows["px_min"].append(min(px))
+                rows["px_max"].append(max(px))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
+
+
+def with_synth_jpeg_content(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Attach a fully-decodable baseline grayscale JPEG payload per row."""
+
+    _pickle_module_by_value()
+
+    @F.pandas_udf("binary")
+    def make_payload(ids: pd.Series) -> pd.Series:
+        return pd.Series([synth_jpeg_content(int(i)) for i in ids])
+
+    return df.withColumn("payload", make_payload(F.col(id_col)))
+
+
 def _png_filter_row(ftype: int, row: bytes, prior: bytes, channels: int) -> bytes:
     """Apply PNG filter `ftype` to a raw row (encoder side of decode_png)."""
     stride = len(row)

@@ -1537,6 +1537,70 @@ def _uncertainty_oracle() -> str:
     """
 
 
+def x235_jpeg_pixels(spark, sf_dir):
+    """Real baseline-JPEG decode per document (ids ≡ 4 mod 5): a genuine
+    grayscale JPEG is synthesized — DPCM + canonical-Huffman entropy
+    coding, 0xFF byte stuffing, quantization — with DC-only blocks whose
+    dequantized flat value is integer-exact through the (fully generic)
+    IDCT, so the decoded pixel statistics are SQL-stateable while the
+    decoder (operators/multimodal.decode_jpeg_gray) exercises the real
+    layers: Huffman table reconstruction from DHT, bit unstuffing, DPCM
+    chains, run-length AC (the AC/ZRL path is round-trip-tested against
+    an independent IDCT in tests), dequant, numpy-matrix IDCT, clamp.
+    This retires the last image-codec gate: PNG (x215), GIF/LZW (x232)
+    and baseline JPEG are all decoded for real in pure stdlib+numpy.
+
+    100 TB: per-item mapInPandas decode, zero shuffle; exact integer
+    sums out, one engine-side division for the mean.
+    """
+    from social_warner_spark.operators.multimodal import (
+        jpeg_pixel_stats,
+        with_synth_jpeg_content,
+    )
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 5 == 4)
+    )
+    stats = jpeg_pixel_stats(with_synth_jpeg_content(d), id_col="doc_id")
+    return stats.select(
+        F.col("item_id").alias("doc_id"),
+        "width",
+        "height",
+        "n_px",
+        "px_sum",
+        "px_min",
+        "px_max",
+        r6(F.col("px_sum") / F.col("n_px").cast("double")).alias("px_mean"),
+    )
+
+
+_JPEG_ORACLE = """
+        WITH d AS (
+            SELECT doc_id FROM documents WHERE doc_id % 5 = 4
+        ), geo AS (
+            SELECT doc_id,
+                   CAST(8 * (2 + doc_id % 3) AS INT) AS width,
+                   CAST(8 * (1 + doc_id % 2) AS INT) AS height
+            FROM d
+        ), blocks AS (
+            SELECT g.doc_id, g.width, g.height,
+                   ((g.doc_id + 3 * bx + 5 * by) % 32) - 16 + 128 AS v
+            FROM geo g,
+                 UNNEST(range(0, g.width // 8)) t(bx),
+                 UNNEST(range(0, g.height // 8)) u(by)
+        )
+        SELECT doc_id, width, height,
+               CAST(width AS BIGINT) * height AS n_px,
+               CAST(64 * SUM(v) AS BIGINT) AS px_sum,
+               CAST(MIN(v) AS INT) AS px_min,
+               CAST(MAX(v) AS INT) AS px_max,
+               ROUND(64 * SUM(v) / CAST(width * height AS DOUBLE), 6) AS px_mean
+        FROM blocks GROUP BY doc_id, width, height
+"""
+
+
 QUERIES = {
     "x220_pq_ann": x220_pq_ann,
     "x221_kcenter_coreset": x221_kcenter_coreset,
@@ -1553,6 +1617,7 @@ QUERIES = {
     "x232_gif_frame_stats": x232_gif_frame_stats,
     "x233_scaling_curve": x233_scaling_curve,
     "x234_uncertainty_sampling": x234_uncertainty_sampling,
+    "x235_jpeg_pixels": x235_jpeg_pixels,
 }
 
 ORACLES = {
@@ -1571,4 +1636,5 @@ ORACLES = {
     "x232_gif_frame_stats": _GIF_ORACLE,
     "x233_scaling_curve": _SCALING_ORACLE,
     "x234_uncertainty_sampling": _uncertainty_oracle(),
+    "x235_jpeg_pixels": _JPEG_ORACLE,
 }

@@ -742,3 +742,82 @@ def test_gif_decode_rejects_unsupported():
 
     with _pytest.raises(ValueError):
         decode_gif_frames(b"NOTAGIF")
+
+
+def test_jpeg_ac_entropy_path_roundtrip():
+    """The full AC layer — run-length symbols, ZRL, EOB, DPCM DC chains,
+    byte stuffing — must round-trip random sparse coefficient blocks;
+    decoded pixels are checked against an INDEPENDENT explicit-4-loop
+    IDCT (the decoder uses the numpy matrix form)."""
+    import math
+    import random
+
+    from social_warner_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_encode_blocks,
+        decode_jpeg_gray,
+    )
+
+    rng = random.Random(3)
+    quant = [8] * 64
+    blocks = []
+    for _ in range(4):
+        c = [0] * 64
+        c[0] = rng.randrange(-16, 16)
+        for _ in range(6):
+            c[rng.randrange(1, 64)] = rng.randrange(-30, 31) or 1
+        blocks.append(c)
+    w, h, px = decode_jpeg_gray(_jpeg_encode_blocks(blocks, 16, 16, quant))
+    assert (w, h) == (16, 16)
+
+    def ref_block(coefs_zz):
+        nat = [0.0] * 64
+        for k in range(64):
+            nat[_JPEG_ZIGZAG[k]] = coefs_zz[k] * quant[_JPEG_ZIGZAG[k]]
+        out = []
+        for y in range(8):
+            row = []
+            for x in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * nat[v * 8 + u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                row.append(min(255, max(0, round(s / 4) + 128)))
+            out.append(row)
+        return out
+
+    bi = 0
+    for by in range(2):
+        for bx in range(2):
+            ref = ref_block(blocks[bi])
+            bi += 1
+            for y in range(8):
+                for x in range(8):
+                    assert px[(by * 8 + y) * 16 + bx * 8 + x] == ref[y][x]
+
+
+def test_jpeg_decode_dc_formula_and_rejects():
+    import pytest as _pytest
+
+    from social_warner_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        synth_jpeg_content,
+    )
+
+    for did in (0, 17, 99):
+        w, h, px = decode_jpeg_gray(synth_jpeg_content(did))
+        assert (w, h) == (8 * (2 + did % 3), 8 * (1 + did % 2))
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                exp = ((did + 3 * bx + 5 * by) % 32) - 16 + 128
+                for y in range(8):
+                    for x in range(8):
+                        assert px[(by * 8 + y) * w + bx * 8 + x] == exp
+    with _pytest.raises(ValueError):
+        decode_jpeg_gray(b"\x00\x01NOTJPEG")
