@@ -405,8 +405,15 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
         elif chunk_id == b"data":
             data = body
         i += 8 + size + (size % 2)
+    if fmt_tag == 7 and bits == 8 and n_channels and data is not None:
+        # G.711 μ-law (companded 8-bit — a genuinely LOSSY audio format
+        # with an exact integer expansion, ITU-T G.711 Table 2a/2b)
+        samples = [_mulaw_expand(b) for b in data]
+        return sample_rate, n_channels, samples
     if fmt_tag != 1 or bits not in (8, 16, 32) or not n_channels or data is None:
-        raise ValueError("unsupported WAV variant (need integer PCM)")
+        raise ValueError(
+            "unsupported WAV variant (need integer PCM or 8-bit mu-law)"
+        )
     step = bits // 8
     signed = bits != 8
     samples = [
@@ -414,6 +421,55 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
         for j in range(0, len(data) - len(data) % (step * n_channels), step)
     ]
     return sample_rate, n_channels, samples
+
+
+def _mulaw_expand(code: int) -> int:
+    """ITU-T G.711 μ-law expansion: complemented code → segment/mantissa
+    → linear PCM in [−32124, 32124].  Integer-exact (decode(0xFF) = 0,
+    decode(0x00) = −32124 per the published tables), so a SQL oracle can
+    restate it with arithmetic alone."""
+    u = ~code & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    v = t - 0x84
+    return -v if (u & 0x80) else v
+
+
+def synth_mulaw_wav_content(doc_id: int, n_chars: int) -> bytes:
+    """A REAL μ-law WAV (format tag 7, 8-bit codes): code byte
+    k = (7·doc_id + 11·k) mod 256, mono, 8 kHz — the companded telephony
+    format whose decode is the simplest legitimately-lossy audio
+    codec."""
+    n = 80 + n_chars % 128
+    codes = bytes((7 * doc_id + 11 * k) % 256 for k in range(n))
+    fmt_body = (
+        (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+    return (
+        b"RIFF" + (36 + len(codes)).to_bytes(4, "little") + b"WAVE"
+        + b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+        + b"data" + len(codes).to_bytes(4, "little") + codes
+    )
+
+
+def with_synth_mulaw_content(
+    df: DataFrame, id_col: str = "doc_id", n_chars_col: str = "n_chars"
+) -> DataFrame:
+    """Attach a fully-decodable μ-law WAV payload per row."""
+
+    _pickle_module_by_value()
+
+    @F.pandas_udf("binary")
+    def make_payload(ids: pd.Series, n_chars: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                synth_mulaw_wav_content(int(i), int(n))
+                for i, n in zip(ids, n_chars)
+            ]
+        )
+
+    return df.withColumn("payload", make_payload(F.col(id_col), F.col(n_chars_col)))
 
 
 def _gif_lzw_encode(indices: list[int], mcs: int) -> bytes:

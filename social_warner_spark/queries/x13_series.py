@@ -1601,6 +1601,75 @@ _JPEG_ORACLE = """
 """
 
 
+def x236_mulaw_audio(spark, sf_dir):
+    """Real companded-audio decode (ids ≡ 1 mod 7): a genuine ITU-T
+    G.711 μ-law WAV (format tag 7) is synthesized per doc and
+    operators/multimodal.decode_wav_samples expands every 8-bit code
+    through the real segment/mantissa arithmetic (reference values
+    pinned in tests: 0xFF→0, 0x00→−32124).  μ-law is the simplest
+    legitimately LOSSY audio codec, so this retires the last
+    audio-codec gate; the oracle restates the expansion with integer
+    arithmetic alone.
+
+    100 TB: per-item mapInPandas decode, zero shuffle; integer sums
+    out, the RMS square root engine-side.
+    """
+    from social_warner_spark.operators.multimodal import (
+        wav_sample_stats,
+        with_synth_mulaw_content,
+    )
+
+    d = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "n_chars")
+        .where(F.col("doc_id") % 7 == 1)
+    )
+    stats = wav_sample_stats(with_synth_mulaw_content(d), id_col="doc_id")
+    return stats.select(
+        F.col("item_id").alias("doc_id"),
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        "sample_sum",
+        "sample_sq_sum",
+        "sample_min",
+        "sample_max",
+        r6(
+            F.sqrt(F.col("sample_sq_sum") / F.col("n_samples").cast("double"))
+        ).alias("rms"),
+    )
+
+
+#: G.711 expansion restated as pure integer arithmetic (u = 255 − code).
+_MULAW_V = (
+    "(CASE WHEN (255 - b) >= 128 THEN -1 ELSE 1 END)"
+    " * (((((255 - b) % 16) * 8) + 132)"
+    "    * (1 << (((255 - b) % 128) // 16)) - 132)"
+)
+
+_MULAW_ORACLE = f"""
+        WITH d AS (
+            SELECT doc_id, 80 + n_chars % 128 AS n FROM documents
+            WHERE doc_id % 7 = 1
+        ), s AS (
+            SELECT d.doc_id, d.n, ((7 * d.doc_id + 11 * k) % 256) AS b
+            FROM d, UNNEST(range(0, d.n)) t(k)
+        ), p AS (
+            SELECT doc_id, n, {_MULAW_V} AS v FROM s
+        )
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(n AS BIGINT) AS n_samples,
+               CAST(SUM(v) AS BIGINT) AS sample_sum,
+               CAST(SUM(v * v) AS BIGINT) AS sample_sq_sum,
+               CAST(MIN(v) AS INT) AS sample_min,
+               CAST(MAX(v) AS INT) AS sample_max,
+               ROUND(sqrt(SUM(v * v) / CAST(n AS DOUBLE)), 6) AS rms
+        FROM p GROUP BY doc_id, n
+"""
+
+
 QUERIES = {
     "x220_pq_ann": x220_pq_ann,
     "x221_kcenter_coreset": x221_kcenter_coreset,
@@ -1618,6 +1687,7 @@ QUERIES = {
     "x233_scaling_curve": x233_scaling_curve,
     "x234_uncertainty_sampling": x234_uncertainty_sampling,
     "x235_jpeg_pixels": x235_jpeg_pixels,
+    "x236_mulaw_audio": x236_mulaw_audio,
 }
 
 ORACLES = {
@@ -1637,4 +1707,5 @@ ORACLES = {
     "x233_scaling_curve": _SCALING_ORACLE,
     "x234_uncertainty_sampling": _uncertainty_oracle(),
     "x235_jpeg_pixels": _JPEG_ORACLE,
+    "x236_mulaw_audio": _MULAW_ORACLE,
 }

@@ -821,3 +821,25 @@ def test_jpeg_decode_dc_formula_and_rejects():
                         assert px[(by * 8 + y) * w + bx * 8 + x] == exp
     with _pytest.raises(ValueError):
         decode_jpeg_gray(b"\x00\x01NOTJPEG")
+
+
+def test_mulaw_expansion_reference_values():
+    """G.711 μ-law expansion pinned to the published table endpoints and
+    step size, plus full-range antisymmetry."""
+    from social_warner_spark.operators.multimodal import (
+        _mulaw_expand,
+        decode_wav_samples,
+        synth_mulaw_wav_content,
+    )
+
+    assert _mulaw_expand(0xFF) == 0
+    assert _mulaw_expand(0x7F) == 0
+    assert _mulaw_expand(0x00) == -32124
+    assert _mulaw_expand(0x80) == 32124
+    assert _mulaw_expand(0xFE) == 8
+    for c in range(128):
+        assert _mulaw_expand(c) == -_mulaw_expand(c + 128)
+
+    sr, nc, samples = decode_wav_samples(synth_mulaw_wav_content(3, 50))
+    assert (sr, nc, len(samples)) == (8000, 1, 130)
+    assert all(-32124 <= v <= 32124 for v in samples)
