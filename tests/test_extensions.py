@@ -463,9 +463,35 @@ def test_decode_wav_samples_roundtrip_and_gates():
         decode_wav_samples(wavf)
 
 
-def test_decode_stub_gating():
-    with pytest.raises(NotImplementedError):
+def test_decode_stub_real_and_gated_paths():
+    """fake=False now runs the REAL in-repo decoders: a valid PNG
+    yields features derived from actual pixels, a malformed payload of
+    a supported type raises the decoder's ValueError, and only
+    out-of-scope formats raise NotImplementedError.  fake=True keeps
+    the original deterministic plumbing contract."""
+    from social_warner_spark.operators.multimodal import (
+        synth_gif_content,
+        synth_jpeg_content,
+        synth_mulaw_wav_content,
+        synth_png_content,
+        synth_wav_content,
+    )
+
+    real_cases = [
+        (synth_png_content(7), "image/png"),
+        (synth_gif_content(7), "image/gif"),
+        (synth_jpeg_content(7), "image/jpeg"),
+        (synth_wav_content(7, 50), "audio/wav"),
+        (synth_mulaw_wav_content(7, 50), "audio/wav"),
+    ]
+    for payload, mt in real_cases:
+        feat = decode_stub(payload, mt, fake=False)
+        assert len(feat) == FEATURE_DIM
+        assert feat == decode_stub(payload, mt, fake=False)  # deterministic
+    with pytest.raises(ValueError):
         decode_stub(b"img-bytes", "image/png", fake=False)
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"mp4-bytes", "video/mp4", fake=False)
     feat = decode_stub(b"img-bytes", "image/png", fake=True)
     assert len(feat) == FEATURE_DIM and all(0 <= x <= 1 for x in feat)
 
@@ -843,3 +869,57 @@ def test_mulaw_expansion_reference_values():
     sr, nc, samples = decode_wav_samples(synth_mulaw_wav_content(3, 50))
     assert (sr, nc, len(samples)) == (8000, 1, 130)
     assert all(-32124 <= v <= 32124 for v in samples)
+
+
+def test_resize_real_path_roundtrips_through_png():
+    """Real resize: decode_png → nearest-neighbor → encode_png; the
+    output must be a decodable PNG of the target geometry whose pixels
+    equal the deterministic source-coordinate map."""
+    from social_warner_spark.operators.multimodal import (
+        _resize_stub,
+        decode_png,
+        synth_png_content,
+    )
+
+    src = synth_png_content(9)
+    w0, h0, ch, vals = decode_png(src)
+    out = _resize_stub(src, 10, 6, fake=False)
+    w, h, ch2, rvals = decode_png(out)
+    assert (w, h, ch2) == (10, 6, ch)
+    for y in range(6):
+        sy = (y * h0) // 6
+        for x in range(10):
+            sx = (x * w0) // 10
+            for c in range(ch):
+                assert (
+                    rvals[(y * 10 + x) * ch + c]
+                    == vals[(sy * w0 + sx) * ch + c]
+                )
+
+
+def test_frame_sample_real_path_extracts_gif_frames_as_png():
+    """Real frame sampling: every sampled GIF frame re-encodes as a
+    decodable RGB PNG whose pixels equal the palette-mapped indices."""
+    from social_warner_spark.operators.multimodal import (
+        _frame_sample_stub,
+        decode_gif_frames,
+        decode_png,
+        synth_gif_content,
+    )
+
+    gif = synth_gif_content(17)  # 4 frames
+    w, h, colors, frames = decode_gif_frames(gif)
+    sampled = _frame_sample_stub(gif, every_ms=250, max_frames=3, fake=False)
+    assert [s[0] for s in sampled] == [0, 1, 2]
+    assert [s[1] for s in sampled] == [0, 250, 500]
+    for i, (_, _, png) in enumerate(sampled):
+        pw, ph, pch, pvals = decode_png(png)
+        assert (pw, ph, pch) == (w, h, 3)
+        expect: list[int] = []
+        for idx in frames[i]:
+            expect.extend(colors[idx])
+        assert pvals == expect
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _frame_sample_stub(b"mp4-bytes", 250, 3, fake=False)
