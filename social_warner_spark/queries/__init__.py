@@ -78,7 +78,7 @@ _SERIES = (
 #: yet covered (x94–x98, x101–x109, x111–x118, x120–x137, x139–x163),
 #: the early x-series micro-operators (x5, x6, x9, x12, x14, x17–x23,
 #: x25, x26, x29, x30, x33, x36, x37), and the round-3 additions
-#: without rows yet (x217, x218, x219, x221–x233, q6).  Keep zero
+#: without rows yet (x217, x218, x219, x221–x236, q6).  Keep zero
 #: overlap with CORRECTNESS_r01–r03.
 CHECK_PRIORITY = (
     # round-3 new machinery: real PNG/WAV pixel+sample decode, PQ ANN
