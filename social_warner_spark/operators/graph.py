@@ -116,3 +116,51 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         deg.agg(F.count("*").alias("n_nodes"))
     )
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
+
+def lpa_fixed(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation with a FIXED round count
+    (Raghavan/Albert/Kumara 2007, made deterministic): every node starts
+    labelled with its own id; each round it adopts the most frequent
+    label among its neighbors, ties broken by lexicographic minimum;
+    nodes with no in-edges keep their current label.  Returns
+    (node, lbl) after ``iters`` rounds.
+
+    nodes: (node).  edges: (src, dst) — directed; pass both directions
+    for an undirected graph.  Fixed rounds + the deterministic tie-break
+    are what make the operator oracle-checkable (the DuckDB oracle
+    unrolls the identical rounds as chained CTEs).
+
+    Scale: the edge relation is persisted once and re-read by every
+    round; each round is one equi-join (edges ⋈ labels on dst), one
+    (node,label) count, and one per-node top-1 window partitioned by
+    node — all key-partitioned shuffles of at most |E| rows.  The label
+    relation (one row per node) is persisted per round so round k joins
+    a materialisation, not round k-1's lineage.
+    """
+    from pyspark.sql import Window
+
+    from social_warner_spark.caching import register_persisted
+
+    ed = register_persisted(edges.persist())
+    labels = nodes.select("node", F.col("node").alias("lbl"))
+    top1 = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(iters):
+        votes = (
+            ed.join(labels.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(top1))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("lbl").alias("new_lbl"))
+        )
+        labels = register_persisted(
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("new_lbl"), F.col("lbl")).alias("lbl"),
+            )
+            .persist()
+        )
+    return labels

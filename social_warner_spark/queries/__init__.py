@@ -33,6 +33,7 @@ from social_warner_spark.queries import (
     x11_series,
     x12_series,
     x13_series,
+    x14_series,
     x_series,
 )
 
@@ -54,6 +55,7 @@ _SERIES = (
     x11_series,
     x12_series,
     x13_series,
+    x14_series,
     sql_series,
 )
 
@@ -78,7 +80,9 @@ _SERIES = (
 #: yet covered (x94–x98, x101–x109, x111–x118, x120–x137, x139–x163),
 #: the early x-series micro-operators (x5, x6, x9, x12, x14, x17–x23,
 #: x25, x26, x29, x30, x33, x36, x37), and the round-3 additions
-#: without rows yet (x217, x218, x219, x221–x236, q6).  Keep zero
+#: without rows yet (x217, x218, x219, x221–x236, x238–x246,
+#: x196_sequence_entropy — swapped out of the r03 window to make room
+#: for the x14-series representative x237 — and q6).  Keep zero
 #: overlap with CORRECTNESS_r01–r03.
 CHECK_PRIORITY = (
     # round-3 new machinery: real PNG/WAV pixel+sample decode, PQ ANN
@@ -103,7 +107,7 @@ CHECK_PRIORITY = (
     "x188_logreg_gd",
     # round-2/3 experimentation & advanced-stats families (x195-x214)
     "x195_forecast_backtest",
-    "x196_sequence_entropy",
+    "x237_kneser_ney",
     "x197_cross_correlation",
     "x198_priority_sample",
     "x199_capture_recapture",

@@ -1,0 +1,1151 @@
+"""x14 series — round-3 widening batch (x237–x246): language-model
+smoothing, classical time-series smoothing, community detection, privacy
+auditing, subword segmentation, paired-classifier testing, EM record
+linkage, generative text classification, feature selection, and
+off-policy evaluation.
+
+Like every other series, each query is a pure DataFrame program over the
+driver's parquet tables with an independently-written DuckDB oracle, and
+every iterative algorithm is expressed with a FIXED, unrolled round
+count so the oracle can reproduce it exactly.
+
+Literature grounding (public):
+- Kneser & Ney, "Improved backing-off for m-gram language modeling"
+  (ICASSP 1995); Chen & Goodman tech report TR-10-98 for the
+  interpolated form used here.
+- Holt, "Forecasting seasonals and trends by exponentially weighted
+  moving averages" (1957; reprinted IJF 2004).
+- Raghavan, Albert & Kumara, "Near linear time algorithm to detect
+  community structures in large-scale networks" (Phys. Rev. E 2007) —
+  label propagation.
+- Machanavajjhala et al., "l-Diversity: Privacy Beyond k-Anonymity"
+  (ICDE 2006).
+- Schuster & Nakajima, "Japanese and Korean voice search" (ICASSP 2012)
+  — WordPiece greedy longest-match-first segmentation.
+- McNemar, "Note on the sampling error of the difference between
+  correlated proportions" (Psychometrika 1947).
+- Fellegi & Sunter, "A theory for record linkage" (JASA 1969); EM
+  fitting per Winkler (1988).
+- McCallum & Nigam, "A comparison of event models for naive Bayes text
+  classification" (AAAI-98 workshop).
+- Yang & Pedersen, "A comparative study on feature selection in text
+  categorization" (ICML 1997) — chi-square term selection.
+- Swaminathan & Joachims, "The self-normalized estimator for
+  counterfactual learning" (NeurIPS 2015) — SNIPS.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from social_warner_spark.functions.text import shingles_from_tokens, tokens
+from social_warner_spark.queries.common import T, r6
+
+#: x237 — absolute discount for interpolated Kneser-Ney (the Chen &
+#: Goodman fixed-discount variant; counts are >=1 so c-D stays positive).
+KN_D = 0.75
+#: x238 — Holt linear-trend smoothing weights (level / trend).
+HW_ALPHA = 0.5
+HW_BETA = 0.3
+#: x239 — synchronous label-propagation rounds (unrolled in the oracle).
+LPA_ITERS = 3
+#: x240 — privacy thresholds: k-anonymity class size, l-diversity
+#: distinct-sensitive-value floor, sensitive band width (acctbal units).
+LDIV_K = 5
+LDIV_L = 3
+LDIV_BAND = 1000.0
+#: x241 — WordPiece-style vocab: every corpus character plus the top
+#: TOP_NGRAMS occurrence-weighted character n-grams of len 2..MAX_PIECE.
+WP_TOP_NGRAMS = 50
+WP_MAX_PIECE = 4
+#: x242 — fixed decision thresholds for the two rule classifiers.
+MCN_LEN_THRESHOLD = 600
+MCN_MARKER = "the"
+#: x243 — linkage block + agreement definitions and EM initialisation.
+FS_BAL_EPS = 50.0
+FS_KEY_MOD = 97
+FS_M0 = 0.9
+FS_U0 = 0.1
+FS_P0 = 0.05
+FS_EM_ROUNDS = 2
+#: x244 — naive-Bayes train/test split modulus (doc_id % 5 == 0 → test).
+NB_SPLIT_MOD = 5
+#: x245 — result size for chi-square token selection.
+CHI2_TOP_K = 20
+#: x246 — context segmentation for off-policy evaluation.
+IPS_SEGMENTS = 10
+
+
+# ---------------------------------------------------------------------------
+# x237 — interpolated Kneser-Ney bigram scoring
+# ---------------------------------------------------------------------------
+
+
+def x237_kneser_ney(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram LM scoring per document — the
+    smoothing that (unlike x66's simple interpolation) bases the backoff
+    on CONTINUATION counts: P_KN(w2|w1) = (c(w1,w2)-D)/c(w1.) +
+    D*N1+(w1.)/c(w1.) * N1+(.w2)/|bigram types|.
+
+    Scale shape is identical to x66: the model is assembled purely on
+    the DISTINCT-bigram relation (vocabulary-bounded — continuation and
+    context statistics are group-bys OF that relation, strictly smaller
+    than it), so the full bigram stream shuffles exactly twice: the
+    model equi-join and the per-doc mean.  The |bigram types| total is a
+    broadcast 1-row relation."""
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    bg = staged.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bg")
+    )
+    bgc = (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("c12"))
+        .select(
+            "bg",
+            "c12",
+            F.split("bg", " ").getItem(0).alias("w1"),
+            F.split("bg", " ").getItem(1).alias("w2"),
+        )
+    )
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count("*").alias("n1_fwd")
+    )
+    cont = bgc.groupBy("w2").agg(F.count("*").alias("n1_rev"))
+    btypes = bgc.agg(F.count("*").alias("b_types"))
+    model = (
+        bgc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(btypes))
+        .select(
+            "bg",
+            F.log(
+                (F.col("c12") - KN_D) / F.col("c1")
+                + KN_D
+                * F.col("n1_fwd")
+                / F.col("c1")
+                * F.col("n1_rev")
+                / F.col("b_types")
+            ).alias("lp"),
+        )
+    )
+    return (
+        bg.join(model, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r6(F.avg("lp")).alias("avg_kn_logp"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x238 — Holt linear-trend exponential smoothing
+# ---------------------------------------------------------------------------
+
+
+def x238_holt_smoothing(spark, sf_dir):
+    """Holt double-exponential (level+trend) smoothing of the per-type
+    daily value series: l_t = a*y_t + (1-a)(l+b), b_t = B(l_t-l)+(1-B)b,
+    initialised l=y_1, b=y_2-y_1, folded left-to-right over the sorted
+    series; reports the final state, the 1-step-ahead forecast and the
+    in-sample RMSE.  (The first folded step forecasts y_2 exactly by
+    construction, so its error term is 0 — mirrored in the oracle.)
+
+    Scale shape: one map-side-combined shuffle builds the daily grid;
+    the recursion itself is a NARROW fold (F.aggregate) over each key's
+    in-memory day array — state per key is O(1), array per key is
+    bounded by the date range, and no iteration-per-day job is launched.
+    The oracle replays the identical recursion as a recursive CTE."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type"), F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum("value").alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    ys = F.transform(F.col("s"), lambda e: e["y"])
+    stepped = series.where(F.size("s") >= 2).select(
+        "event_type",
+        F.size("s").alias("n_days"),
+        F.aggregate(
+            F.slice(ys, 2, F.size(ys) - 1),
+            F.struct(
+                F.element_at(ys, 1).alias("l"),
+                (F.element_at(ys, 2) - F.element_at(ys, 1)).alias("b"),
+                F.lit(0.0).alias("sse"),
+            ),
+            lambda acc, y: F.struct(
+                (
+                    HW_ALPHA * y + (1 - HW_ALPHA) * (acc["l"] + acc["b"])
+                ).alias("l"),
+                (
+                    HW_BETA
+                    * (
+                        HW_ALPHA * y
+                        + (1 - HW_ALPHA) * (acc["l"] + acc["b"])
+                        - acc["l"]
+                    )
+                    + (1 - HW_BETA) * acc["b"]
+                ).alias("b"),
+                (
+                    acc["sse"]
+                    + (y - (acc["l"] + acc["b"])) * (y - (acc["l"] + acc["b"]))
+                ).alias("sse"),
+            ),
+        ).alias("st"),
+    )
+    return stepped.select(
+        "event_type",
+        "n_days",
+        r6(F.col("st")["l"]).alias("level"),
+        r6(F.col("st")["b"]).alias("trend"),
+        r6(F.col("st")["l"] + F.col("st")["b"]).alias("forecast_next"),
+        r6(
+            F.sqrt(F.col("st")["sse"] / (F.col("n_days") - 1))
+        ).alias("rmse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x239 — label-propagation communities
+# ---------------------------------------------------------------------------
+
+
+def x239_label_propagation(spark, sf_dir):
+    """Synchronous label propagation (3 fixed rounds) over the same
+    undirected customer↔supplier order graph as x39's PageRank: each
+    node adopts the most frequent neighbor label (ties → lexicographic
+    min); isolated nodes keep their label.  Output is the community
+    size histogram.
+
+    Scale shape: each round is one (edges ⋈ labels) equi-join + one
+    (node,label) count + one per-node top-1 window — the same
+    bounded-round message-passing plan family as PageRank/k-core, with
+    per-round persists so round k reads round k-1's materialisation,
+    not its lineage."""
+    from social_warner_spark.operators.graph import lpa_fixed
+
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    cust = T(spark, sf_dir, "customer").select(
+        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+    )
+    supp = T(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+    )
+    nodes = cust.unionAll(supp)
+    e0 = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = lpa_fixed(nodes, edges, iters=LPA_ITERS)
+    return labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x240 — l-diversity privacy audit
+# ---------------------------------------------------------------------------
+
+
+def x240_l_diversity(spark, sf_dir):
+    """k-anonymity + l-diversity audit of customer quasi-identifiers:
+    equivalence classes are (nation, market segment); the sensitive
+    attribute is the account-balance band (floor(bal/1000)).  Reports
+    per-class size k, distinct-sensitive-count l, and whether the class
+    meets k>=5 / l>=3 — the release-gating check run before publishing
+    any user-keyed training slice.
+
+    Scale: a single map-side-combined two-level aggregation (band
+    distinct inside class) — one shuffle on the class key."""
+    c = T(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / LDIV_BAND)
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("k"),
+            F.countDistinct(band).alias("l"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "k",
+            "l",
+            (F.col("k") >= LDIV_K).alias("k_anon_ok"),
+            (F.col("l") >= LDIV_L).alias("l_diverse_ok"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# x241 — greedy WordPiece segmentation
+# ---------------------------------------------------------------------------
+
+
+def x241_greedy_wordpiece(spark, sf_dir):
+    """WordPiece-style greedy longest-match-first subword segmentation
+    with a corpus-derived piece vocabulary (all single characters, which
+    guarantees total coverage, plus the top-50 occurrence-weighted
+    character 2..4-grams); reports per-document word/piece counts and
+    fertility (pieces per word) — the tokenizer-efficiency signal that
+    drives vocab sizing (compare x109's fixed-vocab fertility).
+
+    The greedy walk is made RELATIONAL rather than recursive: a
+    per-position best-match-length table bl[p] is computed with one
+    (substring, piece) equi-join over exploded (word, position, length)
+    rows, and the longest-match walk is then an O(len) F.aggregate fold
+    per word ("advance pos by bl[pos] when the index reaches pos").
+    Everything runs on the DISTINCT-word relation (vocabulary-bounded,
+    tiny next to the corpus) and joins back to the token stream once —
+    at 100 TB the corpus shuffles exactly twice (word join, doc agg)."""
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
+    tok = staged.select("doc_id", F.explode("_toks").alias("w"))
+    wordc = (
+        tok.groupBy("w").agg(F.count("*").alias("wc")).where(F.length("w") >= 1)
+    )
+
+    grams = None
+    for n in range(2, WP_MAX_PIECE + 1):
+        g = wordc.where(F.length("w") >= n).select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length(w)-{n}+1),"
+                    f" i -> substr(w, i, {n}))"
+                )
+            ).alias("piece"),
+            "wc",
+        )
+        grams = g if grams is None else grams.unionAll(g)
+    top = (
+        grams.groupBy("piece")
+        .agg(F.sum("wc").alias("s"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("s"), F.asc("piece"))
+            ),
+        )
+        .where(F.col("rn") <= WP_TOP_NGRAMS)
+        .select("piece")
+    )
+    singles = wordc.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w)), i -> substr(w, i, 1))")
+        ).alias("piece")
+    ).distinct()
+    vocab = singles.unionAll(top).distinct()
+
+    pos_len = (
+        wordc.select("w")
+        .select(
+            "w",
+            F.explode(F.expr("sequence(1, length(w))")).alias("p"),
+        )
+        .select(
+            "w",
+            "p",
+            F.explode(
+                F.expr(f"sequence(1, {WP_MAX_PIECE})")
+            ).alias("plen"),
+        )
+        .where(F.col("p") + F.col("plen") - 1 <= F.length("w"))
+        .select(
+            "w",
+            "p",
+            "plen",
+            F.expr("substr(w, p, plen)").alias("piece"),
+        )
+    )
+    bl = (
+        pos_len.join(vocab, "piece")
+        .groupBy("w", "p")
+        .agg(F.max("plen").alias("bl"))
+    )
+    blarr = bl.groupBy("w").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("p", "bl")))
+        ).alias("m")
+    )
+    walk = blarr.select(
+        "w",
+        F.aggregate(
+            F.expr("sequence(1, cardinality(m))"),
+            F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt")),
+            lambda acc, i: F.when(
+                i == acc["pos"],
+                F.struct(
+                    (acc["pos"] + F.element_at(F.col("m"), acc["pos"])).alias(
+                        "pos"
+                    ),
+                    (acc["cnt"] + 1).alias("cnt"),
+                ),
+            ).otherwise(acc),
+        )["cnt"].alias("pieces"),
+    )
+    return (
+        tok.join(walk, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("pieces").alias("n_pieces"),
+            r6(F.sum("pieces") / F.count("*")).alias("fertility"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# x242 — McNemar paired classifier test
+# ---------------------------------------------------------------------------
+
+
+def x242_mcnemar(spark, sf_dir):
+    """McNemar's paired test comparing two rule classifiers on the same
+    documents (truth: lang == 'en'; A: n_chars >= 600; B: text contains
+    the token 'the'): the 2x2 correctness cross-table and the
+    continuity-corrected statistic (|b-c|-1)^2/(b+c), the standard test
+    for "is classifier B actually better than A on the SAME examples".
+
+    Scale: a single full-table aggregation of narrow per-row flags —
+    one shuffle of four partial counters."""
+    d = T(spark, sf_dir, "documents")
+    truth = F.col("lang") == "en"
+    pred_a = F.col("n_chars") >= MCN_LEN_THRESHOLD
+    pred_b = F.array_contains(tokens(F.col("text")), MCN_MARKER)
+    a_cor = (pred_a == truth).cast("long")
+    b_cor = (pred_b == truth).cast("long")
+    agg = d.agg(
+        F.count("*").alias("n"),
+        F.sum(a_cor * b_cor).alias("n_both"),
+        F.sum(a_cor * (1 - b_cor)).alias("n_a_only"),
+        F.sum((1 - a_cor) * b_cor).alias("n_b_only"),
+        F.sum((1 - a_cor) * (1 - b_cor)).alias("n_neither"),
+    )
+    disc = F.col("n_a_only") + F.col("n_b_only")
+    return agg.select(
+        "n",
+        "n_both",
+        "n_a_only",
+        "n_b_only",
+        "n_neither",
+        r6((F.col("n_both") + F.col("n_a_only")) / F.col("n")).alias("acc_a"),
+        r6((F.col("n_both") + F.col("n_b_only")) / F.col("n")).alias("acc_b"),
+        r6(
+            F.when(
+                disc > 0,
+                (
+                    (F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1)
+                    * (F.abs(F.col("n_a_only") - F.col("n_b_only")) - 1)
+                ).cast("double")
+                / disc,
+            ).otherwise(F.lit(0.0))
+        ).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x243 — Fellegi-Sunter record linkage with EM
+# ---------------------------------------------------------------------------
+
+
+def x243_fellegi_sunter(spark, sf_dir):
+    """Fellegi-Sunter record-linkage parameter estimation: customer
+    pairs blocked by nation, three binary agreement fields (market
+    segment equality, account balance within 50, synthetic key-mod-97
+    field), collapsed to the 8-row agreement-PATTERN relation, then two
+    unrolled EM rounds estimate per-field m/u probabilities and the
+    match prior.  Output: (field, m, u, prior).
+
+    Scale shape: the pair space is bounded by the nation BLOCK (an
+    equi-self-join — never all-pairs); patterns collapse with map-side
+    combine to <=8 rows, so both EM rounds are algebra on a broadcast
+    8-row relation crossed with a 1-row parameter relation — the same
+    "iterative state as tiny relation" pattern as BPE (x170)."""
+    c = T(spark, sf_dir, "customer")
+    a = c.alias("a")
+    b = c.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+        & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+    ).select(
+        (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+        .cast("long")
+        .alias("g1"),
+        (
+            F.abs(F.col("a.c_acctbal") - F.col("b.c_acctbal")) < FS_BAL_EPS
+        )
+        .cast("long")
+        .alias("g2"),
+        (
+            F.col("a.c_custkey") % FS_KEY_MOD
+            == F.col("b.c_custkey") % FS_KEY_MOD
+        )
+        .cast("long")
+        .alias("g3"),
+    )
+    patterns = pairs.groupBy("g1", "g2", "g3").agg(F.count("*").alias("n"))
+
+    params = spark.range(1).select(
+        *[F.lit(FS_M0).alias(f"m{i}") for i in (1, 2, 3)],
+        *[F.lit(FS_U0).alias(f"u{i}") for i in (1, 2, 3)],
+        F.lit(FS_P0).alias("p"),
+    )
+    for _ in range(FS_EM_ROUNDS):
+        lik_m = F.col("p")
+        lik_u = 1 - F.col("p")
+        for i in (1, 2, 3):
+            gi = F.col(f"g{i}")
+            lik_m = lik_m * F.when(gi == 1, F.col(f"m{i}")).otherwise(
+                1 - F.col(f"m{i}")
+            )
+            lik_u = lik_u * F.when(gi == 1, F.col(f"u{i}")).otherwise(
+                1 - F.col(f"u{i}")
+            )
+        wtab = patterns.crossJoin(F.broadcast(params)).select(
+            "g1",
+            "g2",
+            "g3",
+            "n",
+            (lik_m / (lik_m + lik_u)).alias("wm"),
+        )
+        params = wtab.agg(
+            *[
+                (
+                    F.sum(F.col("n") * F.col("wm") * F.col(f"g{i}"))
+                    / F.sum(F.col("n") * F.col("wm"))
+                ).alias(f"m{i}")
+                for i in (1, 2, 3)
+            ],
+            *[
+                (
+                    F.sum(F.col("n") * (1 - F.col("wm")) * F.col(f"g{i}"))
+                    / F.sum(F.col("n") * (1 - F.col("wm")))
+                ).alias(f"u{i}")
+                for i in (1, 2, 3)
+            ],
+            (F.sum(F.col("n") * F.col("wm")) / F.sum("n")).alias("p"),
+        )
+
+    names = {1: "segment", 2: "balance", 3: "keymod"}
+    melted = params.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(names[i]).alias("field"),
+                        F.col(f"m{i}").alias("m"),
+                        F.col(f"u{i}").alias("u"),
+                        F.col("p").alias("prior"),
+                    )
+                    for i in (1, 2, 3)
+                ]
+            )
+        ).alias("r")
+    )
+    return melted.select(
+        F.col("r")["field"].alias("field"),
+        r6(F.col("r")["m"]).alias("m_est"),
+        r6(F.col("r")["u"]).alias("u_est"),
+        r6(F.col("r")["prior"]).alias("match_prior"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# x244 — multinomial naive Bayes
+# ---------------------------------------------------------------------------
+
+
+def x244_naive_bayes(spark, sf_dir):
+    """Multinomial naive-Bayes language classifier trained relationally
+    (Laplace-1 smoothing over the train vocabulary) on docs with
+    doc_id % 5 != 0 and evaluated on the rest; output is the confusion
+    matrix (true lang, predicted lang, count).  Test tokens outside the
+    train vocabulary are dropped (standard closed-vocabulary scoring);
+    prediction ties break on class name.
+
+    Scale shape: the model is (train-vocab x classes) — assembled from
+    group-bys of the token stream plus one small cross join — and
+    scoring is ONE equi-join of the test token stream against the model
+    followed by a per-(doc, class) sum and a per-doc top-1 window.  No
+    driver-side state; the class list is a broadcast relation."""
+    d = T(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id", "lang", tokens(F.col("text")).alias("_toks")
+    )
+    train = staged.where(F.col("doc_id") % NB_SPLIT_MOD != 0)
+    test = staged.where(F.col("doc_id") % NB_SPLIT_MOD == 0)
+
+    ttok = train.select(F.col("lang").alias("cls"), F.explode("_toks").alias("w"))
+    ctc = ttok.groupBy("cls", "w").agg(F.count("*").alias("c"))
+    ntot = ttok.groupBy("cls").agg(F.count("*").alias("nc"))
+    vocab = ttok.select("w").distinct()
+    vsize = vocab.agg(F.count("*").alias("v"))
+    priors = (
+        train.groupBy(F.col("lang").alias("cls"))
+        .agg(F.count("*").alias("nd"))
+        .crossJoin(
+            F.broadcast(train.agg(F.count("*").alias("ndtot")))
+        )
+        .select("cls", F.log(F.col("nd") / F.col("ndtot")).alias("lp0"))
+    )
+    grid = (
+        vocab.crossJoin(ntot)
+        .join(ctc, ["cls", "w"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "cls",
+            "w",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + 1)
+                / (F.col("nc") + F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    stok = test.select("doc_id", "lang", F.explode("_toks").alias("w"))
+    scored = (
+        stok.join(grid, "w")
+        .groupBy("doc_id", "lang", "cls")
+        .agg(F.sum("lp").alias("s"))
+        .join(priors, "cls")
+        .select(
+            "doc_id", "lang", "cls", (F.col("s") + F.col("lp0")).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("cls"))
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("cls").alias("pred_lang"))
+    )
+    return pred.groupBy(F.col("lang").alias("true_lang"), "pred_lang").agg(
+        F.count("*").alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x245 — chi-square token selection
+# ---------------------------------------------------------------------------
+
+
+def x245_chi2_tokens(spark, sf_dir):
+    """Chi-square feature selection of tokens against the lang=='en'
+    label (document-presence based): for each token the 2x2 contingency
+    table of (docs containing it x is-English) and the chi2 statistic
+    N(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)); top-20 by chi2 (ties: token).
+
+    Scale: presence = one distinct on (doc, token); the contingency
+    assembly is one group-by over it against broadcast 1-row corpus
+    totals; the top-k is a single ordered LIMIT — total three
+    map-side-combinable shuffles, no joins against the corpus."""
+    d = T(spark, sf_dir, "documents")
+    staged = d.select("doc_id", "lang", tokens(F.col("text")).alias("_toks"))
+    pres = staged.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("is_en"),
+        F.explode("_toks").alias("w"),
+    ).distinct()
+    tots = staged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("n_en"),
+    )
+    cells = pres.groupBy("w").agg(
+        F.sum("is_en").alias("a"),
+        F.sum(1 - F.col("is_en")).alias("b"),
+    )
+    scored = cells.crossJoin(F.broadcast(tots)).select(
+        "w",
+        "a",
+        "b",
+        (F.col("n_en") - F.col("a")).alias("c"),
+        (F.col("n_docs") - F.col("n_en") - F.col("b")).alias("d"),
+        "n_docs",
+    )
+    diff = (F.col("a") * F.col("d") - F.col("b") * F.col("c")).cast("double")
+    chi2 = (
+        F.col("n_docs").cast("double")
+        * (diff * diff)
+        / (
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d")).cast("double")
+            * (F.col("a") + F.col("c")).cast("double")
+            * (F.col("b") + F.col("d")).cast("double")
+        )
+    )
+    ranked = (
+        scored.where(
+            ((F.col("a") + F.col("c")) > 0)
+            & ((F.col("b") + F.col("d")) > 0)
+            & ((F.col("c") + F.col("d")) > 0)
+        )
+        .select(
+            "w",
+            (F.col("a") + F.col("b")).alias("doc_freq"),
+            r6(chi2).alias("chi2"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("chi2"), F.asc("w"))),
+        )
+        .where(F.col("rn") <= CHI2_TOP_K)
+        .drop("rn")
+    )
+    return ranked
+
+
+# ---------------------------------------------------------------------------
+# x246 — SNIPS off-policy evaluation
+# ---------------------------------------------------------------------------
+
+
+def x246_snips_offpolicy(spark, sf_dir):
+    """Off-policy evaluation of a uniform target policy from logged
+    event feedback: context = user_id % 10 segment, logged propensity =
+    the empirical P(event_type | segment), importance weight = (1/|A|) /
+    propensity; reports per-segment plain IPS and self-normalized SNIPS
+    value estimates — the counterfactual "what would uniform exploration
+    have earned" readout used to vet logged training data for policy
+    learning.
+
+    Scale: two map-side-combined aggregations (propensity grid, per-
+    segment estimates) with the small propensity grid broadcast back —
+    the event stream shuffles once."""
+    ev = T(spark, sf_dir, "events")
+    seg = (F.col("user_id") % IPS_SEGMENTS).alias("segment")
+    base = ev.select(seg, "event_type", "value")
+    nact = base.agg(F.countDistinct("event_type").alias("n_actions"))
+    segtot = base.groupBy("segment").agg(F.count("*").alias("n_seg"))
+    prop = (
+        base.groupBy("segment", "event_type")
+        .agg(F.count("*").alias("n_sa"))
+        .join(segtot, "segment")
+        .select(
+            "segment",
+            "event_type",
+            (F.col("n_sa") / F.col("n_seg")).alias("phat"),
+        )
+    )
+    wtd = (
+        base.join(F.broadcast(prop), ["segment", "event_type"])
+        .crossJoin(F.broadcast(nact))
+        .select(
+            "segment",
+            "value",
+            ((1.0 / F.col("n_actions")) / F.col("phat")).alias("wt"),
+        )
+    )
+    return wtd.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        r6(F.avg(F.col("wt") * F.col("value"))).alias("ips_value"),
+        r6(
+            F.sum(F.col("wt") * F.col("value")) / F.sum("wt")
+        ).alias("snips_value"),
+    )
+
+
+QUERIES = {
+    "x237_kneser_ney": x237_kneser_ney,
+    "x238_holt_smoothing": x238_holt_smoothing,
+    "x239_label_propagation": x239_label_propagation,
+    "x240_l_diversity": x240_l_diversity,
+    "x241_greedy_wordpiece": x241_greedy_wordpiece,
+    "x242_mcnemar": x242_mcnemar,
+    "x243_fellegi_sunter": x243_fellegi_sunter,
+    "x244_naive_bayes": x244_naive_bayes,
+    "x245_chi2_tokens": x245_chi2_tokens,
+    "x246_snips_offpolicy": x246_snips_offpolicy,
+}
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    prev = "l0"
+    for k in range(1, LPA_ITERS + 1):
+        rounds.append(
+            f"""v{k} AS (
+            SELECT e.src AS node, l.lbl, COUNT(*) AS c
+            FROM edges e JOIN {prev} l ON e.dst = l.node GROUP BY 1, 2
+        ), b{k} AS (
+            SELECT node, lbl FROM (
+                SELECT node, lbl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY node ORDER BY c DESC, lbl
+                       ) AS rn
+                FROM v{k}
+            ) WHERE rn = 1
+        ), l{k} AS (
+            SELECT p.node, COALESCE(b{k}.lbl, p.lbl) AS lbl
+            FROM {prev} p LEFT JOIN b{k} ON p.node = b{k}.node
+        )"""
+        )
+        prev = f"l{k}"
+    body = ", ".join(rounds)
+    return f"""
+        WITH e0 AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+            SELECT src, dst FROM e0
+            UNION ALL SELECT dst AS src, src AS dst FROM e0
+        ), nodes AS (
+            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+            UNION ALL
+            SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier
+        ), l0 AS (
+            SELECT node, node AS lbl FROM nodes
+        ), {body}
+        SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM {prev} GROUP BY 1
+    """
+
+
+def _fs_oracle() -> str:
+    def lik(p, ms, us):
+        m_terms = " * ".join(
+            f"(CASE WHEN g{i} = 1 THEN {ms[i]} ELSE 1 - {ms[i]} END)"
+            for i in (1, 2, 3)
+        )
+        u_terms = " * ".join(
+            f"(CASE WHEN g{i} = 1 THEN {us[i]} ELSE 1 - {us[i]} END)"
+            for i in (1, 2, 3)
+        )
+        return f"({p} * {m_terms})", f"((1 - {p}) * {u_terms})"
+
+    stages = []
+    p = str(FS_P0)
+    ms = {i: str(FS_M0) for i in (1, 2, 3)}
+    us = {i: str(FS_U0) for i in (1, 2, 3)}
+    src = "pat"
+    for r in range(1, FS_EM_ROUNDS + 1):
+        lm, lu = lik(p, ms, us)
+        stages.append(
+            f"""w{r} AS (
+            SELECT g1, g2, g3, n, {lm} / ({lm} + {lu}) AS wm FROM {src}
+        ), p{r} AS (
+            SELECT
+                SUM(n * wm * g1) / SUM(n * wm) AS m1,
+                SUM(n * wm * g2) / SUM(n * wm) AS m2,
+                SUM(n * wm * g3) / SUM(n * wm) AS m3,
+                SUM(n * (1 - wm) * g1) / SUM(n * (1 - wm)) AS u1,
+                SUM(n * (1 - wm) * g2) / SUM(n * (1 - wm)) AS u2,
+                SUM(n * (1 - wm) * g3) / SUM(n * (1 - wm)) AS u3,
+                SUM(n * wm) / SUM(n) AS p
+            FROM w{r}
+        )"""
+        )
+        p = f"p{r}.p"
+        ms = {i: f"p{r}.m{i}" for i in (1, 2, 3)}
+        us = {i: f"p{r}.u{i}" for i in (1, 2, 3)}
+        src = f"pat CROSS JOIN p{r}"
+    body = ", ".join(stages)
+    last = f"p{FS_EM_ROUNDS}"
+    fields = {1: "segment", 2: "balance", 3: "keymod"}
+    sel = "\n        UNION ALL ".join(
+        f"SELECT '{fields[i]}' AS field, ROUND(m{i}, 6) AS m_est,"
+        f" ROUND(u{i}, 6) AS u_est, ROUND(p, 6) AS match_prior FROM {last}"
+        for i in (1, 2, 3)
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT
+                CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END AS g1,
+                CASE WHEN ABS(a.c_acctbal - b.c_acctbal) < {FS_BAL_EPS}
+                     THEN 1 ELSE 0 END AS g2,
+                CASE WHEN a.c_custkey % {FS_KEY_MOD} = b.c_custkey % {FS_KEY_MOD}
+                     THEN 1 ELSE 0 END AS g3
+            FROM customer a
+            JOIN customer b
+              ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        ), pat AS (
+            SELECT g1, g2, g3, COUNT(*) AS n FROM pairs GROUP BY 1, 2, 3
+        ), {body}
+        {sel}
+    """
+
+
+ORACLES = {
+    "x237_kneser_ney": f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), bg AS (
+            SELECT doc_id, t[i] || ' ' || t[i+1] AS bg
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2
+        ), bgc AS (
+            SELECT bg, COUNT(*) AS c12,
+                   string_split(bg, ' ')[1] AS w1,
+                   string_split(bg, ' ')[2] AS w2
+            FROM bg GROUP BY bg
+        ), ctx AS (
+            SELECT w1, SUM(c12) AS c1, COUNT(*) AS n1_fwd FROM bgc GROUP BY w1
+        ), cont AS (
+            SELECT w2, COUNT(*) AS n1_rev FROM bgc GROUP BY w2
+        ), btypes AS (
+            SELECT COUNT(*) AS b_types FROM bgc
+        ), model AS (
+            SELECT bgc.bg,
+                   ln((c12 - {KN_D}) / c1
+                      + {KN_D} * n1_fwd / c1 * n1_rev / b_types) AS lp
+            FROM bgc JOIN ctx USING (w1) JOIN cont USING (w2)
+            CROSS JOIN btypes
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(lp), 6) AS avg_kn_logp
+        FROM bg JOIN model USING (bg)
+        GROUP BY doc_id
+    """,
+    "x238_holt_smoothing": f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day, SUM(value) AS y
+            FROM events GROUP BY 1, 2
+        ), ord AS (
+            SELECT event_type, y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY day
+                   ) AS t
+            FROM daily
+        ), nn AS (
+            SELECT event_type, MAX(t) AS n_days FROM ord GROUP BY 1
+        ), hw(event_type, k, l, b, sse) AS (
+            SELECT a.event_type, CAST(2 AS BIGINT), a.y, b.y - a.y,
+                   CAST(0.0 AS DOUBLE)
+            FROM ord a JOIN ord b ON a.event_type = b.event_type AND b.t = 2
+            WHERE a.t = 1
+            UNION ALL
+            SELECT hw.event_type, hw.k + 1,
+                   {HW_ALPHA} * o.y + (1 - {HW_ALPHA}) * (hw.l + hw.b),
+                   {HW_BETA} * ({HW_ALPHA} * o.y
+                                + (1 - {HW_ALPHA}) * (hw.l + hw.b) - hw.l)
+                       + (1 - {HW_BETA}) * hw.b,
+                   hw.sse + (o.y - (hw.l + hw.b)) * (o.y - (hw.l + hw.b))
+            FROM hw JOIN ord o
+              ON o.event_type = hw.event_type AND o.t = hw.k
+        )
+        SELECT hw.event_type, CAST(nn.n_days AS INTEGER) AS n_days,
+               ROUND(hw.l, 6) AS level, ROUND(hw.b, 6) AS trend,
+               ROUND(hw.l + hw.b, 6) AS forecast_next,
+               ROUND(sqrt(hw.sse / (nn.n_days - 1)), 6) AS rmse
+        FROM hw JOIN nn USING (event_type)
+        WHERE hw.k = nn.n_days + 1
+    """,
+    "x239_label_propagation": _lpa_oracle(),
+    "x240_l_diversity": f"""
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / {LDIV_BAND})
+                                        AS BIGINT)) AS BIGINT) AS l,
+               COUNT(*) >= {LDIV_K} AS k_anon_ok,
+               COUNT(DISTINCT CAST(FLOOR(c_acctbal / {LDIV_BAND})
+                                   AS BIGINT)) >= {LDIV_L} AS l_diverse_ok
+        FROM customer GROUP BY 1, 2
+    """,
+    "x241_greedy_wordpiece": f"""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, u.w AS w FROM toks, UNNEST(t) AS u(w)
+        ), wordc AS (
+            SELECT w, COUNT(*) AS wc FROM tok WHERE len(w) >= 1 GROUP BY w
+        ), grams AS (
+            SELECT substr(w, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS piece,
+                   wc
+            FROM wordc,
+                 UNNEST(range(2, {WP_MAX_PIECE} + 1)) AS ns(n),
+                 UNNEST(range(1, len(w) - n + 2)) AS u(i)
+            WHERE len(w) >= n
+        ), top AS (
+            SELECT piece FROM (
+                SELECT piece,
+                       ROW_NUMBER() OVER (
+                           ORDER BY SUM(wc) DESC, piece
+                       ) AS rn
+                FROM grams GROUP BY piece
+            ) WHERE rn <= {WP_TOP_NGRAMS}
+        ), singles AS (
+            SELECT DISTINCT substr(w, CAST(i AS INTEGER), 1) AS piece
+            FROM wordc, UNNEST(range(1, len(w) + 1)) AS u(i)
+        ), vocab AS (
+            SELECT piece FROM singles UNION SELECT piece FROM top
+        ), pos_len AS (
+            SELECT w, i AS p, n AS plen,
+                   substr(w, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS piece
+            FROM wordc,
+                 UNNEST(range(1, len(w) + 1)) AS u(i),
+                 UNNEST(range(1, {WP_MAX_PIECE} + 1)) AS ns(n)
+            WHERE i + n - 1 <= len(w)
+        ), bl AS (
+            SELECT w, p, MAX(plen) AS bl
+            FROM pos_len JOIN vocab USING (piece) GROUP BY w, p
+        ), blarr AS (
+            SELECT w, list(bl ORDER BY p) AS bls FROM bl GROUP BY w
+        ), walk(w, bls, pos, cnt) AS (
+            SELECT w, bls, CAST(1 AS BIGINT), 0 FROM blarr
+            UNION ALL
+            SELECT w, bls, pos + bls[CAST(pos AS INTEGER)], cnt + 1
+            FROM walk WHERE pos <= len(bls)
+        ), pieces AS (
+            SELECT w, MAX(cnt) AS pieces FROM walk GROUP BY w
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(pieces) AS BIGINT) AS n_pieces,
+               ROUND(SUM(pieces) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+        FROM tok JOIN pieces USING (w)
+        GROUP BY doc_id
+    """,
+    "x242_mcnemar": f"""
+        WITH f AS (
+            SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+                   CASE WHEN n_chars >= {MCN_LEN_THRESHOLD} THEN 1 ELSE 0 END
+                       AS pa,
+                   CASE WHEN list_contains(string_split(trim(text), ' '),
+                                           '{MCN_MARKER}')
+                        THEN 1 ELSE 0 END AS pb
+            FROM documents
+        ), g AS (
+            SELECT CASE WHEN pa = truth THEN 1 ELSE 0 END AS ac,
+                   CASE WHEN pb = truth THEN 1 ELSE 0 END AS bc
+            FROM f
+        ), agg AS (
+            SELECT COUNT(*) AS n,
+                   SUM(ac * bc) AS n_both,
+                   SUM(ac * (1 - bc)) AS n_a_only,
+                   SUM((1 - ac) * bc) AS n_b_only,
+                   SUM((1 - ac) * (1 - bc)) AS n_neither
+            FROM g
+        )
+        SELECT CAST(n AS BIGINT) AS n,
+               CAST(n_both AS BIGINT) AS n_both,
+               CAST(n_a_only AS BIGINT) AS n_a_only,
+               CAST(n_b_only AS BIGINT) AS n_b_only,
+               CAST(n_neither AS BIGINT) AS n_neither,
+               ROUND((n_both + n_a_only) / CAST(n AS DOUBLE), 6) AS acc_a,
+               ROUND((n_both + n_b_only) / CAST(n AS DOUBLE), 6) AS acc_b,
+               ROUND(CASE WHEN n_a_only + n_b_only > 0 THEN
+                   CAST((ABS(n_a_only - n_b_only) - 1)
+                        * (ABS(n_a_only - n_b_only) - 1) AS DOUBLE)
+                   / (n_a_only + n_b_only)
+               ELSE 0.0 END, 6) AS mcnemar_chi2
+        FROM agg
+    """,
+    "x243_fellegi_sunter": _fs_oracle(),
+    "x244_naive_bayes": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+            FROM documents
+        ), train AS (
+            SELECT * FROM toks WHERE doc_id % {NB_SPLIT_MOD} <> 0
+        ), test AS (
+            SELECT * FROM toks WHERE doc_id % {NB_SPLIT_MOD} = 0
+        ), ttok AS (
+            SELECT lang AS cls, u.w AS w FROM train, UNNEST(t) AS u(w)
+        ), ctc AS (
+            SELECT cls, w, COUNT(*) AS c FROM ttok GROUP BY 1, 2
+        ), ntot AS (
+            SELECT cls, COUNT(*) AS nc FROM ttok GROUP BY 1
+        ), vocab AS (
+            SELECT DISTINCT w FROM ttok
+        ), vsize AS (
+            SELECT COUNT(*) AS v FROM vocab
+        ), priors AS (
+            SELECT lang AS cls,
+                   ln(COUNT(*) / CAST((SELECT COUNT(*) FROM train) AS DOUBLE))
+                       AS lp0
+            FROM train GROUP BY 1
+        ), grid AS (
+            SELECT ntot.cls, vocab.w,
+                   ln((COALESCE(ctc.c, 0) + 1)
+                      / CAST(ntot.nc + vsize.v AS DOUBLE)) AS lp
+            FROM vocab CROSS JOIN ntot
+            LEFT JOIN ctc ON ctc.cls = ntot.cls AND ctc.w = vocab.w
+            CROSS JOIN vsize
+        ), stok AS (
+            SELECT doc_id, lang, u.w AS w FROM test, UNNEST(t) AS u(w)
+        ), scored AS (
+            SELECT doc_id, lang, cls, SUM(lp) AS s
+            FROM stok JOIN grid USING (w) GROUP BY 1, 2, 3
+        ), sc2 AS (
+            SELECT doc_id, lang, scored.cls AS cls, s + lp0 AS score
+            FROM scored JOIN priors ON scored.cls = priors.cls
+        ), pred AS (
+            SELECT doc_id, lang, cls AS pred_lang FROM (
+                SELECT doc_id, lang, cls,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id ORDER BY score DESC, cls
+                       ) AS rn
+                FROM sc2
+            ) WHERE rn = 1
+        )
+        SELECT lang AS true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    """,
+    "x245_chi2_tokens": f"""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(trim(text), ' ') AS t
+            FROM documents
+        ), pres AS (
+            SELECT DISTINCT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_en,
+                   u.w AS w
+            FROM toks, UNNEST(t) AS u(w)
+        ), tots AS (
+            SELECT COUNT(*) AS n_docs,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+            FROM documents
+        ), cells AS (
+            SELECT w, SUM(is_en) AS a, SUM(1 - is_en) AS b
+            FROM pres GROUP BY w
+        ), sc AS (
+            SELECT w, a, b, n_en - a AS c, n_docs - n_en - b AS d, n_docs
+            FROM cells CROSS JOIN tots
+        )
+        SELECT w, CAST(a + b AS BIGINT) AS doc_freq,
+               ROUND(
+                   CAST(n_docs AS DOUBLE)
+                   * (CAST(a * d - b * c AS DOUBLE)
+                      * CAST(a * d - b * c AS DOUBLE))
+                   / (CAST(a + b AS DOUBLE) * CAST(c + d AS DOUBLE)
+                      * CAST(a + c AS DOUBLE) * CAST(b + d AS DOUBLE)),
+                   6) AS chi2
+        FROM sc
+        WHERE a + c > 0 AND b + d > 0 AND c + d > 0
+        QUALIFY ROW_NUMBER() OVER (ORDER BY chi2 DESC, w) <= {CHI2_TOP_K}
+    """,
+    "x246_snips_offpolicy": f"""
+        WITH base AS (
+            SELECT user_id % {IPS_SEGMENTS} AS segment, event_type, value
+            FROM events
+        ), nact AS (
+            SELECT COUNT(DISTINCT event_type) AS n_actions FROM base
+        ), segtot AS (
+            SELECT segment, COUNT(*) AS n_seg FROM base GROUP BY 1
+        ), prop AS (
+            SELECT segment, event_type, COUNT(*) AS n_sa
+            FROM base GROUP BY 1, 2
+        ), propj AS (
+            SELECT prop.segment, prop.event_type,
+                   prop.n_sa / CAST(segtot.n_seg AS DOUBLE) AS phat
+            FROM prop JOIN segtot USING (segment)
+        ), wtd AS (
+            SELECT base.segment, base.value,
+                   (1.0 / nact.n_actions) / propj.phat AS wt
+            FROM base
+            JOIN propj ON base.segment = propj.segment
+                      AND base.event_type = propj.event_type
+            CROSS JOIN nact
+        )
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(AVG(wt * value), 6) AS ips_value,
+               ROUND(SUM(wt * value) / SUM(wt), 6) AS snips_value
+        FROM wtd GROUP BY segment
+    """,
+}

@@ -1,0 +1,352 @@
+"""Semantic invariants for the x14-series operators — properties
+stronger than oracle equality on one configuration.  The heavyweight
+checks are full independent PURE-PYTHON reimplementations (no Spark, no
+DuckDB) of the iterative algorithms, compared exactly."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter, defaultdict
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+
+def _docs(sf_dir: str) -> pd.DataFrame:
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_holt_matches_pure_python_recursion(spark, sf_smoke):
+    """x238: replay Holt's recursion in plain Python over the pandas
+    daily grid; level/trend/rmse must agree to 1e-6."""
+    from social_warner_spark.queries.x14_series import (
+        HW_ALPHA,
+        HW_BETA,
+        x238_holt_smoothing,
+    )
+
+    got = {r.event_type: r for r in x238_holt_smoothing(spark, sf_smoke).collect()}
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    for etype, grp in ev.groupby("event_type"):
+        ys = grp.groupby("day")["value"].sum().sort_index().to_list()
+        level, trend, sse = ys[0], ys[1] - ys[0], 0.0
+        for y in ys[1:]:
+            f = level + trend
+            new_l = HW_ALPHA * y + (1 - HW_ALPHA) * f
+            trend = HW_BETA * (new_l - level) + (1 - HW_BETA) * trend
+            sse += (y - f) * (y - f)
+            level = new_l
+        row = got[etype]
+        assert row.n_days == len(ys)
+        assert abs(row.level - level) < 1e-5
+        assert abs(row.trend - trend) < 1e-5
+        assert abs(row.forecast_next - (level + trend)) < 1e-5
+        assert abs(row.rmse - math.sqrt(sse / (len(ys) - 1))) < 1e-5
+
+
+def _python_lpa(nodes, edges, iters):
+    labels = {n: n for n in nodes}
+    nbrs = defaultdict(list)
+    for s, d in edges:
+        nbrs[s].append(d)
+    for _ in range(iters):
+        new = {}
+        for n in nodes:
+            if not nbrs[n]:
+                new[n] = labels[n]
+                continue
+            votes = Counter(labels[d] for d in nbrs[n])
+            # tie-break: max count, then lexicographically smallest label
+            top = max(votes.values())
+            new[n] = min(l for l, c in votes.items() if c == top)
+        labels = new
+    return labels
+
+
+def test_lpa_matches_pure_python(spark, sf_smoke):
+    """x239: 3 synchronous rounds replayed in Python over the same
+    bipartite graph give the exact same community histogram."""
+    from social_warner_spark.queries.x14_series import (
+        LPA_ITERS,
+        x239_label_propagation,
+    )
+
+    got = {
+        r.community: r.n_nodes
+        for r in x239_label_propagation(spark, sf_smoke).collect()
+    }
+    orders = pd.read_parquet(f"{sf_smoke}/orders.parquet")
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    supp = pd.read_parquet(f"{sf_smoke}/supplier.parquet")
+    merged = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    pairs = {
+        ("c" + str(c), "s" + str(s))
+        for c, s in zip(merged["o_custkey"], merged["l_suppkey"])
+    }
+    edges = list(pairs) + [(b, a) for a, b in pairs]
+    nodes = ["c" + str(k) for k in cust["c_custkey"]] + [
+        "s" + str(k) for k in supp["s_suppkey"]
+    ]
+    labels = _python_lpa(nodes, edges, LPA_ITERS)
+    want = Counter(labels.values())
+    assert got == dict(want)
+    assert sum(got.values()) == len(nodes)
+
+
+def test_wordpiece_matches_pure_python_greedy(spark, sf_smoke):
+    """x241: rebuild the piece vocab by the same rule and greedily
+    segment every word in Python; per-doc word/piece counts must agree
+    exactly, and greedy segments must reconstruct each word."""
+    from social_warner_spark.queries.x14_series import (
+        WP_MAX_PIECE,
+        WP_TOP_NGRAMS,
+        x241_greedy_wordpiece,
+    )
+
+    docs = _docs(sf_smoke)
+    wordc = Counter()
+    doc_words = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        ws = [w for w in text.strip().split() if w]
+        doc_words[doc_id] = ws
+        wordc.update(ws)
+
+    grams = Counter()
+    for w, c in wordc.items():
+        for n in range(2, WP_MAX_PIECE + 1):
+            for i in range(len(w) - n + 1):
+                grams[w[i : i + n]] += c
+    top = sorted(grams.items(), key=lambda kv: (-kv[1], kv[0]))[:WP_TOP_NGRAMS]
+    vocab = {g for g, _ in top} | {ch for w in wordc for ch in w}
+
+    def segment(w):
+        pos, out = 0, []
+        while pos < len(w):
+            for n in range(WP_MAX_PIECE, 0, -1):
+                if w[pos : pos + n] in vocab and pos + n <= len(w):
+                    out.append(w[pos : pos + n])
+                    pos += n
+                    break
+        return out
+
+    pieces = {w: segment(w) for w in wordc}
+    for w, segs in pieces.items():
+        assert "".join(segs) == w
+
+    got = {r.doc_id: r for r in x241_greedy_wordpiece(spark, sf_smoke).collect()}
+    for doc_id, ws in doc_words.items():
+        if not ws:
+            continue
+        row = got[doc_id]
+        assert row.n_words == len(ws)
+        assert row.n_pieces == sum(len(pieces[w]) for w in ws)
+
+
+def test_fellegi_sunter_matches_pure_python_em(spark, sf_smoke):
+    """x243: recompute the blocked agreement patterns and run the two EM
+    rounds in plain Python; m/u/prior must agree to 1e-6, and all
+    probabilities must be proper (0, 1) values with m > u per field."""
+    from social_warner_spark.queries.x14_series import (
+        FS_BAL_EPS,
+        FS_EM_ROUNDS,
+        FS_KEY_MOD,
+        FS_M0,
+        FS_P0,
+        FS_U0,
+        x243_fellegi_sunter,
+    )
+
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    pat = Counter()
+    by_nation = cust.groupby("c_nationkey")
+    for _, g in by_nation:
+        rows = list(
+            g[["c_custkey", "c_mktsegment", "c_acctbal"]].itertuples(index=False)
+        )
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                a, b = rows[i], rows[j]
+                if not a.c_custkey < b.c_custkey:
+                    continue
+                g1 = int(a.c_mktsegment == b.c_mktsegment)
+                g2 = int(abs(a.c_acctbal - b.c_acctbal) < FS_BAL_EPS)
+                g3 = int(a.c_custkey % FS_KEY_MOD == b.c_custkey % FS_KEY_MOD)
+                pat[(g1, g2, g3)] += 1
+
+    m = [FS_M0] * 3
+    u = [FS_U0] * 3
+    p = FS_P0
+    for _ in range(FS_EM_ROUNDS):
+        sw = snw = 0.0
+        swg = [0.0] * 3
+        snwg = [0.0] * 3
+        stot = 0
+        for (g1, g2, g3), n in pat.items():
+            gs = (g1, g2, g3)
+            lm, lu = p, 1 - p
+            for i, gi in enumerate(gs):
+                lm *= m[i] if gi else 1 - m[i]
+                lu *= u[i] if gi else 1 - u[i]
+            wm = lm / (lm + lu)
+            sw += n * wm
+            snw += n * (1 - wm)
+            stot += n
+            for i, gi in enumerate(gs):
+                swg[i] += n * wm * gi
+                snwg[i] += n * (1 - wm) * gi
+        m = [swg[i] / sw for i in range(3)]
+        u = [snwg[i] / snw for i in range(3)]
+        p = sw / stot
+
+    got = {r.field: r for r in x243_fellegi_sunter(spark, sf_smoke).collect()}
+    for i, field in enumerate(("segment", "balance", "keymod")):
+        row = got[field]
+        assert abs(row.m_est - m[i]) < 1e-5, field
+        assert abs(row.u_est - u[i]) < 1e-5, field
+        assert 0.0 < row.u_est < row.m_est < 1.0, field
+        assert abs(row.match_prior - p) < 1e-5
+
+
+def test_kneser_ney_scores_are_proper_and_complete(spark, sf_smoke):
+    """x237: every document with >=2 tokens gets a row, every average
+    log-probability is negative (probabilities < 1), and for a sampled
+    context the discounted+backoff mass over OBSERVED continuations
+    stays within (0, 1] — the mass-conservation property of KN."""
+    from social_warner_spark.queries.x14_series import KN_D, x237_kneser_ney
+
+    docs = _docs(sf_smoke)
+    expect_rows = sum(1 for t in docs["text"] if len(t.strip().split()) >= 2)
+    out = x237_kneser_ney(spark, sf_smoke).collect()
+    assert len(out) == expect_rows
+    assert all(r.avg_kn_logp < 0 for r in out)
+
+    bigrams = Counter()
+    for t in docs["text"]:
+        ws = t.strip().split()
+        bigrams.update(zip(ws, ws[1:]))
+    ctx_tot = Counter()
+    fwd = Counter()
+    rev = Counter()
+    for (w1, w2), c in bigrams.items():
+        ctx_tot[w1] += c
+        fwd[w1] += 1
+        rev[w2] += 1
+    btypes = len(bigrams)
+    w1 = max(ctx_tot, key=lambda w: (ctx_tot[w], w))
+    mass = sum(
+        (bigrams[(a, b)] - KN_D) / ctx_tot[w1]
+        + KN_D * fwd[w1] / ctx_tot[w1] * rev[b] / btypes
+        for (a, b) in bigrams
+        if a == w1
+    )
+    assert 0.0 < mass <= 1.0 + 1e-12
+
+
+def test_snips_weight_identity(spark, sf_smoke):
+    """x246: with the empirical logging propensities, the mean
+    importance weight per segment is exactly 1 when every action is
+    present in the segment (sum over actions of n_sa * (1/|A|)/(n_sa/
+    n_seg) = n_seg) — so SNIPS and IPS coincide; both must sit inside
+    the segment's value range."""
+    from social_warner_spark.queries.x14_series import (
+        IPS_SEGMENTS,
+        x246_snips_offpolicy,
+    )
+
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev["segment"] = ev["user_id"] % IPS_SEGMENTS
+    n_actions = ev["event_type"].nunique()
+    out = {r.segment: r for r in x246_snips_offpolicy(spark, sf_smoke).collect()}
+    for seg, grp in ev.groupby("segment"):
+        row = out[seg]
+        assert row.n == len(grp)
+        if grp["event_type"].nunique() == n_actions:
+            assert abs(row.ips_value - row.snips_value) < 1e-5
+        assert grp["value"].min() - 1e-6 <= row.snips_value
+        assert row.snips_value <= grp["value"].max() + 1e-6
+
+
+def test_l_diversity_flags_consistent(spark, sf_smoke):
+    """x240: k >= l >= 1 for every class, class sizes sum to the table
+    size, and both flags restate their thresholds."""
+    from social_warner_spark.queries.x14_series import (
+        LDIV_K,
+        LDIV_L,
+        x240_l_diversity,
+    )
+
+    rows = x240_l_diversity(spark, sf_smoke).collect()
+    cust = pd.read_parquet(f"{sf_smoke}/customer.parquet")
+    assert sum(r.k for r in rows) == len(cust)
+    for r in rows:
+        assert r.k >= r.l >= 1
+        assert r.k_anon_ok == (r.k >= LDIV_K)
+        assert r.l_diverse_ok == (r.l >= LDIV_L)
+
+
+def test_mcnemar_cells_partition_corpus(spark, sf_smoke):
+    """x242: the four cross-table cells partition the corpus; the
+    statistic and accuracies restate the cells."""
+    from social_warner_spark.queries.x14_series import x242_mcnemar
+
+    r = x242_mcnemar(spark, sf_smoke).first()
+    assert r.n_both + r.n_a_only + r.n_b_only + r.n_neither == r.n
+    assert abs(r.acc_a - (r.n_both + r.n_a_only) / r.n) < 1e-6
+    assert abs(r.acc_b - (r.n_both + r.n_b_only) / r.n) < 1e-6
+    disc = r.n_a_only + r.n_b_only
+    want = 0.0 if disc == 0 else (abs(r.n_a_only - r.n_b_only) - 1) ** 2 / disc
+    assert abs(r.mcnemar_chi2 - want) < 1e-6
+    assert r.mcnemar_chi2 >= 0.0
+
+
+def test_naive_bayes_confusion_covers_scored_test_docs(spark, sf_smoke):
+    """x244: one prediction per test doc that shares >=1 token with the
+    train vocabulary; predicted classes come from the train split."""
+    from social_warner_spark.queries.x14_series import (
+        NB_SPLIT_MOD,
+        x244_naive_bayes,
+    )
+
+    docs = _docs(sf_smoke)
+    train = docs[docs["doc_id"] % NB_SPLIT_MOD != 0]
+    test = docs[docs["doc_id"] % NB_SPLIT_MOD == 0]
+    train_vocab = {w for t in train["text"] for w in t.strip().split()}
+    scored = sum(
+        1
+        for t in test["text"]
+        if any(w in train_vocab for w in t.strip().split())
+    )
+    rows = x244_naive_bayes(spark, sf_smoke).collect()
+    assert sum(r.n for r in rows) == scored
+    train_langs = set(train["lang"])
+    assert {r.pred_lang for r in rows} <= train_langs
+
+
+def test_chi2_matches_pure_python_for_top_token(spark, sf_smoke):
+    """x245: recompute the contingency chi-square in Python for every
+    returned token; values and the top-k membership rule must agree."""
+    from social_warner_spark.queries.x14_series import x245_chi2_tokens
+
+    docs = _docs(sf_smoke)
+    n_docs = len(docs)
+    n_en = int((docs["lang"] == "en").sum())
+    presence = defaultdict(lambda: [0, 0])
+    for lang, text in zip(docs["lang"], docs["text"]):
+        for w in set(text.strip().split()):
+            presence[w][0 if lang == "en" else 1] += 1
+
+    def chi2(w):
+        a, b = presence[w]
+        c, d = n_en - a, n_docs - n_en - b
+        num = float(n_docs) * float(a * d - b * c) * float(a * d - b * c)
+        den = float(a + b) * float(c + d) * float(a + c) * float(b + d)
+        return num / den
+
+    rows = x245_chi2_tokens(spark, sf_smoke).collect()
+    assert len(rows) <= 20
+    for r in rows:
+        assert r.doc_freq == sum(presence[r.w])
+        assert abs(r.chi2 - chi2(r.w)) < 1e-4
+        assert r.chi2 >= 0.0
