@@ -84,6 +84,10 @@ HEADLINE = [
     "x221_kcenter_coreset",  # Gonzalez farthest-point rounds (checkpointed)
     "x229_margin_bitext_mining",  # all-pairs scoring + reciprocal windows
     "x231_hits_scores",      # HITS mutual-reinforcement rounds
+    # x14-series additions (same caveat: compare per-query, not totals)
+    "x239_label_propagation",  # 3-round synchronous LPA (message passing)
+    "x241_greedy_wordpiece",   # vocab-bounded substring join + greedy fold
+    "x243_fellegi_sunter",     # blocked pair self-join + 8-row EM algebra
 ]
 
 

@@ -137,23 +137,26 @@ def lpa_fixed(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
     relation (one row per node) is persisted per round so round k joins
     a materialisation, not round k-1's lineage.
     """
-    from pyspark.sql import Window
-
     from social_warner_spark.caching import register_persisted
 
     ed = register_persisted(edges.persist())
     labels = nodes.select("node", F.col("node").alias("lbl"))
-    top1 = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("lbl"))
     for _ in range(iters):
         votes = (
             ed.join(labels.withColumnRenamed("node", "dst"), "dst")
             .groupBy(F.col("src").alias("node"), "lbl")
             .agg(F.count("*").alias("c"))
         )
-        best = (
-            votes.withColumn("rn", F.row_number().over(top1))
-            .where(F.col("rn") == 1)
-            .select("node", F.col("lbl").alias("new_lbl"))
+        # top-1 per node as a hash aggregation, not a window: min over the
+        # (-count, label) struct = max count with min-label tie-break —
+        # saves the per-round partition sort.  (An isolated-node-set-
+        # union variant that drops the per-round persist was measured
+        # SLOWER — the union erases the agg's hash partitioning, forcing
+        # a full label re-shuffle every round; see PERF.md.)
+        best = votes.groupBy("node").agg(
+            F.min_by("lbl", F.struct(-F.col("c"), F.col("lbl"))).alias(
+                "new_lbl"
+            )
         )
         labels = register_persisted(
             labels.join(best, "node", "left")

@@ -94,10 +94,18 @@ def x237_kneser_ney(spark, sf_dir):
     than it), so the full bigram stream shuffles exactly twice: the
     model equi-join and the per-doc mean.  The |bigram types| total is a
     broadcast 1-row relation."""
+    from social_warner_spark.caching import register_persisted
+
     d = T(spark, sf_dir, "documents")
     staged = d.select("doc_id", tokens(F.col("text")).alias("_toks"))
-    bg = staged.select(
-        "doc_id", F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bg")
+    # The bigram stream feeds BOTH the model fit and the scoring join —
+    # persist it once or the tokenize+shingle+explode pass runs twice
+    # (measured 6.2s -> ~3s at sf0.1).
+    bg = register_persisted(
+        staged.select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bg"),
+        ).persist()
     )
     bgc = (
         bg.groupBy("bg")
@@ -216,31 +224,37 @@ def x238_holt_smoothing(spark, sf_dir):
 def x239_label_propagation(spark, sf_dir):
     """Synchronous label propagation (3 fixed rounds) over the same
     undirected customer↔supplier order graph as x39's PageRank: each
-    node adopts the most frequent neighbor label (ties → lexicographic
-    min); isolated nodes keep their label.  Output is the community
-    size histogram.
+    node adopts the most frequent neighbor label (ties → minimum
+    label); isolated nodes keep their label.  Output is the community
+    size histogram keyed by the winning node id.
+
+    Node ids are INTEGERS (2·custkey for customers, 2·suppkey+1 for
+    suppliers — disjoint by parity) rather than tagged strings: labels
+    are re-shuffled every round, and an 8-byte long halves the vote
+    shuffle payload vs short strings AND makes the tie-break a single
+    integer compare (measured 7.6s → ~2s at sf0.1 vs the string form).
 
     Scale shape: each round is one (edges ⋈ labels) equi-join + one
-    (node,label) count + one per-node top-1 window — the same
-    bounded-round message-passing plan family as PageRank/k-core, with
-    per-round persists so round k reads round k-1's materialisation,
-    not its lineage."""
+    (node,label) count + one per-node min_by hash aggregation — the
+    same bounded-round message-passing plan family as PageRank/k-core,
+    with per-round persists so round k reads round k-1's
+    materialisation, not its lineage."""
     from social_warner_spark.operators.graph import lpa_fixed
 
     orders = T(spark, sf_dir, "orders")
     li = T(spark, sf_dir, "lineitem")
     cust = T(spark, sf_dir, "customer").select(
-        F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("node")
+        (F.col("c_custkey") * 2).alias("node")
     )
     supp = T(spark, sf_dir, "supplier").select(
-        F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node")
+        (F.col("s_suppkey") * 2 + 1).alias("node")
     )
     nodes = cust.unionAll(supp)
     e0 = (
         orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
     )
@@ -791,16 +805,15 @@ def _lpa_oracle() -> str:
     body = ", ".join(rounds)
     return f"""
         WITH e0 AS (
-            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
-                            's' || CAST(l_suppkey AS VARCHAR) AS dst
+            SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
             FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         ), edges AS (
             SELECT src, dst FROM e0
             UNION ALL SELECT dst AS src, src AS dst FROM e0
         ), nodes AS (
-            SELECT 'c' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+            SELECT c_custkey * 2 AS node FROM customer
             UNION ALL
-            SELECT 's' || CAST(s_suppkey AS VARCHAR) AS node FROM supplier
+            SELECT s_suppkey * 2 + 1 AS node FROM supplier
         ), l0 AS (
             SELECT node, node AS lbl FROM nodes
         ), {body}

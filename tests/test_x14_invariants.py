@@ -82,12 +82,12 @@ def test_lpa_matches_pure_python(spark, sf_smoke):
     supp = pd.read_parquet(f"{sf_smoke}/supplier.parquet")
     merged = orders.merge(li, left_on="o_orderkey", right_on="l_orderkey")
     pairs = {
-        ("c" + str(c), "s" + str(s))
+        (int(c) * 2, int(s) * 2 + 1)
         for c, s in zip(merged["o_custkey"], merged["l_suppkey"])
     }
     edges = list(pairs) + [(b, a) for a, b in pairs]
-    nodes = ["c" + str(k) for k in cust["c_custkey"]] + [
-        "s" + str(k) for k in supp["s_suppkey"]
+    nodes = [int(k) * 2 for k in cust["c_custkey"]] + [
+        int(k) * 2 + 1 for k in supp["s_suppkey"]
     ]
     labels = _python_lpa(nodes, edges, LPA_ITERS)
     want = Counter(labels.values())
