@@ -1162,3 +1162,626 @@ ORACLES = {
         FROM wtd GROUP BY segment
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# x247–x251 — second widening batch: TextRank, Welch, CUSUM, PAV, matching
+# ---------------------------------------------------------------------------
+
+#: x247 — TextRank (Mihalcea & Tarau, EMNLP 2004): PageRank over the
+#: adjacent-token co-occurrence graph; fixed 3 damped iterations.
+TR_TOP_K = 20
+#: x248 — Welch unequal-variance t-test baseline group.
+WELCH_BASELINE = "view"
+#: x249 — CUSUM (Page 1954): calibration window length, slack k=KS·σ,
+#: decision threshold h=HS·σ; every statistic pinned to the 6dp grid.
+CUSUM_CAL_N = 10
+CUSUM_KS = 0.5
+CUSUM_HS = 4.0
+#: x250 — isotonic regression via the minimax closed form
+#: fitted_i = max_{j<=i} min_{k>=i} mean(y[j..k])  (Barlow et al. 1972);
+#: predictor = n_chars bucket, outcome = lang=='en'.
+ISO_BIN_W = 100
+#: x251 — 1:1 nearest-neighbor propensity matching with replacement
+#: (Rosenbaum & Rubin 1983); caliper on the score difference, and the
+#: band join is BUCKETED (floor(score/caliper) ± 1) so it stays an
+#: equi-join at scale.
+PSM_CALIPER = 0.05
+PSM_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is")
+PSM_TREAT_MAX_SRC = 10
+
+
+def x247_textrank_keywords(spark, sf_dir):
+    """TextRank keyword extraction: unweighted undirected graph over
+    corpus-DISTINCT adjacent token pairs, 3 damped PageRank iterations
+    (operators/graph.py:pagerank_fixed, 6dp-pinned per iteration), top-20
+    tokens by rank.
+
+    Scale shape: the pair stream explodes off the token arrays once and
+    DISTINCTs down to the vocabulary-bounded edge relation before any
+    iteration; the rank loop then runs on |vocab| rows — corpus size
+    only ever affects the one extraction pass."""
+    from social_warner_spark.operators.graph import pagerank_fixed
+
+    d = T(spark, sf_dir, "documents")
+    staged = d.select(tokens(F.col("text")).alias("_toks"))
+    pairs = (
+        staged.select(
+            F.explode(shingles_from_tokens(F.col("_toks"), 2)).alias("bg")
+        )
+        .select(
+            F.split("bg", " ").getItem(0).alias("src"),
+            F.split("bg", " ").getItem(1).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    ranks = pagerank_fixed(nodes, edges, iters=3)
+    return (
+        ranks.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("pr"), F.asc("node"))),
+        )
+        .where(F.col("rn") <= TR_TOP_K)
+        .select(F.col("node").alias("word"), "pr", "rn")
+    )
+
+
+def x248_welch_ttest(spark, sf_dir):
+    """Welch unequal-variance t-test of every event type's value
+    distribution against the 'view' baseline: t statistic and
+    Welch-Satterthwaite degrees of freedom — the metrics-review gate for
+    "is this event family actually shifted".
+
+    One map-side-combined per-type moment aggregation; the baseline row
+    is a broadcast 1-row relation crossed onto the other types."""
+    ev = T(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    base = stats.where(F.col("event_type") == WELCH_BASELINE).select(
+        F.col("n").alias("n0"), F.col("m").alias("m0"), F.col("v").alias("v0")
+    )
+    se2 = F.col("v") / F.col("n") + F.col("v0") / F.col("n0")
+    df = (se2 * se2) / (
+        (F.col("v") / F.col("n")) * (F.col("v") / F.col("n"))
+        / (F.col("n") - 1)
+        + (F.col("v0") / F.col("n0")) * (F.col("v0") / F.col("n0"))
+        / (F.col("n0") - 1)
+    )
+    return (
+        stats.where(F.col("event_type") != WELCH_BASELINE)
+        .crossJoin(F.broadcast(base))
+        .select(
+            "event_type",
+            "n",
+            r6(F.col("m") - F.col("m0")).alias("mean_diff"),
+            r6((F.col("m") - F.col("m0")) / F.sqrt(se2)).alias("t_stat"),
+            r6(df).alias("welch_df"),
+        )
+    )
+
+
+def x249_cusum_drift(spark, sf_dir):
+    """Two-sided CUSUM drift monitor per event type over the daily-mean
+    series: the first CUSUM_CAL_N days calibrate (mu, sigma); the rest
+    fold through S+ = max(0, S+ + (x-mu-k)) / S- = max(0, S- + (mu-x-k))
+    with k=0.5sigma, alarming when either side exceeds h=4sigma.  Every
+    daily mean, mu, sigma and running statistic is rounded to 6dp in
+    BOTH engines so the recursion stays on one float grid (the x39
+    per-iteration-rounding discipline).
+
+    Scale: one shuffle for the daily grid; the recursion is a narrow
+    per-key F.aggregate fold — no per-day jobs."""
+    ev = T(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("y"))
+    series = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    ys = F.transform(F.col("s"), lambda e: e["y"])
+    cal = F.slice(ys, 1, CUSUM_CAL_N)
+    mu = F.round(
+        F.aggregate(cal, F.lit(0.0), lambda a, y: a + y) / CUSUM_CAL_N, 6
+    )
+    sigma = F.round(
+        F.sqrt(
+            F.aggregate(cal, F.lit(0.0), lambda a, y: a + (y - mu) * (y - mu))
+            / (CUSUM_CAL_N - 1)
+        ),
+        6,
+    )
+    staged = series.where(F.size("s") > CUSUM_CAL_N).select(
+        "event_type",
+        F.size("s").alias("n_days"),
+        mu.alias("mu"),
+        sigma.alias("sigma"),
+        F.slice(ys, CUSUM_CAL_N + 1, F.size(ys) - CUSUM_CAL_N).alias("ev"),
+    )
+    k = CUSUM_KS * F.col("sigma")
+    h = CUSUM_HS * F.col("sigma")
+    st = F.aggregate(
+        F.expr("sequence(1, size(ev))"),
+        F.struct(
+            F.lit(0.0).alias("sp"),
+            F.lit(0.0).alias("sn"),
+            F.lit(0).alias("alarms"),
+            F.lit(0).alias("first_idx"),
+            F.lit(0.0).alias("max_sp"),
+        ),
+        lambda acc, i: F.struct(
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    acc["sp"]
+                    + (F.element_at(F.col("ev"), i) - F.col("mu") - k),
+                ),
+                6,
+            ).alias("sp"),
+            F.round(
+                F.greatest(
+                    F.lit(0.0),
+                    acc["sn"]
+                    + (F.col("mu") - F.element_at(F.col("ev"), i) - k),
+                ),
+                6,
+            ).alias("sn"),
+            (
+                acc["alarms"]
+                + F.when(
+                    (
+                        F.round(
+                            F.greatest(
+                                F.lit(0.0),
+                                acc["sp"]
+                                + (
+                                    F.element_at(F.col("ev"), i)
+                                    - F.col("mu")
+                                    - k
+                                ),
+                            ),
+                            6,
+                        )
+                        > h
+                    )
+                    | (
+                        F.round(
+                            F.greatest(
+                                F.lit(0.0),
+                                acc["sn"]
+                                + (
+                                    F.col("mu")
+                                    - F.element_at(F.col("ev"), i)
+                                    - k
+                                ),
+                            ),
+                            6,
+                        )
+                        > h
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("alarms"),
+            F.when(
+                (acc["first_idx"] == 0)
+                & (
+                    (
+                        F.round(
+                            F.greatest(
+                                F.lit(0.0),
+                                acc["sp"]
+                                + (
+                                    F.element_at(F.col("ev"), i)
+                                    - F.col("mu")
+                                    - k
+                                ),
+                            ),
+                            6,
+                        )
+                        > h
+                    )
+                    | (
+                        F.round(
+                            F.greatest(
+                                F.lit(0.0),
+                                acc["sn"]
+                                + (
+                                    F.col("mu")
+                                    - F.element_at(F.col("ev"), i)
+                                    - k
+                                ),
+                            ),
+                            6,
+                        )
+                        > h
+                    )
+                ),
+                i,
+            )
+            .otherwise(acc["first_idx"])
+            .alias("first_idx"),
+            F.greatest(
+                acc["max_sp"],
+                F.round(
+                    F.greatest(
+                        F.lit(0.0),
+                        acc["sp"]
+                        + (F.element_at(F.col("ev"), i) - F.col("mu") - k),
+                    ),
+                    6,
+                ),
+            ).alias("max_sp"),
+        ),
+    )
+    return staged.select(
+        "event_type",
+        "n_days",
+        F.col("mu"),
+        F.col("sigma"),
+        st["alarms"].alias("n_alarm_days"),
+        st["first_idx"].alias("first_alarm_idx"),
+        r6(st["max_sp"]).alias("max_sp"),
+    )
+
+
+def x250_isotonic_calibration(spark, sf_dir):
+    """Isotonic regression (PAV) of P(lang='en') against the n_chars
+    bucket, via the minimax closed form fitted_i = max_{j<=i} min_{k>=i}
+    mean(y[j..k]) over cumulative integer sums — the monotone
+    recalibration step applied to quality/confidence scores before they
+    gate data selection.
+
+    The bin relation is bounded (|range(n_chars)|/100 rows), so the
+    closed form's (j, i, k) triple space is a CONSTANT-sized three-way
+    self-join, not a corpus-scale one; the corpus contributes one
+    map-side-combined bucket aggregation.  Integer prefix sums keep
+    every mean an exact int/int division — both engines land on
+    identical doubles, no rounding inside the min/max lattice."""
+    d = T(spark, sf_dir, "documents")
+    bins = (
+        d.groupBy(
+            (F.floor(F.col("n_chars") / ISO_BIN_W)).alias("xb")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("lang") == "en").cast("long")).alias("s"),
+        )
+    )
+    w = Window.orderBy("xb").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "xb",
+        "n",
+        "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    j = cum.select(
+        F.col("xb").alias("jb"),
+        (F.col("cn") - F.col("n")).alias("cn_jm1"),
+        (F.col("cs") - F.col("s")).alias("cs_jm1"),
+    )
+    k = cum.select(
+        F.col("xb").alias("kb"), F.col("cn").alias("cn_k"), F.col("cs").alias("cs_k")
+    )
+    seg = j.join(k, F.col("jb") <= F.col("kb")).select(
+        "jb",
+        "kb",
+        (
+            (F.col("cs_k") - F.col("cs_jm1"))
+            / (F.col("cn_k") - F.col("cn_jm1"))
+        ).alias("segmean"),
+    )
+    i = cum.select(F.col("xb").alias("ib"))
+    inner = (
+        seg.join(i, (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")))
+        .groupBy("ib", "jb")
+        .agg(F.min("segmean").alias("mn"))
+    )
+    fitted = inner.groupBy("ib").agg(F.max("mn").alias("fit"))
+    return (
+        cum.join(fitted, cum["xb"] == fitted["ib"])
+        .select(
+            "xb",
+            "n",
+            r6(F.col("s") / F.col("n")).alias("raw_rate"),
+            r6(F.col("fit")).alias("fitted_rate"),
+        )
+    )
+
+
+def x251_propensity_matching(spark, sf_dir):
+    """ATT via 1:1 nearest-neighbor propensity matching WITH replacement
+    under a caliper: treatment = doc from sources src0..src9, score =
+    stopword-token ratio, outcome = n_chars.  Each treated doc matches
+    the control with the smallest |score difference| <= 0.05 (ties ->
+    min control doc_id); output is one row: matched/unmatched counts and
+    the ATT estimate.
+
+    Scale shape: the caliper band join is BUCKETED — controls land in
+    floor(score/caliper) buckets, each treated doc probes its own and
+    the two adjacent buckets (a 3-row explode of the TREATED side only),
+    so the match is an equi-join + min_by, never an all-pairs score
+    comparison (the x8 multi-probe pattern applied to matching)."""
+    d = T(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(s) for s in PSM_STOPWORDS])
+    staged = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.substring(F.col("source"), 4, 10).cast("int") < PSM_TREAT_MAX_SRC
+        ).alias("treated"),
+        tokens(F.col("text")).alias("_toks"),
+    ).select(
+        "doc_id",
+        "n_chars",
+        "treated",
+        (
+            F.size(F.filter(F.col("_toks"), lambda t: F.array_contains(stop, t)))
+            / F.size(F.col("_toks"))
+        ).alias("score"),
+    )
+    ctrl = staged.where(~F.col("treated")).select(
+        F.floor(F.col("score") / PSM_CALIPER).alias("bkt"),
+        F.col("doc_id").alias("c_id"),
+        F.col("score").alias("c_score"),
+        F.col("n_chars").alias("c_y"),
+    )
+    probes = (
+        staged.where(F.col("treated"))
+        .select(
+            "doc_id",
+            F.col("score").alias("t_score"),
+            F.col("n_chars").alias("t_y"),
+            F.explode(
+                F.array(
+                    F.floor(F.col("score") / PSM_CALIPER) - 1,
+                    F.floor(F.col("score") / PSM_CALIPER),
+                    F.floor(F.col("score") / PSM_CALIPER) + 1,
+                )
+            ).alias("bkt"),
+        )
+    )
+    matched = (
+        probes.join(ctrl, "bkt")
+        .where(F.abs(F.col("t_score") - F.col("c_score")) <= PSM_CALIPER)
+        .groupBy("doc_id", "t_y")
+        .agg(
+            F.min_by(
+                F.col("c_y"),
+                F.struct(
+                    F.abs(F.col("t_score") - F.col("c_score")), F.col("c_id")
+                ),
+            ).alias("m_y")
+        )
+    )
+    n_treated = staged.where(F.col("treated")).agg(
+        F.count("*").alias("n_treated")
+    )
+    return (
+        matched.agg(
+            F.count("*").alias("n_matched"),
+            r6(F.avg(F.col("t_y") - F.col("m_y"))).alias("att"),
+        )
+        .crossJoin(F.broadcast(n_treated))
+        .select(
+            "n_treated",
+            "n_matched",
+            (F.col("n_treated") - F.col("n_matched")).alias("n_unmatched"),
+            "att",
+        )
+    )
+
+
+_TR_ITER_TMPL = """
+    , r{k} AS (
+        SELECT n.node,
+               ROUND(CAST(0.15 AS DOUBLE)
+                     + CAST(0.85 AS DOUBLE)
+                       * COALESCE(SUM(p.pr / o.deg), CAST(0.0 AS DOUBLE)),
+                     6) AS pr
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN r{prev} p ON p.node = e.src
+        LEFT JOIN outdeg o ON o.src = e.src
+        GROUP BY n.node
+    )"""
+
+
+def _textrank_oracle() -> str:
+    iters = "".join(
+        _TR_ITER_TMPL.format(k=k, prev=k - 1) for k in range(1, 4)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT string_split(trim(text), ' ') AS t FROM documents
+        ), pr0 AS (
+            SELECT DISTINCT t[i] AS src, t[i+1] AS dst
+            FROM toks, UNNEST(range(1, len(t))) AS u(i)
+            WHERE len(t) >= 2 AND t[i] <> t[i+1]
+        ), edges AS (
+            SELECT src, dst FROM pr0
+            UNION
+            SELECT dst AS src, src AS dst FROM pr0
+        ), nodes AS (
+            SELECT DISTINCT src AS node FROM edges
+        ), outdeg AS (
+            SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+        ), r0 AS (
+            SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+        ){iters}
+        SELECT node AS word, pr, rn FROM (
+            SELECT node, pr,
+                   ROW_NUMBER() OVER (ORDER BY pr DESC, node) AS rn
+            FROM r3
+        ) WHERE rn <= {TR_TOP_K}
+    """
+
+
+ORACLES.update({
+    "x247_textrank_keywords": _textrank_oracle(),
+    "x248_welch_ttest": f"""
+        WITH stats AS (
+            SELECT event_type, COUNT(*) AS n, AVG(value) AS m,
+                   var_samp(value) AS v
+            FROM events GROUP BY 1
+        ), base AS (
+            SELECT n AS n0, m AS m0, v AS v0 FROM stats
+            WHERE event_type = '{WELCH_BASELINE}'
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               ROUND(m - m0, 6) AS mean_diff,
+               ROUND((m - m0) / sqrt(v / n + v0 / n0), 6) AS t_stat,
+               ROUND((v / n + v0 / n0) * (v / n + v0 / n0)
+                     / ((v / n) * (v / n) / (n - 1)
+                        + (v0 / n0) * (v0 / n0) / (n0 - 1)), 6) AS welch_df
+        FROM stats CROSS JOIN base
+        WHERE event_type <> '{WELCH_BASELINE}'
+    """,
+    "x249_cusum_drift": f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   ROUND(AVG(value), 6) AS y
+            FROM events GROUP BY 1, 2
+        ), ord AS (
+            SELECT event_type, y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type ORDER BY day
+                   ) AS t
+            FROM daily
+        ), nn AS (
+            SELECT event_type, MAX(t) AS n_days FROM ord GROUP BY 1
+        ), cal AS (
+            SELECT event_type,
+                   ROUND(SUM(y) / {CUSUM_CAL_N}, 6) AS mu
+            FROM ord WHERE t <= {CUSUM_CAL_N} GROUP BY 1
+        ), sg AS (
+            SELECT o.event_type,
+                   ROUND(sqrt(SUM((y - mu) * (y - mu))
+                              / ({CUSUM_CAL_N} - 1)), 6) AS sigma
+            FROM ord o JOIN cal USING (event_type)
+            WHERE t <= {CUSUM_CAL_N}
+            GROUP BY 1
+        ), params AS (
+            SELECT cal.event_type, mu, sigma,
+                   {CUSUM_KS} * sigma AS k, {CUSUM_HS} * sigma AS h
+            FROM cal JOIN sg ON cal.event_type = sg.event_type
+        ), cs(event_type, t, sp, sn, alarms, first_idx, max_sp) AS (
+            SELECT event_type, CAST({CUSUM_CAL_N} + 1 AS BIGINT),
+                   CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+                   0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+            FROM params
+            UNION ALL
+            SELECT cs.event_type, cs.t + 1,
+                   ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)), 6),
+                   ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)), 6),
+                   cs.alarms + CASE WHEN
+                       ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)), 6) > p.h
+                       OR ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)), 6) > p.h
+                   THEN 1 ELSE 0 END,
+                   CASE WHEN cs.first_idx = 0 AND (
+                       ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)), 6) > p.h
+                       OR ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)), 6) > p.h
+                   ) THEN cs.t - {CUSUM_CAL_N} ELSE cs.first_idx END,
+                   GREATEST(cs.max_sp,
+                            ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)), 6))
+            FROM cs
+            JOIN ord o ON o.event_type = cs.event_type AND o.t = cs.t
+            JOIN params p ON p.event_type = cs.event_type
+        )
+        SELECT cs.event_type, CAST(nn.n_days AS INTEGER) AS n_days,
+               p.mu AS mu, p.sigma AS sigma,
+               CAST(cs.alarms AS INTEGER) AS n_alarm_days,
+               CAST(cs.first_idx AS INTEGER) AS first_alarm_idx,
+               ROUND(cs.max_sp, 6) AS max_sp
+        FROM cs
+        JOIN nn USING (event_type)
+        JOIN params p ON p.event_type = cs.event_type
+        WHERE cs.t = nn.n_days + 1
+    """,
+    "x250_isotonic_calibration": f"""
+        WITH bins AS (
+            SELECT CAST(FLOOR(n_chars / {ISO_BIN_W}) AS BIGINT) AS xb,
+                   COUNT(*) AS n,
+                   SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS s
+            FROM documents GROUP BY 1
+        ), cum AS (
+            SELECT xb, n, s,
+                   SUM(n) OVER (ORDER BY xb) AS cn,
+                   SUM(s) OVER (ORDER BY xb) AS cs
+            FROM bins
+        ), j AS (
+            SELECT xb AS jb, cn - n AS cn_jm1, cs - s AS cs_jm1 FROM cum
+        ), k AS (
+            SELECT xb AS kb, cn AS cn_k, cs AS cs_k FROM cum
+        ), seg AS (
+            SELECT jb, kb,
+                   (cs_k - cs_jm1) / CAST(cn_k - cn_jm1 AS DOUBLE) AS segmean
+            FROM j JOIN k ON jb <= kb
+        ), inner_ AS (
+            SELECT i.xb AS ib, seg.jb, MIN(segmean) AS mn
+            FROM seg JOIN cum i ON seg.jb <= i.xb AND seg.kb >= i.xb
+            GROUP BY 1, 2
+        ), fitted AS (
+            SELECT ib, MAX(mn) AS fit FROM inner_ GROUP BY 1
+        )
+        SELECT cum.xb, CAST(cum.n AS BIGINT) AS n,
+               ROUND(cum.s / CAST(cum.n AS DOUBLE), 6) AS raw_rate,
+               ROUND(fit, 6) AS fitted_rate
+        FROM cum JOIN fitted ON cum.xb = fitted.ib
+    """,
+    "x251_propensity_matching": f"""
+        WITH staged AS (
+            SELECT doc_id, n_chars,
+                   CAST(substr(source, 4) AS INTEGER)
+                       < {PSM_TREAT_MAX_SRC} AS treated,
+                   len(list_filter(string_split(trim(text), ' '),
+                       w -> list_contains(
+                           [{", ".join("'" + w + "'" for w in PSM_STOPWORDS)}],
+                           w)))
+                   / CAST(len(string_split(trim(text), ' ')) AS DOUBLE)
+                       AS score
+            FROM documents
+        ), tr AS (
+            SELECT doc_id, score AS t_score, n_chars AS t_y
+            FROM staged WHERE treated
+        ), ct AS (
+            SELECT doc_id AS c_id, score AS c_score, n_chars AS c_y
+            FROM staged WHERE NOT treated
+        ), m AS (
+            SELECT doc_id, t_y, c_y,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY ABS(t_score - c_score), c_id
+                   ) AS rn
+            FROM tr JOIN ct ON ABS(t_score - c_score) <= {PSM_CALIPER}
+        ), mm AS (
+            SELECT doc_id, t_y, c_y FROM m WHERE rn = 1
+        ), ag AS (
+            SELECT COUNT(*) AS n_matched,
+                   ROUND(AVG(t_y - c_y), 6) AS att
+            FROM mm
+        ), nt AS (
+            SELECT COUNT(*) AS n_treated FROM tr
+        )
+        SELECT CAST(n_treated AS BIGINT) AS n_treated,
+               CAST(n_matched AS BIGINT) AS n_matched,
+               CAST(n_treated - n_matched AS BIGINT) AS n_unmatched,
+               att
+        FROM ag CROSS JOIN nt
+    """,
+})
+
+QUERIES.update({
+    "x247_textrank_keywords": x247_textrank_keywords,
+    "x248_welch_ttest": x248_welch_ttest,
+    "x249_cusum_drift": x249_cusum_drift,
+    "x250_isotonic_calibration": x250_isotonic_calibration,
+    "x251_propensity_matching": x251_propensity_matching,
+})

@@ -45,6 +45,10 @@ SCALE_SET = [
     "x224_hard_negative_mining",  # bucket candidate volume at 10× vectors
     "x226_d4_prune",           # cluster sizes / prune boundaries at 10×
     "x229_margin_bitext_mining",  # pair volume + kNN normalizers at 10×
+    "x239_label_propagation",  # vote ties / propagation depth at 10× edges
+    "x241_greedy_wordpiece",   # top-50 gram ranking boundary at 10× weight
+    "x243_fellegi_sunter",     # EM pattern mix shifts with 10× block pairs
+    "x251_propensity_matching",  # caliper-boundary candidates at 10× docs
 ]
 
 QUERIES = all_queries()

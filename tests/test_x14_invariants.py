@@ -350,3 +350,216 @@ def test_chi2_matches_pure_python_for_top_token(spark, sf_smoke):
         assert r.doc_freq == sum(presence[r.w])
         assert abs(r.chi2 - chi2(r.w)) < 1e-4
         assert r.chi2 >= 0.0
+
+
+def test_textrank_matches_pure_python_pagerank(spark, sf_smoke):
+    """x247: rebuild the co-occurrence graph and run the identical
+    3-iteration 6dp-rounded PageRank in Python; the top-20 list must
+    match exactly (rank, word, position)."""
+    from social_warner_spark.queries.x14_series import (
+        TR_TOP_K,
+        x247_textrank_keywords,
+    )
+
+    docs = _docs(sf_smoke)
+    pairs = set()
+    for t in docs["text"]:
+        ws = t.strip().split()
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                pairs.add((a, b))
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = sorted({a for a, _ in edges})
+    out = defaultdict(list)
+    for a, b in edges:
+        out[a].append(b)
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(3):
+        inflow = defaultdict(float)
+        for a in nodes:
+            share = pr[a] / len(out[a])
+            for b in out[a]:
+                inflow[b] += share
+        pr = {n: round(0.15 + 0.85 * inflow[n], 6) for n in nodes}
+    want = sorted(pr.items(), key=lambda kv: (-kv[1], kv[0]))[:TR_TOP_K]
+    got = sorted(
+        x247_textrank_keywords(spark, sf_smoke).collect(), key=lambda r: r.rn
+    )
+    assert [(r.word, round(r.pr, 6)) for r in got] == [
+        (w, round(p, 6)) for w, p in want
+    ]
+
+
+def test_welch_matches_statistics_module(spark, sf_smoke):
+    """x248: recompute Welch t/df per event type from the raw values
+    with python statistics; also t_stat sign must match mean_diff."""
+    import statistics as st
+
+    from social_warner_spark.queries.x14_series import (
+        WELCH_BASELINE,
+        x248_welch_ttest,
+    )
+
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    base = ev[ev["event_type"] == WELCH_BASELINE]["value"].to_list()
+    n0, m0, v0 = len(base), st.fmean(base), st.variance(base)
+    rows = {r.event_type: r for r in x248_welch_ttest(spark, sf_smoke).collect()}
+    assert WELCH_BASELINE not in rows
+    for etype, grp in ev.groupby("event_type"):
+        if etype == WELCH_BASELINE:
+            continue
+        vals = grp["value"].to_list()
+        n, m, v = len(vals), st.fmean(vals), st.variance(vals)
+        se2 = v / n + v0 / n0
+        t = (m - m0) / math.sqrt(se2)
+        df = se2 * se2 / (
+            (v / n) ** 2 / (n - 1) + (v0 / n0) ** 2 / (n0 - 1)
+        )
+        r = rows[etype]
+        assert abs(r.t_stat - t) < 1e-4
+        assert abs(r.welch_df - df) < 1e-3
+        assert (r.t_stat >= 0) == (r.mean_diff >= 0)
+        assert min(n, n0) - 1 <= r.welch_df <= n + n0 - 2 + 1e-9
+
+
+def test_cusum_matches_pure_python_recursion(spark, sf_smoke):
+    """x249: replay the calibrate-then-fold CUSUM recursion in Python on
+    the same 6dp grid; all outputs must agree exactly."""
+    from social_warner_spark.queries.x14_series import (
+        CUSUM_CAL_N,
+        CUSUM_HS,
+        CUSUM_KS,
+        x249_cusum_drift,
+    )
+
+    got = {r.event_type: r for r in x249_cusum_drift(spark, sf_smoke).collect()}
+    ev = pd.read_parquet(f"{sf_smoke}/events.parquet")
+    ev["day"] = ev["ts"].dt.floor("D")
+    for etype, grp in ev.groupby("event_type"):
+        ys = [
+            round(v, 6)
+            for v in grp.groupby("day")["value"].mean().sort_index()
+        ]
+        if len(ys) <= CUSUM_CAL_N:
+            assert etype not in got
+            continue
+        cal = ys[:CUSUM_CAL_N]
+        mu = round(sum(cal) / CUSUM_CAL_N, 6)
+        sigma = round(
+            math.sqrt(
+                sum((y - mu) * (y - mu) for y in cal) / (CUSUM_CAL_N - 1)
+            ),
+            6,
+        )
+        k, h = CUSUM_KS * sigma, CUSUM_HS * sigma
+        sp = sn = max_sp = 0.0
+        alarms, first = 0, 0
+        for i, y in enumerate(ys[CUSUM_CAL_N:], start=1):
+            sp = round(max(0.0, sp + (y - mu - k)), 6)
+            sn = round(max(0.0, sn + (mu - y - k)), 6)
+            if sp > h or sn > h:
+                alarms += 1
+                if first == 0:
+                    first = i
+            max_sp = max(max_sp, sp)
+        r = got[etype]
+        assert r.n_days == len(ys)
+        assert abs(r.mu - mu) < 1e-9 and abs(r.sigma - sigma) < 1e-9
+        assert r.n_alarm_days == alarms
+        assert r.first_alarm_idx == first
+        assert abs(r.max_sp - max_sp) < 1e-9
+
+
+def test_isotonic_matches_classic_pav_and_is_monotone(spark, sf_smoke):
+    """x250: the minimax closed form must equal the classic
+    stack-based pool-adjacent-violators fit (weighted), and the fitted
+    curve must be non-decreasing."""
+    from social_warner_spark.queries.x14_series import (
+        ISO_BIN_W,
+        x250_isotonic_calibration,
+    )
+
+    docs = _docs(sf_smoke)
+    agg = defaultdict(lambda: [0, 0])
+    for n_chars, lang in zip(docs["n_chars"], docs["lang"]):
+        b = int(n_chars // ISO_BIN_W)
+        agg[b][0] += 1
+        agg[b][1] += int(lang == "en")
+    xs = sorted(agg)
+    # classic PAV: merge adjacent blocks while means decrease
+    blocks = [[agg[x][0], agg[x][1]] for x in xs]  # [weight, sum]
+    merged = []
+    for w, s in blocks:
+        merged.append([w, s])
+        while (
+            len(merged) >= 2
+            and merged[-2][1] * merged[-1][0] >= merged[-1][1] * merged[-2][0]
+        ):
+            w2, s2 = merged.pop()
+            merged[-1][0] += w2
+            merged[-1][1] += s2
+    # expand block means back to bins
+    fit = []
+    bi = 0
+    for w, s in merged:
+        acc = 0
+        while acc < w:
+            acc += agg[xs[bi]][0]
+            fit.append(s / w)
+            bi += 1
+    want = dict(zip(xs, fit))
+    rows = sorted(
+        x250_isotonic_calibration(spark, sf_smoke).collect(),
+        key=lambda r: r.xb,
+    )
+    assert [r.xb for r in rows] == xs
+    fitted = [r.fitted_rate for r in rows]
+    assert fitted == sorted(fitted), "isotonic fit must be non-decreasing"
+    for r in rows:
+        assert abs(r.fitted_rate - want[r.xb]) < 1e-5
+
+
+def test_propensity_matching_matches_brute_force(spark, sf_smoke):
+    """x251: brute-force the nearest-control match (caliper, tie on
+    min control id) in Python and recompute the ATT."""
+    from social_warner_spark.queries.x14_series import (
+        PSM_CALIPER,
+        PSM_STOPWORDS,
+        PSM_TREAT_MAX_SRC,
+        x251_propensity_matching,
+    )
+
+    docs = _docs(sf_smoke)
+    stop = set(PSM_STOPWORDS)
+    recs = []
+    for doc_id, text, source, n_chars in zip(
+        docs["doc_id"], docs["text"], docs["source"], docs["n_chars"]
+    ):
+        ws = text.strip().split()
+        score = sum(1 for w in ws if w in stop) / len(ws)
+        treated = int(source[3:]) < PSM_TREAT_MAX_SRC
+        recs.append((int(doc_id), treated, score, int(n_chars)))
+    controls = [(i, s, y) for i, t, s, y in recs if not t]
+    diffs, n_matched, n_treated = [], 0, 0
+    for i, t, s, y in recs:
+        if not t:
+            continue
+        n_treated += 1
+        cands = [
+            (abs(s - cs), ci, cy)
+            for ci, cs, cy in controls
+            if abs(s - cs) <= PSM_CALIPER
+        ]
+        if not cands:
+            continue
+        _, _, cy = min(cands)
+        n_matched += 1
+        diffs.append(y - cy)
+    r = x251_propensity_matching(spark, sf_smoke).first()
+    assert r.n_treated == n_treated
+    assert r.n_matched == n_matched
+    assert r.n_unmatched == n_treated - n_matched
+    assert abs(r.att - sum(diffs) / len(diffs)) < 1e-5
