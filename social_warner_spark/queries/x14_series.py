@@ -1785,3 +1785,478 @@ QUERIES.update({
     "x250_isotonic_calibration": x250_isotonic_calibration,
     "x251_propensity_matching": x251_propensity_matching,
 })
+
+
+# ---------------------------------------------------------------------------
+# x252–x256 — third widening batch: IR scoring/eval + inequality + B³
+# ---------------------------------------------------------------------------
+
+#: x252 — Dirichlet query-likelihood smoothing (Zhai & Lafferty, SIGIR
+#: 2001); same fixed query as x35's BM25 so the two models are
+#: comparable (and x253 can measure their rank agreement).
+DQL_TERMS = ("spark", "hash", "window")
+DQL_MU = 200.0
+DQL_TOPK = 20
+#: x253 — rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010):
+#: truncated-at-k form with persistence p.
+RBO_P = 0.9
+RBO_K = 20
+#: x255 — rank cutoff for the discounted-gain recommender metric.
+NDCG_K = 10
+#: x256 — near-dup threshold must match x27 so the system clustering
+#: under evaluation is the one the dedup pipeline actually uses.
+B3_THRESHOLD = 0.5
+
+
+def _dql_ranked(d):
+    """(doc_id, score, rk) for the Dirichlet query-likelihood model:
+    score = sum_q ln((tf + mu*cf/ctot) / (dl + mu)) — every doc scores
+    (smoothing), top-k kept."""
+    def _is(term):
+        # a 2-arg lambda (e.g. a `term=term` default) would make F.filter
+        # pass the element INDEX as the second argument — build unary
+        # predicates via a closure (same trap as operators/search.py).
+        return lambda t: t == term
+
+    staged = d.select(
+        "doc_id", tokens(F.col("text")).alias("_toks")
+    ).select(
+        "doc_id",
+        F.size("_toks").cast("double").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_toks"), _is(term)))
+            .cast("double")
+            .alias(f"tf_{i}")
+            for i, term in enumerate(DQL_TERMS)
+        ],
+    )
+    cstats = staged.agg(
+        F.sum("dl").alias("ctot"),
+        *[F.sum(f"tf_{i}").alias(f"cf_{i}") for i in range(len(DQL_TERMS))],
+    )
+    score = None
+    for i in range(len(DQL_TERMS)):
+        term_lp = F.log(
+            (F.col(f"tf_{i}") + DQL_MU * F.col(f"cf_{i}") / F.col("ctot"))
+            / (F.col("dl") + DQL_MU)
+        )
+        score = term_lp if score is None else score + term_lp
+    scored = staged.crossJoin(F.broadcast(cstats)).select(
+        "doc_id", F.round(score, 6).alias("score")
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(DQL_TOPK)
+        .withColumn("rk", F.row_number().over(w))
+    )
+
+
+def x252_dirichlet_ql(spark, sf_dir):
+    """Dirichlet-smoothed query-likelihood retrieval (the language-model
+    alternative to x35's Okapi BM25): top-20 docs for the same fixed
+    query under score(d) = sum_q ln((tf(q,d) + mu*P(q|C)) / (|d| + mu)).
+
+    Scale: tf/dl are narrow `size(filter())` maps (no explode); the
+    corpus language model is a broadcast 1-row relation; the top-k is
+    orderBy+limit (TakeOrderedAndProject per-partition heaps)."""
+    return _dql_ranked(T(spark, sf_dir, "documents")).select(
+        "doc_id", "score", "rk"
+    )
+
+
+def x253_rbo_rank_agreement(spark, sf_dir):
+    """Rank-biased overlap (truncated at k=20, p=0.9) between the BM25
+    and Dirichlet-QL rankings of the same query: RBO = (1-p) *
+    sum_d p^(d-1) * |A_d ∩ B_d| / d — the standard top-weighted measure
+    of how much two retrieval models actually agree.
+
+    Both rankings are k-row relations before any RBO algebra, so the
+    depth cross join is k x k bounded; corpus cost is the two scoring
+    passes themselves."""
+    from social_warner_spark.operators.search import bm25_scores
+
+    d = T(spark, sf_dir, "documents")
+    wa = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    a = (
+        bm25_scores(d, list(DQL_TERMS))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RBO_K)
+        .withColumn("ra", F.row_number().over(wa))
+        .select("doc_id", "ra")
+    )
+    b = _dql_ranked(d).select("doc_id", F.col("rk").alias("rb"))
+    both = a.join(b, "doc_id").select(
+        F.greatest(F.col("ra"), F.col("rb")).alias("dmin")
+    )
+    depths = spark.range(1, RBO_K + 1).select(F.col("id").alias("dep"))
+    xd = (
+        both.join(F.broadcast(depths), F.col("dmin") <= F.col("dep"))
+        .groupBy("dep")
+        .agg(F.count("*").alias("xd"))
+    )
+    rbo = xd.agg(
+        F.round(
+            (1 - RBO_P)
+            * F.sum(
+                F.pow(F.lit(RBO_P), F.col("dep") - 1)
+                * F.col("xd")
+                / F.col("dep")
+            ),
+            6,
+        ).alias("rbo")
+    )
+    ov = both.agg(F.count("*").alias("overlap_at_k"))
+    return (
+        rbo.crossJoin(F.broadcast(ov))
+        .select(
+            "overlap_at_k",
+            r6(F.col("overlap_at_k") / F.lit(float(RBO_K))).alias(
+                "agreement_at_k"
+            ),
+            "rbo",
+        )
+    )
+
+
+def x254_gini_sources(spark, sf_dir):
+    """Gini coefficient of per-source token-count contribution — the
+    inequality readout ("is the corpus dominated by two crawls?") that
+    complements x136's Pareto concentration: with sources sorted
+    ascending by contribution, G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n.
+
+    The rank window runs on the |sources|-row aggregate (bounded,
+    single-partition by design); the corpus contributes one
+    map-side-combined token-count aggregation."""
+    d = T(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("toks")
+    )
+    ranked = per_src.withColumn(
+        "i", F.row_number().over(Window.orderBy(F.asc("toks"), F.asc("source")))
+    )
+    return ranked.agg(
+        F.count("*").alias("n_sources"),
+        F.sum("toks").alias("total_tokens"),
+        r6(
+            2.0 * F.sum(F.col("i") * F.col("toks"))
+            / (F.count("*") * F.sum("toks"))
+            - (F.count("*") + 1.0) / F.count("*")
+        ).alias("gini"),
+        r6(F.max("toks") / F.sum("toks")).alias("top_share"),
+    )
+
+
+def x255_ndcg_popularity(spark, sf_dir):
+    """nDCG@10 of the popularity recommender under the same
+    leave-one-out protocol as x123's hit-rate: per multi-item order the
+    max-partkey item is held out, popularity is computed WITHOUT the
+    held-out occurrences, and the held-out item earns 1/log2(rank+1)
+    when it appears in the top-10 (single relevant item → ideal DCG =
+    1, so the mean discounted gain IS the nDCG).
+
+    Popularity is a |parts| aggregate; the gain test is one broadcast
+    join of the holdout relation against 10 rows."""
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    multi = (
+        li.groupBy("ok")
+        .agg(F.count("*").alias("_n"), F.max("pk").alias("held"))
+        .where(F.col("_n") >= 2)
+        .select("ok", "held")
+    )
+    train = li.join(F.broadcast(multi), "ok", "left").where(
+        F.col("held").isNull() | (F.col("pk") != F.col("held"))
+    )
+    pop = (
+        train.groupBy("pk")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.desc("c"), F.asc("pk"))),
+        )
+        .where(F.col("rk") <= NDCG_K)
+        .select("pk", "rk")
+    )
+    gains = multi.join(
+        F.broadcast(pop), multi["held"] == pop["pk"], "left"
+    ).select((1.0 / F.log2(F.col("rk") + 1.0)).alias("g"))
+    return gains.agg(
+        F.count("*").alias("n_eval"),
+        F.count("g").alias("hits_at_k"),
+        r6(F.sum(F.coalesce(F.col("g"), F.lit(0.0))) / F.count("*")).alias(
+            "ndcg_at_k"
+        ),
+    )
+
+
+def x256_bcubed_dedup_eval(spark, sf_dir):
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of the
+    x27 near-dup clustering (system) against exact-text duplicate groups
+    (gold): per element, precision = |C(e) ∩ G(e)| / |C(e)| — summed in
+    closed form over the (system, gold) contingency cells as
+    sum n_sg^2 / n_s / N, which needs only the cell and cluster-size
+    relations, never per-element loops.
+
+    Scale: one join of the two label relations → cell counts; sizes are
+    group-bys of each side; everything after the clustering itself is
+    |clusters|-sized."""
+    from social_warner_spark.operators.dedup import neardup_clusters
+
+    d = T(spark, sf_dir, "documents")
+    sysc = neardup_clusters(d, threshold=B3_THRESHOLD).select(
+        "doc_id", F.col("cluster_id").alias("s")
+    )
+    # gold = exact-text duplicate groups; keyed by md5(text) so the
+    # shuffle carries 32-byte hashes, not document bodies, and the label
+    # is a window-min — no join back.
+    goldc = d.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text"))))
+        .alias("g"),
+    )
+    from social_warner_spark.caching import register_persisted
+
+    # lab feeds four consumers (cells, both size relations, the total) —
+    # persist or the clustering upstream re-executes per consumer.
+    lab = register_persisted(sysc.join(goldc, "doc_id").persist())
+    cells = lab.groupBy("s", "g").agg(F.count("*").alias("n_sg"))
+    ssz = lab.groupBy("s").agg(F.count("*").alias("n_s"))
+    gsz = lab.groupBy("g").agg(F.count("*").alias("n_g"))
+    n = lab.agg(F.count("*").alias("n_docs"))
+    joined = cells.join(ssz, "s").join(gsz, "g").crossJoin(F.broadcast(n))
+    agg = joined.agg(
+        F.max("n_docs").alias("n_docs"),
+        (
+            F.sum(F.col("n_sg") * F.col("n_sg") / F.col("n_s"))
+            / F.max("n_docs")
+        ).alias("p"),
+        (
+            F.sum(F.col("n_sg") * F.col("n_sg") / F.col("n_g"))
+            / F.max("n_docs")
+        ).alias("r"),
+    )
+    return agg.select(
+        "n_docs",
+        r6(F.col("p")).alias("bcubed_precision"),
+        r6(F.col("r")).alias("bcubed_recall"),
+        r6(2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))).alias(
+            "bcubed_f1"
+        ),
+    )
+
+
+def _dql_staged_sql() -> str:
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(string_split(trim(text), ' '),"
+        f" x -> x = '{t}')) AS DOUBLE) AS tf_{i}"
+        for i, t in enumerate(DQL_TERMS)
+    )
+    return f"""staged AS (
+            SELECT doc_id,
+                   CAST(len(string_split(trim(text), ' ')) AS DOUBLE) AS dl,
+                   {tf_cols}
+            FROM documents
+        )"""
+
+
+def _dql_scored_sql() -> str:
+    cf_cols = ", ".join(
+        f"SUM(tf_{i}) AS cf_{i}" for i in range(len(DQL_TERMS))
+    )
+    terms = " + ".join(
+        f"ln((tf_{i} + {DQL_MU} * cf_{i} / ctot) / (dl + {DQL_MU}))"
+        for i in range(len(DQL_TERMS))
+    )
+    return f"""cstats AS (
+            SELECT SUM(dl) AS ctot, {cf_cols} FROM staged
+        ), qscored AS (
+            SELECT doc_id, ROUND({terms}, 6) AS score FROM staged, cstats
+        )"""
+
+
+def _bm25_scored_sql() -> str:
+    """BM25 scoring CTEs over `staged` — the exact formula of the x35
+    oracle (k1=1.2, b=0.75), restated for the shared query terms."""
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" AS df_{i}"
+        for i in range(len(DQL_TERMS))
+    )
+    parts = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN"
+        f" ROUND(ln(1.0 + (n_docs - df_{i} + 0.5) / (df_{i} + 0.5))"
+        f" * tf_{i} * 2.2 / (tf_{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),"
+        f" 6) ELSE 0.0 END"
+        for i in range(len(DQL_TERMS))
+    )
+    return f"""bstats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+                   {df_cols}
+            FROM staged
+        ), bscored AS (
+            SELECT doc_id, ROUND({parts}, 6) AS score
+            FROM staged, bstats
+        )"""
+
+
+#: The x27 transitive-closure CTE chain, verbatim (same shingles, same
+#: threshold) — x256 evaluates exactly the clustering x27 declares.
+_X27_CLUSTERS_SQL = """toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+            FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            WHERE len(t) >= 3
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+        ), shared AS (
+            SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a, b FROM shared
+            JOIN sizes sa ON sa.doc_id = a
+            JOIN sizes sb ON sb.doc_id = b
+            WHERE ROUND(c / (sa.sz + sb.sz - c), 6) >= 0.5
+        ), edges AS (
+            SELECT a AS src, b AS dst FROM pairs
+            UNION ALL
+            SELECT b, a FROM pairs
+        ), reach(id, lab) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, r.lab FROM reach r JOIN edges e ON e.dst = r.id
+        ), clusters AS (
+            SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+        )"""
+
+
+ORACLES.update({
+    "x252_dirichlet_ql": f"""
+        WITH {_dql_staged_sql()}, {_dql_scored_sql()}, ranked AS (
+            SELECT doc_id, score,
+                   CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+                        AS INT) AS rk
+            FROM qscored
+        )
+        SELECT doc_id, score, rk FROM ranked WHERE rk <= {DQL_TOPK}
+    """,
+    "x253_rbo_rank_agreement": f"""
+        WITH {_dql_staged_sql()}, {_bm25_scored_sql()}, a AS (
+            SELECT doc_id, ra FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS ra
+                FROM bscored WHERE score > 0
+            ) WHERE ra <= {RBO_K}
+        ), {_dql_scored_sql()}, b AS (
+            SELECT doc_id, rb FROM (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rb
+                FROM qscored
+            ) WHERE rb <= {RBO_K}
+        ), bothr AS (
+            SELECT GREATEST(ra, rb) AS dmin FROM a JOIN b USING (doc_id)
+        ), xd AS (
+            SELECT dep, COUNT(*) AS xd
+            FROM bothr, UNNEST(range(1, {RBO_K} + 1)) AS u(dep)
+            WHERE dmin <= dep GROUP BY dep
+        ), rbo AS (
+            SELECT ROUND((1 - {RBO_P})
+                         * SUM(POWER({RBO_P}, dep - 1) * xd / dep), 6) AS rbo
+            FROM xd
+        ), ov AS (
+            SELECT COUNT(*) AS overlap_at_k FROM bothr
+        )
+        SELECT CAST(ov.overlap_at_k AS BIGINT) AS overlap_at_k,
+               ROUND(ov.overlap_at_k / CAST({RBO_K} AS DOUBLE), 6)
+                   AS agreement_at_k,
+               rbo.rbo
+        FROM rbo CROSS JOIN ov
+    """,
+    "x254_gini_sources": """
+        WITH per_src AS (
+            SELECT source,
+                   SUM(len(string_split(trim(text), ' '))) AS toks
+            FROM documents GROUP BY 1
+        ), ranked AS (
+            SELECT source, toks,
+                   ROW_NUMBER() OVER (ORDER BY toks, source) AS i
+            FROM per_src
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               ROUND(2.0 * SUM(i * toks) / (COUNT(*) * SUM(toks))
+                     - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+               ROUND(MAX(toks) / CAST(SUM(toks) AS DOUBLE), 6) AS top_share
+        FROM ranked
+    """,
+    "x255_ndcg_popularity": f"""
+        WITH li AS (
+            SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+        ), multi AS (
+            SELECT ok, MAX(pk) AS held FROM li GROUP BY ok
+            HAVING COUNT(*) >= 2
+        ), train AS (
+            SELECT li.ok, li.pk FROM li LEFT JOIN multi USING (ok)
+            WHERE held IS NULL OR pk <> held
+        ), pop AS (
+            SELECT pk, rk FROM (
+                SELECT pk,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, pk) AS rk
+                FROM train GROUP BY pk
+            ) WHERE rk <= {NDCG_K}
+        ), gains AS (
+            SELECT 1.0 / log2(p.rk + 1.0) AS g
+            FROM multi m LEFT JOIN pop p ON m.held = p.pk
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(COUNT(g) AS BIGINT) AS hits_at_k,
+               ROUND(SUM(COALESCE(g, 0.0)) / COUNT(*), 6) AS ndcg_at_k
+        FROM gains
+    """,
+    "x256_bcubed_dedup_eval": f"""
+        WITH RECURSIVE {_X27_CLUSTERS_SQL}, goldc AS (
+            SELECT doc_id,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS g
+            FROM documents
+        ), lab AS (
+            SELECT c.doc_id, c.cluster_id AS s, gc.g
+            FROM clusters c JOIN goldc gc USING (doc_id)
+        ), cells AS (
+            SELECT s, g, COUNT(*) AS n_sg FROM lab GROUP BY 1, 2
+        ), ssz AS (
+            SELECT s, COUNT(*) AS n_s FROM lab GROUP BY 1
+        ), gsz AS (
+            SELECT g, COUNT(*) AS n_g FROM lab GROUP BY 1
+        ), nn AS (
+            SELECT COUNT(*) AS n_docs FROM lab
+        ), j AS (
+            SELECT n_sg, n_s, n_g, n_docs
+            FROM cells JOIN ssz USING (s) JOIN gsz USING (g) CROSS JOIN nn
+        ), ag AS (
+            SELECT MAX(n_docs) AS n_docs,
+                   SUM(n_sg * n_sg / CAST(n_s AS DOUBLE)) / MAX(n_docs) AS p,
+                   SUM(n_sg * n_sg / CAST(n_g AS DOUBLE)) / MAX(n_docs) AS r
+            FROM j
+        )
+        SELECT CAST(n_docs AS BIGINT) AS n_docs,
+               ROUND(p, 6) AS bcubed_precision,
+               ROUND(r, 6) AS bcubed_recall,
+               ROUND(2 * p * r / (p + r), 6) AS bcubed_f1
+        FROM ag
+    """,
+})
+
+QUERIES.update({
+    "x252_dirichlet_ql": x252_dirichlet_ql,
+    "x253_rbo_rank_agreement": x253_rbo_rank_agreement,
+    "x254_gini_sources": x254_gini_sources,
+    "x255_ndcg_popularity": x255_ndcg_popularity,
+    "x256_bcubed_dedup_eval": x256_bcubed_dedup_eval,
+})

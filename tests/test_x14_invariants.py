@@ -563,3 +563,173 @@ def test_propensity_matching_matches_brute_force(spark, sf_smoke):
     assert r.n_matched == n_matched
     assert r.n_unmatched == n_treated - n_matched
     assert abs(r.att - sum(diffs) / len(diffs)) < 1e-5
+
+
+def test_dirichlet_ql_matches_pure_python(spark, sf_smoke):
+    """x252: recompute the smoothed query-likelihood score for every
+    returned doc in Python; ranks and 6dp scores must match."""
+    from social_warner_spark.queries.x14_series import (
+        DQL_MU,
+        DQL_TERMS,
+        DQL_TOPK,
+        x252_dirichlet_ql,
+    )
+
+    docs = _docs(sf_smoke)
+    toks = {i: t.strip().split() for i, t in zip(docs["doc_id"], docs["text"])}
+    ctot = float(sum(len(ws) for ws in toks.values()))
+    cf = {
+        q: float(sum(ws.count(q) for ws in toks.values())) for q in DQL_TERMS
+    }
+    scores = {
+        i: round(
+            sum(
+                math.log(
+                    (ws.count(q) + DQL_MU * cf[q] / ctot)
+                    / (len(ws) + DQL_MU)
+                )
+                for q in DQL_TERMS
+            ),
+            6,
+        )
+        for i, ws in toks.items()
+    }
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:DQL_TOPK]
+    got = sorted(x252_dirichlet_ql(spark, sf_smoke).collect(), key=lambda r: r.rk)
+    assert [(r.doc_id, round(r.score, 6)) for r in got] == want
+    assert all(r.score < 0 for r in got)
+
+
+def test_rbo_bounds_and_python_recompute(spark, sf_smoke):
+    """x253: RBO must lie in [0, 1], agreement = overlap/k, and the RBO
+    sum recomputed in Python from the two independently re-derived
+    rankings must agree."""
+    from social_warner_spark.operators.search import bm25_scores
+    from social_warner_spark.queries.common import T
+    from social_warner_spark.queries.x14_series import (
+        DQL_TERMS,
+        RBO_K,
+        RBO_P,
+        _dql_ranked,
+        x253_rbo_rank_agreement,
+    )
+
+    r = x253_rbo_rank_agreement(spark, sf_smoke).first()
+    assert 0.0 <= r.rbo <= 1.0
+    assert abs(r.agreement_at_k - r.overlap_at_k / RBO_K) < 1e-9
+
+    d = T(spark, sf_smoke, "documents")
+    a_rows = (
+        bm25_scores(d, list(DQL_TERMS))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RBO_K)
+        .collect()
+    )
+    a_rank = {row.doc_id: i + 1 for i, row in enumerate(a_rows)}
+    b_rank = {row.doc_id: row.rk for row in _dql_ranked(d).collect()}
+    rbo = 0.0
+    for dep in range(1, RBO_K + 1):
+        x = sum(
+            1
+            for doc, ra in a_rank.items()
+            if ra <= dep and b_rank.get(doc, RBO_K + 1) <= dep
+        )
+        rbo += (RBO_P ** (dep - 1)) * x / dep
+    rbo *= 1 - RBO_P
+    assert abs(r.rbo - rbo) < 1e-5
+    assert r.overlap_at_k == sum(1 for doc in a_rank if doc in b_rank)
+
+
+def test_gini_matches_pure_python(spark, sf_smoke):
+    """x254: exact Python recompute of the Gini coefficient and bounds."""
+    from social_warner_spark.queries.x14_series import x254_gini_sources
+
+    docs = _docs(sf_smoke)
+    per = defaultdict(int)
+    for src, text in zip(docs["source"], docs["text"]):
+        per[src] += len(text.strip().split())
+    xs = sorted(per.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    tot = sum(v for _, v in xs)
+    gini = 2.0 * sum((i + 1) * v for i, (_, v) in enumerate(xs)) / (
+        n * tot
+    ) - (n + 1.0) / n
+    r = x254_gini_sources(spark, sf_smoke).first()
+    assert r.n_sources == n and r.total_tokens == tot
+    assert abs(r.gini - gini) < 1e-6
+    assert 0.0 <= r.gini < 1.0
+    assert abs(r.top_share - max(per.values()) / tot) < 1e-6
+
+
+def test_ndcg_matches_pure_python(spark, sf_smoke):
+    """x255: full leave-one-out replay in Python — holdout, popularity
+    WITHOUT held occurrences, discounted gains."""
+    from social_warner_spark.queries.x14_series import (
+        NDCG_K,
+        x255_ndcg_popularity,
+    )
+
+    li = pd.read_parquet(f"{sf_smoke}/lineitem.parquet")
+    pairs = {(int(o), int(p)) for o, p in zip(li["l_orderkey"], li["l_partkey"])}
+    by_order = defaultdict(set)
+    for o, p in pairs:
+        by_order[o].add(p)
+    held = {o: max(ps) for o, ps in by_order.items() if len(ps) >= 2}
+    pop = Counter()
+    for o, ps in by_order.items():
+        for p in ps:
+            if held.get(o) != p:
+                pop[p] += 1
+    top = sorted(pop.items(), key=lambda kv: (-kv[1], kv[0]))[:NDCG_K]
+    rank = {p: i + 1 for i, (p, _) in enumerate(top)}
+    gains = [
+        1.0 / math.log2(rank[h] + 1.0) if h in rank else 0.0
+        for h in held.values()
+    ]
+    r = x255_ndcg_popularity(spark, sf_smoke).first()
+    assert r.n_eval == len(held)
+    assert r.hits_at_k == sum(1 for h in held.values() if h in rank)
+    assert abs(r.ndcg_at_k - sum(gains) / len(gains)) < 1e-6
+    assert r.ndcg_at_k <= r.hits_at_k / r.n_eval + 1e-9
+
+
+def test_bcubed_matches_per_element_definition(spark, sf_smoke):
+    """x256: recompute B3 from the PER-ELEMENT definition (mean over
+    elements of |C(e) ∩ G(e)|/|C(e)|) using the system labels Spark
+    produced and gold labels derived in Python — verifying the
+    closed-form cell algebra against the textbook formula."""
+    from social_warner_spark.operators.dedup import neardup_clusters
+    from social_warner_spark.queries.common import T
+    from social_warner_spark.queries.x14_series import (
+        B3_THRESHOLD,
+        x256_bcubed_dedup_eval,
+    )
+
+    docs = _docs(sf_smoke)
+    gold = {}
+    first_by_text = {}
+    for i, t in sorted(zip(docs["doc_id"], docs["text"])):
+        gold[i] = first_by_text.setdefault(t, i)
+    sysc = {
+        r.doc_id: r.cluster_id
+        for r in neardup_clusters(
+            T(spark, sf_smoke, "documents"), threshold=B3_THRESHOLD
+        ).collect()
+    }
+    sys_members = defaultdict(set)
+    gold_members = defaultdict(set)
+    for e in gold:
+        sys_members[sysc[e]].add(e)
+        gold_members[gold[e]].add(e)
+    ps, rs = [], []
+    for e in gold:
+        c, g = sys_members[sysc[e]], gold_members[gold[e]]
+        inter = len(c & g)
+        ps.append(inter / len(c))
+        rs.append(inter / len(g))
+    p, r_ = sum(ps) / len(ps), sum(rs) / len(rs)
+    row = x256_bcubed_dedup_eval(spark, sf_smoke).first()
+    assert row.n_docs == len(gold)
+    assert abs(row.bcubed_precision - p) < 1e-6
+    assert abs(row.bcubed_recall - r_) < 1e-6
+    assert 0.0 < row.bcubed_f1 <= 1.0
