@@ -34,6 +34,7 @@ from social_warner_spark.queries import (
     x12_series,
     x13_series,
     x14_series,
+    x15_series,
     x_series,
 )
 
@@ -56,6 +57,7 @@ _SERIES = (
     x12_series,
     x13_series,
     x14_series,
+    x15_series,
     sql_series,
 )
 
