@@ -35,6 +35,7 @@ from social_warner_spark.queries import (
     x13_series,
     x14_series,
     x15_series,
+    x16_series,
     x_series,
 )
 
@@ -58,6 +59,7 @@ _SERIES = (
     x13_series,
     x14_series,
     x15_series,
+    x16_series,
     sql_series,
 )
 
