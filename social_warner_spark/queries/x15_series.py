@@ -81,9 +81,17 @@ def x257_spearman_quality(spark, sf_dir):
     `_avg_ranks`) — two small sort windows and two broadcast join-backs;
     the corpus itself contributes one narrow map plus one `corr`
     aggregate."""
-    d = T(spark, sf_dir, "documents").select(
-        F.size(tokens(F.col("text"))).alias("a"),
-        F.col("n_chars").alias("b"),
+    from social_warner_spark.caching import register_persisted
+
+    # (a, b) feeds three consumers (two rank maps + the final corr scan)
+    # — persist the 2-int relation or the tokenizing scan runs 4x.
+    d = register_persisted(
+        T(spark, sf_dir, "documents")
+        .select(
+            F.size(tokens(F.col("text"))).alias("a"),
+            F.col("n_chars").alias("b"),
+        )
+        .persist()
     )
     ranked = _avg_ranks(_avg_ranks(d, "a", "ra"), "b", "rb")
     return ranked.agg(
@@ -179,6 +187,11 @@ def x259_adamic_adar(spark, sf_dir):
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
+    from social_warner_spark.caching import register_persisted
+
+    # edges feeds three consumers (both union sides + the anti-join) —
+    # persist or the lineitem self-join re-executes per consumer.
+    edges = register_persisted(edges.persist())
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

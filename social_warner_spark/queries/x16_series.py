@@ -299,6 +299,10 @@ def x265_powerlaw_degree(spark, sf_dir):
         .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
         .distinct()
     )
+    from social_warner_spark.caching import register_persisted
+
+    # both union sides re-derive the lineitem self-join — persist it.
+    edges = register_persisted(edges.persist())
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
