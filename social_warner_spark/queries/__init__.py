@@ -36,6 +36,7 @@ from social_warner_spark.queries import (
     x14_series,
     x15_series,
     x16_series,
+    x17_series,
     x_series,
 )
 
@@ -60,6 +61,7 @@ _SERIES = (
     x14_series,
     x15_series,
     x16_series,
+    x17_series,
     sql_series,
 )
 
