@@ -37,6 +37,7 @@ from social_warner_spark.queries import (
     x15_series,
     x16_series,
     x17_series,
+    x18_series,
     x_series,
 )
 
@@ -62,6 +63,7 @@ _SERIES = (
     x15_series,
     x16_series,
     x17_series,
+    x18_series,
     sql_series,
 )
 
