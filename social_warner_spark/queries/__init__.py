@@ -38,6 +38,7 @@ from social_warner_spark.queries import (
     x16_series,
     x17_series,
     x18_series,
+    x19_series,
     x_series,
 )
 
@@ -64,6 +65,7 @@ _SERIES = (
     x16_series,
     x17_series,
     x18_series,
+    x19_series,
     sql_series,
 )
 
@@ -81,6 +83,11 @@ _SERIES = (
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries).  Queries not listed
 #: follow in stable module order; total set is unchanged.
+#:
+#: This session swapped five slots to the new x15-x19 series
+#: representatives (x259/x262/x270/x272/x279) so every module has a
+#: hard driver signal; the displaced ids (x197, x198, x199, x201,
+#: x212) move to the round-4 window below.
 #:
 #: Round-4 rotation plan (for the next session): after r03 lands,
 #: driver coverage is ~146/286; fill the next window with the remaining
@@ -116,11 +123,11 @@ CHECK_PRIORITY = (
     # round-2/3 experimentation & advanced-stats families (x195-x214)
     "x195_forecast_backtest",
     "x237_kneser_ney",
-    "x197_cross_correlation",
-    "x198_priority_sample",
-    "x199_capture_recapture",
+    "x259_adamic_adar",
+    "x262_winnowing_overlap",
+    "x270_markov_attribution",
     "x200_ransac_trend",
-    "x201_fdr_correction",
+    "x272_filter_waterfall",
     "x202_cuped",
     "x203_kcore",
     "x204_span_corruption",
@@ -130,7 +137,7 @@ CHECK_PRIORITY = (
     "x208_conformal",
     "x209_rank1_als",
     "x210_markov_predictor",
-    "x212_neyman_allocation",
+    "x279_shapley_attribution",
     "x213_sequential_monitor",
     "x214_crossfit_oof",
     # the 17 TPC-H shapes still lacking a driver row
