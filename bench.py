@@ -88,6 +88,12 @@ HEADLINE = [
     "x239_label_propagation",  # 3-round synchronous LPA (message passing)
     "x241_greedy_wordpiece",   # vocab-bounded substring join + greedy fold
     "x243_fellegi_sunter",     # blocked pair self-join + 8-row EM algebra
+    # x15–x19-series additions (same caveat: compare per-query, not totals)
+    "x259_adamic_adar",        # capped wedge join + anti-join link prediction
+    "x262_winnowing_overlap",  # winnowing fingerprint self-join
+    "x269_cluster_quality",    # IVF silhouette/DB (corpus x nlist scoring)
+    "x270_markov_attribution", # journey matrix + masked value-iteration folds
+    "x277_rouge_pairs",        # exact-Jaccard pairs + clipped n-gram overlap
 ]
 
 

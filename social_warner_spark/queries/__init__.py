@@ -39,6 +39,7 @@ from social_warner_spark.queries import (
     x17_series,
     x18_series,
     x19_series,
+    x20_series,
     x_series,
 )
 
@@ -66,6 +67,7 @@ _SERIES = (
     x17_series,
     x18_series,
     x19_series,
+    x20_series,
     sql_series,
 )
 
@@ -130,7 +132,7 @@ CHECK_PRIORITY = (
     "x272_filter_waterfall",
     "x202_cuped",
     "x203_kcore",
-    "x204_span_corruption",
+    "x282_gmm_em",
     "x205_data_ablation",
     "x206_mahalanobis",
     "x207_spell_canonicalize",
