@@ -102,3 +102,69 @@ def streaming_ewma(events: DataFrame, decay: float = 0.9) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_heavy_hitters(events: DataFrame, k: int = 20) -> DataFrame:
+    """Per-event-type Misra–Gries heavy hitters over the user stream —
+    the deterministic-guarantee top-k summary the CMS cells
+    (streaming/corpus.py) cannot give: after n items, every user with
+    true frequency > n/k is guaranteed present, and each kept counter
+    underestimates its true count by at most n/k.
+
+    State per event type is the classic k-1 counter table, carried as
+    two parallel arrays (applyInPandasWithState state must be a flat
+    struct); each micro-batch folds its rows through the textbook
+    update (increment if tracked, insert if room, else decrement all)
+    and emits the CURRENT summary — one row per tracked user plus the
+    processed-count row the error bound derives from.
+
+    The summary content is order-dependent (as Misra–Gries is); the
+    GUARANTEES are not, and they are what the tests assert against the
+    exact batch counts.  State is O(k) per event type — bounded however
+    long the stream runs, watermark-free.
+    """
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ids, counts, n = state.get
+            table = dict(zip(ids, counts))
+        else:
+            table, n = {}, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                n += 1
+                if uid in table:
+                    table[uid] += 1
+                elif len(table) < k - 1:
+                    table[uid] = 1
+                else:
+                    table = {
+                        u: c - 1 for u, c in table.items() if c > 1
+                    }
+        ids = sorted(table)
+        state.update((ids, [table[u] for u in ids], n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(ids),
+                "user_id": ids,
+                "est_count": [table[u] for u in ids],
+                "n_processed": [n] * len(ids),
+            }
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, user_id long, est_count long,"
+            " n_processed long"
+        ),
+        stateStructType="ids array<long>, counts array<long>, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -110,3 +110,54 @@ def test_streaming_ewma_resumes_state_across_checkpointed_runs(spark, sf_smoke, 
     assert len(got) == len(exp)
     pd.testing.assert_series_equal(got, exp, rtol=0, atol=1e-5)
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_streaming_heavy_hitters_guarantees_vs_exact(spark, sf_smoke, tmp_path):
+    """Misra-Gries guarantees after the stream drains: every user with
+    true per-type frequency > n/k is tracked, and every tracked
+    estimate lies in [true - n/k, true]."""
+    from social_warner_spark.streaming.stateful import streaming_heavy_hitters
+
+    K = 20
+    d = str(tmp_path / "ev_hh")
+    load_table(spark, sf_smoke, "events").repartition(12).write.parquet(d)
+
+    out = (
+        streaming_heavy_hitters(read_events_stream(spark, d), k=K)
+        .writeStream.format("memory")
+        .queryName("state_hh")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(180)
+    assert not out.isActive
+
+    emitted = spark.table("state_hh").toPandas()
+    # final summary per type = rows carrying that type's max n_processed
+    final = emitted.loc[
+        emitted.groupby("event_type")["n_processed"].transform("max")
+        == emitted["n_processed"]
+    ]
+    exact = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type", "user_id")
+        .count()
+        .toPandas()
+    )
+    for etype, grp in exact.groupby("event_type"):
+        n = int(grp["count"].sum())
+        bound = n / K
+        summ = final[final["event_type"] == etype].set_index("user_id")
+        assert (summ["n_processed"] == n).all()
+        true = dict(zip(grp["user_id"], grp["count"]))
+        # guarantee 1: all items with freq > n/k are present
+        for uid, c in true.items():
+            if c > bound:
+                assert uid in summ.index, (etype, uid, c, bound)
+        # guarantee 2: est in [true - n/k, true]
+        for uid, est in summ["est_count"].items():
+            t = true.get(uid, 0)
+            assert t - bound <= est <= t, (etype, uid, est, t, bound)
+        # state is bounded by design
+        assert len(summ) <= K - 1
