@@ -40,6 +40,7 @@ from social_warner_spark.queries import (
     x18_series,
     x19_series,
     x20_series,
+    x21_series,
     x_series,
 )
 
@@ -68,6 +69,7 @@ _SERIES = (
     x18_series,
     x19_series,
     x20_series,
+    x21_series,
     sql_series,
 )
 
@@ -128,7 +130,7 @@ CHECK_PRIORITY = (
     "x259_adamic_adar",
     "x262_winnowing_overlap",
     "x270_markov_attribution",
-    "x200_ransac_trend",
+    "x287_mmr_rerank",
     "x272_filter_waterfall",
     "x202_cuped",
     "x203_kcore",
