@@ -49,6 +49,14 @@ SCALE_SET = [
     "x241_greedy_wordpiece",   # top-50 gram ranking boundary at 10× weight
     "x243_fellegi_sunter",     # EM pattern mix shifts with 10× block pairs
     "x251_propensity_matching",  # caliper-boundary candidates at 10× docs
+    # x15–x21-series scale-sensitive additions
+    "x259_adamic_adar",        # wedge volume + score ties at 10× edges
+    "x262_winnowing_overlap",  # fingerprint collisions at 10× docs
+    "x270_markov_attribution", # transition mix shifts with 10× journeys
+    "x277_rouge_pairs",        # pair source + clipped overlap at 10× docs
+    "x282_gmm_em",             # EM fixed point shifts with 10× values
+    "x287_mmr_rerank",         # pool composition changes at 10× docs
+    "x291_jsd_source_matrix",  # top-V vocabulary boundary at 10× tokens
 ]
 
 QUERIES = all_queries()
