@@ -41,6 +41,7 @@ from social_warner_spark.queries import (
     x19_series,
     x20_series,
     x21_series,
+    x22_series,
     x_series,
 )
 
@@ -70,6 +71,7 @@ _SERIES = (
     x19_series,
     x20_series,
     x21_series,
+    x22_series,
     sql_series,
 )
 
@@ -125,7 +127,7 @@ CHECK_PRIORITY = (
     "x185_power_iteration",
     "x188_logreg_gd",
     # round-2/3 experimentation & advanced-stats families (x195-x214)
-    "x195_forecast_backtest",
+    "x293_expected_steps",
     "x237_kneser_ney",
     "x259_adamic_adar",
     "x262_winnowing_overlap",
