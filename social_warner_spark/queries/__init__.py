@@ -42,6 +42,7 @@ from social_warner_spark.queries import (
     x20_series,
     x21_series,
     x22_series,
+    x23_series,
     x_series,
 )
 
@@ -72,6 +73,7 @@ _SERIES = (
     x20_series,
     x21_series,
     x22_series,
+    x23_series,
     sql_series,
 )
 
@@ -122,7 +124,7 @@ CHECK_PRIORITY = (
     # dedup-family variant without a driver row
     "x180_sorted_neighborhood",
     # statistics / ML-eval families (round-2 additions, never checked)
-    "x178_twopass_median",
+    "x300_source_mst",
     "x183_kaplan_meier",
     "x185_power_iteration",
     "x188_logreg_gd",
