@@ -43,6 +43,7 @@ from social_warner_spark.queries import (
     x21_series,
     x22_series,
     x23_series,
+    x24_series,
     x_series,
 )
 
@@ -74,6 +75,7 @@ _SERIES = (
     x21_series,
     x22_series,
     x23_series,
+    x24_series,
     sql_series,
 )
 
@@ -125,7 +127,7 @@ CHECK_PRIORITY = (
     "x180_sorted_neighborhood",
     # statistics / ML-eval families (round-2 additions, never checked)
     "x300_source_mst",
-    "x183_kaplan_meier",
+    "x302_ccnet_buckets",
     "x185_power_iteration",
     "x188_logreg_gd",
     # round-2/3 experimentation & advanced-stats families (x195-x214)
