@@ -44,6 +44,7 @@ from social_warner_spark.queries import (
     x22_series,
     x23_series,
     x24_series,
+    x25_series,
     x_series,
 )
 
@@ -76,6 +77,7 @@ _SERIES = (
     x22_series,
     x23_series,
     x24_series,
+    x25_series,
     sql_series,
 )
 
@@ -129,7 +131,7 @@ CHECK_PRIORITY = (
     "x300_source_mst",
     "x302_ccnet_buckets",
     "x185_power_iteration",
-    "x188_logreg_gd",
+    "x307_modularity",
     # round-2/3 experimentation & advanced-stats families (x195-x214)
     "x293_expected_steps",
     "x237_kneser_ney",

@@ -1239,13 +1239,13 @@ def _power_oracle(rounds: int) -> str:
     ]
     for r in range(1, rounds + 1):
         parts.append(
-            f"d{r} AS (SELECT vec_id, SUM(x * v) AS d FROM rows_ JOIN v{r - 1} USING (j) GROUP BY vec_id)"
+            f"d{r} AS MATERIALIZED (SELECT vec_id, SUM(x * v) AS d FROM rows_ JOIN v{r - 1} USING (j) GROUP BY vec_id)"
         )
         parts.append(
-            f"w{r} AS (SELECT j, SUM(x * d) AS w FROM rows_ JOIN d{r} USING (vec_id) GROUP BY j)"
+            f"w{r} AS MATERIALIZED (SELECT j, SUM(x * d) AS w FROM rows_ JOIN d{r} USING (vec_id) GROUP BY j)"
         )
-        parts.append(f"n{r} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{r})")
-        parts.append(f"v{r} AS (SELECT j, w / nrm AS v FROM w{r}, n{r})")
+        parts.append(f"n{r} AS MATERIALIZED (SELECT sqrt(SUM(w * w)) AS nrm FROM w{r})")
+        parts.append(f"v{r} AS MATERIALIZED (SELECT j, w / nrm AS v FROM w{r}, n{r})")
     final = (
         f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY ROUND(ABS(v), 6) DESC, j) AS INT) AS rk,\n"
         f"       CAST(j AS BIGINT) AS j, ROUND(v, 6) AS loading, ROUND(nrm, 6) AS lambda\n"
