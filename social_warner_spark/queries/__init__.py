@@ -45,6 +45,7 @@ from social_warner_spark.queries import (
     x23_series,
     x24_series,
     x25_series,
+    x26_series,
     x_series,
 )
 
@@ -78,6 +79,7 @@ _SERIES = (
     x23_series,
     x24_series,
     x25_series,
+    x26_series,
     sql_series,
 )
 
@@ -130,7 +132,7 @@ CHECK_PRIORITY = (
     # statistics / ML-eval families (round-2 additions, never checked)
     "x300_source_mst",
     "x302_ccnet_buckets",
-    "x185_power_iteration",
+    "x312_lsh_planner",
     "x307_modularity",
     # round-2/3 experimentation & advanced-stats families (x195-x214)
     "x293_expected_steps",
