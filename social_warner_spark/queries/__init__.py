@@ -46,6 +46,7 @@ from social_warner_spark.queries import (
     x24_series,
     x25_series,
     x26_series,
+    x27_series,
     x_series,
 )
 
@@ -80,6 +81,7 @@ _SERIES = (
     x24_series,
     x25_series,
     x26_series,
+    x27_series,
     sql_series,
 )
 
@@ -155,7 +157,7 @@ CHECK_PRIORITY = (
     "x209_rank1_als",
     "x210_markov_predictor",
     "x279_shapley_attribution",
-    "x213_sequential_monitor",
+    "x318_sequence_pattern",
     "x214_crossfit_oof",
     # the 17 TPC-H shapes still lacking a driver row
     "q3_shipping_priority",
