@@ -47,6 +47,7 @@ from social_warner_spark.queries import (
     x25_series,
     x26_series,
     x27_series,
+    x28_series,
     x_series,
 )
 
@@ -82,6 +83,7 @@ _SERIES = (
     x25_series,
     x26_series,
     x27_series,
+    x28_series,
     sql_series,
 )
 
@@ -158,7 +160,7 @@ CHECK_PRIORITY = (
     "x210_markov_predictor",
     "x279_shapley_attribution",
     "x318_sequence_pattern",
-    "x214_crossfit_oof",
+    "x322_multi_changepoint",
     # the 17 TPC-H shapes still lacking a driver row
     "q3_shipping_priority",
     "q4_order_priority",
