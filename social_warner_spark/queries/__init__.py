@@ -48,6 +48,7 @@ from social_warner_spark.queries import (
     x26_series,
     x27_series,
     x28_series,
+    x29_series,
     x_series,
 )
 
@@ -84,6 +85,7 @@ _SERIES = (
     x26_series,
     x27_series,
     x28_series,
+    x29_series,
     sql_series,
 )
 
@@ -150,7 +152,7 @@ CHECK_PRIORITY = (
     "x287_mmr_rerank",
     "x272_filter_waterfall",
     "x202_cuped",
-    "x203_kcore",
+    "x331_fairness_audit",
     "x282_gmm_em",
     "x205_data_ablation",
     "x206_mahalanobis",
