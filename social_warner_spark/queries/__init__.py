@@ -49,6 +49,7 @@ from social_warner_spark.queries import (
     x27_series,
     x28_series,
     x29_series,
+    x30_series,
     x_series,
 )
 
@@ -86,6 +87,7 @@ _SERIES = (
     x27_series,
     x28_series,
     x29_series,
+    x30_series,
     sql_series,
 )
 
@@ -135,7 +137,7 @@ CHECK_PRIORITY = (
     "x155_effective_tokens",
     "x77_cluster_survivors",
     "x100_hierarchy_depth",
-    "x179_subtree_rollup",
+    "x335_watermark_planner",
     # dedup-family variant without a driver row
     "x180_sorted_neighborhood",
     # statistics / ML-eval families (round-2 additions, never checked)
