@@ -50,6 +50,7 @@ from social_warner_spark.queries import (
     x28_series,
     x29_series,
     x30_series,
+    x31_series,
     x_series,
 )
 
@@ -88,6 +89,7 @@ _SERIES = (
     x28_series,
     x29_series,
     x30_series,
+    x31_series,
     sql_series,
 )
 
@@ -136,7 +138,7 @@ CHECK_PRIORITY = (
     "x138_cluster_size_histogram",
     "x155_effective_tokens",
     "x77_cluster_survivors",
-    "x100_hierarchy_depth",
+    "x341_ensemble_dedup_eval",
     "x335_watermark_planner",
     # dedup-family variant without a driver row
     "x180_sorted_neighborhood",
