@@ -51,6 +51,7 @@ from social_warner_spark.queries import (
     x29_series,
     x30_series,
     x31_series,
+    x32_series,
     x_series,
 )
 
@@ -90,6 +91,7 @@ _SERIES = (
     x29_series,
     x30_series,
     x31_series,
+    x32_series,
     sql_series,
 )
 
@@ -137,7 +139,7 @@ CHECK_PRIORITY = (
     # highest-Exchange ratcheted plans without a driver row
     "x138_cluster_size_histogram",
     "x155_effective_tokens",
-    "x77_cluster_survivors",
+    "x346_partition_advisor",
     "x341_ensemble_dedup_eval",
     "x335_watermark_planner",
     # dedup-family variant without a driver row
