@@ -52,6 +52,7 @@ from social_warner_spark.queries import (
     x30_series,
     x31_series,
     x32_series,
+    x33_series,
     x_series,
 )
 
@@ -92,6 +93,7 @@ _SERIES = (
     x30_series,
     x31_series,
     x32_series,
+    x33_series,
     sql_series,
 )
 
@@ -137,7 +139,7 @@ CHECK_PRIORITY = (
     "x192_calibration",
     "x211_dedup_lm_impact",
     # highest-Exchange ratcheted plans without a driver row
-    "x138_cluster_size_histogram",
+    "x347_qini_uplift",
     "x155_effective_tokens",
     "x346_partition_advisor",
     "x341_ensemble_dedup_eval",
