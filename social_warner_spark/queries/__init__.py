@@ -53,6 +53,7 @@ from social_warner_spark.queries import (
     x31_series,
     x32_series,
     x33_series,
+    x34_series,
     x_series,
 )
 
@@ -94,6 +95,7 @@ _SERIES = (
     x31_series,
     x32_series,
     x33_series,
+    x34_series,
     sql_series,
 )
 
@@ -140,7 +142,7 @@ CHECK_PRIORITY = (
     "x211_dedup_lm_impact",
     # highest-Exchange ratcheted plans without a driver row
     "x347_qini_uplift",
-    "x155_effective_tokens",
+    "x352_zorder_audit",
     "x346_partition_advisor",
     "x341_ensemble_dedup_eval",
     "x335_watermark_planner",
