@@ -54,6 +54,7 @@ from social_warner_spark.queries import (
     x32_series,
     x33_series,
     x34_series,
+    x35_series,
     x_series,
 )
 
@@ -96,6 +97,7 @@ _SERIES = (
     x32_series,
     x33_series,
     x34_series,
+    x35_series,
     sql_series,
 )
 
@@ -155,7 +157,7 @@ CHECK_PRIORITY = (
     "x307_modularity",
     # round-2/3 experimentation & advanced-stats families (x195-x214)
     "x293_expected_steps",
-    "x237_kneser_ney",
+    "x359_price_volume_mix",
     "x259_adamic_adar",
     "x262_winnowing_overlap",
     "x270_markov_attribution",
