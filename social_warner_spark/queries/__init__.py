@@ -55,6 +55,7 @@ from social_warner_spark.queries import (
     x33_series,
     x34_series,
     x35_series,
+    x36_series,
     x_series,
 )
 
@@ -98,6 +99,7 @@ _SERIES = (
     x33_series,
     x34_series,
     x35_series,
+    x36_series,
     sql_series,
 )
 
@@ -149,7 +151,7 @@ CHECK_PRIORITY = (
     "x341_ensemble_dedup_eval",
     "x335_watermark_planner",
     # dedup-family variant without a driver row
-    "x180_sorted_neighborhood",
+    "x362_dedup_waterfall",
     # statistics / ML-eval families (round-2 additions, never checked)
     "x300_source_mst",
     "x302_ccnet_buckets",
