@@ -56,6 +56,7 @@ from social_warner_spark.queries import (
     x34_series,
     x35_series,
     x36_series,
+    x37_series,
     x_series,
 )
 
@@ -100,6 +101,7 @@ _SERIES = (
     x34_series,
     x35_series,
     x36_series,
+    x37_series,
     sql_series,
 )
 
@@ -143,7 +145,7 @@ CHECK_PRIORITY = (
     "x220_pq_ann",
     # changed this round (re-binned / oracle-tokenization advice fixes)
     "x192_calibration",
-    "x211_dedup_lm_impact",
+    "x368_clarity_score",
     # highest-Exchange ratcheted plans without a driver row
     "x347_qini_uplift",
     "x352_zorder_audit",
