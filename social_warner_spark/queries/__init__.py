@@ -131,9 +131,10 @@ _SERIES = (
 #: yet covered (x94–x98, x101–x109, x111–x118, x120–x137, x139–x163),
 #: the early x-series micro-operators (x5, x6, x9, x12, x14, x17–x23,
 #: x25, x26, x29, x30, x33, x36, x37), the round-3 widening series
-#: x252–x336 EXCEPT the representatives already in this window
+#: x252–x371 EXCEPT the representatives already in this window
 #: (x259, x262, x270, x272, x279, x282, x287, x293, x300, x302, x307,
-#: x312, x318, x322, x331, x335), and the round-3 additions
+#: x312, x318, x322, x331, x335, x341, x346, x347, x352, x359,
+#: x362, x368), and the round-3 additions
 #: without rows yet (x217, x218, x219, x221–x236, x238–x246,
 #: x196_sequence_entropy — swapped out of the r03 window to make room
 #: for the x14-series representative x237 — and q6).  Keep zero
