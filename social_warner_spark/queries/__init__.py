@@ -57,6 +57,7 @@ from social_warner_spark.queries import (
     x35_series,
     x36_series,
     x37_series,
+    x38_series,
     x_series,
 )
 
@@ -102,6 +103,7 @@ _SERIES = (
     x35_series,
     x36_series,
     x37_series,
+    x38_series,
     sql_series,
 )
 
@@ -168,7 +170,7 @@ CHECK_PRIORITY = (
     "x270_markov_attribution",
     "x287_mmr_rerank",
     "x272_filter_waterfall",
-    "x202_cuped",
+    "x375_variance_methods",
     "x331_fairness_audit",
     "x282_gmm_em",
     "x205_data_ablation",
