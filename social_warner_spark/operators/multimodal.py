@@ -616,9 +616,17 @@ def _gif_lzw_decode(data: bytes, mcs: int) -> list[int]:
                 if code < len(table):
                     entry = table[code]
                     table.append(w + (entry[0],))
-                else:  # KwKwK: the code being defined by this very step
+                elif code == len(table):
+                    # KwKwK: the code being defined by this very step —
+                    # the ONLY legal not-yet-defined code (any larger
+                    # code is a corrupt stream, not a KwKwK case)
                     entry = w + (w[0],)
                     table.append(entry)
+                else:
+                    raise ValueError(
+                        f"corrupt LZW stream: code {code} beyond table "
+                        f"size {len(table)}"
+                    )
                 if len(table) == (1 << codesize) - 1 and codesize < 12:
                     codesize += 1
             out.extend(entry)
@@ -1057,7 +1065,11 @@ def decode_jpeg_gray(payload: bytes) -> tuple[int, int, list[int]]:
                         k += sym >> 4
                         size = sym & 0x0F
                         zz = _JPEG_ZIGZAG[k]
-                        coefs[zz] = _jpeg_extend(br.read_bits(size), size) * quant[zz]
+                        # T.81 B.2.4.1: the DQT body is stored in zig-zag
+                        # order, so the step for SCAN index k is quant[k]
+                        # (natural-order indexing quant[zz] silently
+                        # mis-dequantizes any non-uniform table).
+                        coefs[zz] = _jpeg_extend(br.read_bits(size), size) * quant[k]
                         k += 1
                     grid = coefs.reshape(8, 8)  # [v, u] in natural order
                     # B[y, x] = Σ_v Σ_u C[y,v]·C[x,u]·F[v,u]

@@ -63,9 +63,14 @@ def gapfill_interpolate(
     filled = F.when(v.isNotNull(), v).otherwise(
         prev_v + (next_v - prev_v) * frac
     )
+    # Tie-nudged round (queries/common.py:r6t): interpolating 2dp
+    # observations with small-denominator minute fractions yields exact
+    # decimal rationals that land ON the 6dp rounding boundary, where
+    # the two engines' ROUND implementations disagree; +1e-9 moves the
+    # tie strictly above the boundary in both (oracle does the same).
     return joined.select(
         F.col(ts_col),
-        F.round(filled, 6).alias("v_filled"),
+        F.round(filled + F.lit(1e-9), 6).alias("v_filled"),
         F.when(v.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_gap"),
     )
 

@@ -58,6 +58,7 @@ from social_warner_spark.queries import (
     x36_series,
     x37_series,
     x38_series,
+    x39_series,
     x_series,
 )
 
@@ -104,101 +105,116 @@ _SERIES = (
     x36_series,
     x37_series,
     x38_series,
+    x39_series,
     sql_series,
 )
 
+#: Queries with NO DuckDB oracle — genuinely non-SQL-expressible ops
+#: (sequential stateful folds).  The driver records a weaker rows-only
+#: check for these; the local suite covers them with dedicated
+#: guarantee/parity tests instead (tests/test_streaming_state.py).
+NO_ORACLE = frozenset({"x377_misra_gries_twin"})
+
 #: Checked-window priority.  The grading driver verifies queries in
 #: iteration order (a bounded window), so the dict is emitted with the
-#: 50 queries that most need a driver CORRECTNESS row first.  Round-3
-#: rotation (per the round-2 verdict): ZERO overlap with the 96 queries
-#: already driver-verified in rounds 1-2 — the window is filled entirely
-#: with never-checked queries: the remaining 17 TPC-H shapes, the
-#: round-2/3 statistics & experimentation families (x178/x183/x185/x188,
-#: x195-x214), the highest-Exchange ratcheted plans (x138/x155/x77/x100/
-#: x179), the queries changed this round (x192 calibration re-binned,
-#: x211 oracle tokenization), the new real-decode media queries
-#: (x215/x216), and the sorted-neighborhood dedup variant (x180).
-#: Everything previously verified stays green via the local DuckDB
-#: mirror (tests/test_correctness.py, all queries).  Queries not listed
-#: follow in stable module order; total set is unchanged.
+#: 50 queries that most need a driver CORRECTNESS row first.
 #:
-#: This session swapped five slots to the new x15-x19 series
-#: representatives (x259/x262/x270/x272/x279) so every module has a
-#: hard driver signal; the displaced ids (x197, x198, x199, x201,
-#: x212) move to the round-4 window below.
+#: Round-4 rotation (per the round-3 verdict):
+#: - x272_filter_waterfall re-enters for its green recheck after the
+#:   oracle's windowed-SUM HUGEINT/long serialization fix (the only red
+#:   driver row in r01-r03; values always matched).
+#: - x237_kneser_ney restores the x14-series hard signal (the family
+#:   had NO driver row — the invariant test below was red since commit
+#:   9aaf075) alongside 7 more x14 reps (x241/x243/x246/x247/x250/
+#:   x253/x256).
+#: - q6 closes TPC-H: all 22 shapes now have (or get) a driver row.
+#: - x377/x378 are the NEW stateful-twin anchors (verdict task 7):
+#:   the Misra-Gries applyInPandasWithState batch twin (rows-only —
+#:   see NO_ORACLE) and the streaming drift-cell monitor batch twin.
+#: - The rest is the never-checked backlog, weighted to the thinnest
+#:   modules: the x93-x163 product-analytics/audit tail (x10/x9
+#:   series), the x217-x236 round-3 additions (x12/x13 series:
+#:   image aHash, WAV frames, Bradley-Terry, k-center, D4, bitext,
+#:   GIF/JPEG/mu-law decode), and two x11 reps (x185 power iteration,
+#:   x196 sequence entropy).
+#: Zero overlap with CORRECTNESS_r01-r03 except the deliberate x272
+#: recheck.  Everything previously verified stays green via the local
+#: DuckDB mirror (tests/test_correctness.py, all queries, now
+#: serialization-strict like the driver's hash).  Queries not listed
+#: follow in stable module order; total set is 445 (x377/x378 added —
+#: query-count growth otherwise frozen this round per verdict task 4).
 #:
-#: Round-4 rotation plan (for the next session): after r03 lands,
-#: driver coverage is ~146/383; fill the next window with the remaining
-#: never-checked ids — the x93–x163 product-analytics/audit tail not
-#: yet covered (x94–x98, x101–x109, x111–x118, x120–x137, x139–x163),
-#: the early x-series micro-operators (x5, x6, x9, x12, x14, x17–x23,
-#: x25, x26, x29, x30, x33, x36, x37), the round-3 widening series
-#: x252–x371 EXCEPT the representatives already in this window
-#: (x259, x262, x270, x272, x279, x282, x287, x293, x300, x302, x307,
-#: x312, x318, x322, x331, x335, x341, x346, x347, x352, x359,
-#: x362, x368), and the round-3 additions
-#: without rows yet (x217, x218, x219, x221–x236, x238–x246,
-#: x196_sequence_entropy — swapped out of the r03 window to make room
-#: for the x14-series representative x237 — and q6).  Keep zero
-#: overlap with CORRECTNESS_r01–r03.
+#: Round-5 rotation plan (for the next session): after r04 lands,
+#: driver coverage is ~196/445; fill the next window with the remaining
+#: never-checked ids, continuing the thinnest-module-first policy —
+#: the rest of the x10 tail (x101-x103, x105, x109, x123, x125-x127,
+#: x130-x132, x134, x135, x140-x163), the x9 tail (x110, x112, x113,
+#: x116-x118, x121, x128, x129, x139, x151-x163), the x11 tail
+#: (x165-x214 not yet covered), the early micro-operators (x5, x6, x9,
+#: x12, x14, x17-x23, x25, x26, x29, x30, x33, x36, x37, x43, x46-x48,
+#: x50, x53-x57, x60, x62, x64-x67, x69-x75), the x14 tail
+#: (x238-x240, x242, x244, x245, x248, x249, x251, x252, x254, x255),
+#: and one rep from each x15-x38 module still at 1/5.  Keep zero
+#: overlap with CORRECTNESS_r01-r04.
 CHECK_PRIORITY = (
-    # round-3 new machinery: real PNG/WAV pixel+sample decode, PQ ANN
-    "x215_png_pixels",
-    "x216_wav_samples",
-    "x220_pq_ann",
-    # changed this round (re-binned / oracle-tokenization advice fixes)
-    "x192_calibration",
-    "x368_clarity_score",
-    # highest-Exchange ratcheted plans without a driver row
-    "x347_qini_uplift",
-    "x352_zorder_audit",
-    "x346_partition_advisor",
-    "x341_ensemble_dedup_eval",
-    "x335_watermark_planner",
-    # dedup-family variant without a driver row
-    "x362_dedup_waterfall",
-    # statistics / ML-eval families (round-2 additions, never checked)
-    "x300_source_mst",
-    "x302_ccnet_buckets",
-    "x312_lsh_planner",
-    "x307_modularity",
-    # round-2/3 experimentation & advanced-stats families (x195-x214)
-    "x293_expected_steps",
-    "x359_price_volume_mix",
-    "x259_adamic_adar",
-    "x262_winnowing_overlap",
-    "x270_markov_attribution",
-    "x287_mmr_rerank",
+    # red-row recheck (oracle serialization fix) + last TPC-H hole
     "x272_filter_waterfall",
-    "x375_variance_methods",
-    "x331_fairness_audit",
-    "x282_gmm_em",
-    "x205_data_ablation",
-    "x206_mahalanobis",
-    "x207_spell_canonicalize",
-    "x208_conformal",
-    "x209_rank1_als",
-    "x210_markov_predictor",
-    "x279_shapley_attribution",
-    "x318_sequence_pattern",
-    "x322_multi_changepoint",
-    # the 17 TPC-H shapes still lacking a driver row
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_breadth",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_banded_revenue",
-    "q22_dormant_customers",
+    "q6_forecast_revenue",
+    # NEW stateful-twin anchors (verdict task 7)
+    "x377_misra_gries_twin",
+    "x378_drift_cells",
+    # x14-series: zero driver rows before this round (verdict task 2)
+    "x237_kneser_ney",
+    "x241_greedy_wordpiece",
+    "x243_fellegi_sunter",
+    "x246_snips_offpolicy",
+    "x247_textrank_keywords",
+    "x250_isotonic_calibration",
+    "x253_rbo_rank_agreement",
+    "x256_bcubed_dedup_eval",
+    # x10-series product-analytics/audit tail (1/45 before this round)
+    "x94_cohort_retention",
+    "x95_last_touch_attribution",
+    "x96_rolling_distinct",
+    "x97_session_paths",
+    "x98_transition_matrix",
+    "x100_hierarchy_depth",
+    "x104_ab_experiment",
+    "x106_association_rules",
+    "x107_funnel_durations",
+    "x108_two_hop_neighborhood",
+    "x114_degree_assortativity",
+    "x115_clustering_coefficient",
+    "x124_peak_concurrency",
+    "x133_experiment_power",
+    "x136_pareto_concentration",
+    "x137_rfm_segments",
+    # x9-series dedup/corpus/audit tail (7/43 before this round)
+    "x77_cluster_survivors",
+    "x83_source_overlap",
+    "x84_bpe_merge_pairs",
+    "x86_containment_pairs",
+    "x87_skew_report",
+    "x90_zipf_fit",
+    "x99_dedup_policy_report",
+    "x111_jaccard_threshold_sweep",
+    "x120_cross_source_dups",
+    "x122_tfidf_doc_similarity",
+    "x138_cluster_size_histogram",
+    # x12-series round-3 additions (2/5 before this round)
+    "x217_image_ahash",
+    "x218_wav_frames",
+    "x219_bradley_terry",
+    # x13-series round-3 additions (1/17 before this round)
+    "x221_kcenter_coreset",
+    "x226_d4_prune",
+    "x229_margin_bitext_mining",
+    "x232_gif_frame_stats",
+    "x235_jpeg_pixels",
+    "x236_mulaw_audio",
+    # x11-series reps (mega-plan + entropy families)
+    "x185_power_iteration",
+    "x196_sequence_entropy",
 )
 
 #: The driver verifies a window of this size in iteration order; the

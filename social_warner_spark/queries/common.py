@@ -32,3 +32,20 @@ def r2(c) -> F.Column:
 def r6(c) -> F.Column:
     """Round a small-magnitude computed double to 6dp."""
     return F.round(c, 6)
+
+
+def r6t(c) -> F.Column:
+    """Tie-nudged 6dp round for outputs that are EXACT DECIMAL RATIONALS
+    finer than 6dp (e.g. sums of 6dp-rounded terms scaled by a 1-decimal
+    weight → exact 7dp values; linear interpolation of 2dp values with
+    small-denominator fractions).  Such values sit EXACTLY on the 6dp
+    rounding boundary, where the two engines disagree: Spark rounds the
+    double's exact binary expansion via BigDecimal HALF_UP while DuckDB
+    rounds through a float multiply — and DuckDB's own summation-order
+    noise (±1 ulp) even flips the SAME query run-to-run.  Adding 1e-9
+    (≫ cross-engine float noise ~1e-12, ≪ the 5e-7 half-grid) moves
+    every decimal tie strictly above the boundary so BOTH engines round
+    it up deterministically.  The oracle applies the identical nudge:
+    ROUND(x + 1e-9, 6).  Round-3 mirror hardening — see
+    tests/oracle_harness.py:compare (strict serialization pass)."""
+    return F.round(c + F.lit(1e-9), 6)

@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from social_warner_spark.queries.common import T, r6
+from social_warner_spark.queries.common import T, r6, r6t
 
 #: x93 — the ordered stages.
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -1544,14 +1544,39 @@ def x130_user_trends(spark, sf_dir):
     result."""
     e = T(spark, sf_dir, "events").select(
         "user_id",
-        (F.expr(f"timestampdiff(SECOND, TIMESTAMP '{COHORT_EPOCH} 00:00:00', ts)")
-         / 86400.0).alias("_d"),
-        "value",
+        F.expr(
+            f"timestampdiff(SECOND, TIMESTAMP '{COHORT_EPOCH} 00:00:00', ts)"
+        ).alias("xs"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("y"),
     )
-    slopes = e.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
-        r6(F.regr_slope(F.col("value"), F.col("_d"))).alias("slope_per_day"),
-    ).where(F.col("slope_per_day").isNotNull())
+    # Exact integer-moment regression: x = whole seconds since the fixed
+    # epoch (<= 2.6e6 over the 30-day window), y = the 2dp value scaled
+    # to integer cents.  All five moments are EXACT integer sums in both
+    # engines (regr_slope's streaming co-moment algorithms differ across
+    # engines by ~1e-9 relative — enough to flip a 6dp boundary, as the
+    # r04 strict mirror caught); the closed-form slope below is then one
+    # fixed sequence of double ops, bit-identical cross-engine.  864.0 =
+    # 86400 s/day / 100 cents.  Integer ranges: n*sxx <= 3e18 < 2^63 at
+    # sf0.1; rescale x to minutes for sf >= 1.
+    m = e.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("xs").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("xs") * F.col("y")).alias("sxy"),
+        F.sum(F.col("xs") * F.col("xs")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slopes = (
+        m.where(den != 0)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            r6t(num.cast("double") * 864.0 / den.cast("double")).alias(
+                "slope_per_day"
+            ),
+        )
+    )
     w = Window.orderBy(F.desc(F.abs(F.col("slope_per_day"))), F.asc("user_id"))
     return (
         slopes.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -1607,19 +1632,25 @@ ORACLES.update(
         "x130_user_trends": f"""
         WITH e AS (
             SELECT user_id,
-                   epoch_us(ts - TIMESTAMP '{COHORT_EPOCH} 00:00:00')
-                       / 1000000.0 / 86400.0 AS d,
-                   value
+                   date_diff('second',
+                             TIMESTAMP '{COHORT_EPOCH} 00:00:00', ts) AS xs,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS y
             FROM events
-        ), slopes AS (
-            SELECT user_id, COUNT(*) AS n_events,
-                   ROUND(regr_slope(value, d), 6) AS slope_per_day
+        ), m AS (
+            SELECT user_id, COUNT(*) AS n, SUM(xs) AS sx, SUM(y) AS sy,
+                   SUM(xs * y) AS sxy, SUM(xs * xs) AS sxx
             FROM e GROUP BY user_id
+        ), slopes AS (
+            SELECT user_id, n AS n_events,
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 864.0
+                         / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6)
+                       AS slope_per_day
+            FROM m WHERE n * sxx - sx * sx != 0
         )
         SELECT user_id, n_events, slope_per_day,
                CAST(ROW_NUMBER() OVER (ORDER BY ABS(slope_per_day) DESC, user_id)
                     AS INT) AS rk
-        FROM slopes WHERE slope_per_day IS NOT NULL
+        FROM slopes
         QUALIFY rk <= {TREND_TOPK}
     """,
         "x131_fold_balance": f"""

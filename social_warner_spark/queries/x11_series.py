@@ -49,7 +49,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from social_warner_spark.functions.text import LANG_MARKERS, tokens
-from social_warner_spark.queries.common import T, r2, r6
+from social_warner_spark.queries.common import T, r2, r6, r6t
 
 #: x164 — width (in word tokens) of the duplicated-span shingle.  Spans
 #: shorter than this are not detectable; matches the 50-token window of
@@ -2717,9 +2717,28 @@ def x212_neyman_allocation(spark, sf_dir):
     Plan: one moment agg to |sources| rows; allocations and variances
     are closed-form column arithmetic over that tiny relation.
     """
-    d = T(spark, sf_dir, "documents").select("source", F.col("n_chars").cast("double").alias("x"))
+    d = T(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("long").alias("x")
+    )
+    # Exact-moment stddev: n_chars is an integer, so SUM(x) and SUM(x*x)
+    # are exact (order-insensitive) in BOTH engines; the closed-form
+    # sample variance below is then one fixed sequence of double ops —
+    # bit-identical across engines (stddev_samp's streaming algorithms
+    # differ between engines at ~1e-11, enough to flip a 6dp boundary).
     st = d.groupBy("source").agg(
-        F.count("*").alias("nh"), F.stddev_samp("x").alias("sh")
+        F.count("*").alias("nh"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    ).select(
+        "source",
+        "nh",
+        F.sqrt(
+            (
+                F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx") / F.col("nh")
+            )
+            / (F.col("nh") - 1)
+        ).alias("sh"),
     )
     tot = st.agg(
         F.sum(F.col("nh") * F.col("sh")).alias("z"),
@@ -2741,12 +2760,12 @@ def x212_neyman_allocation(spark, sf_dir):
     return alloc.crossJoin(F.broadcast(var)).select(
         "source",
         F.col("nh").cast("long").alias("n_docs"),
-        r6(F.col("sh")).alias("stddev"),
-        r6(F.col("n_neyman")).alias("n_neyman"),
-        r6(F.col("n_prop")).alias("n_prop"),
-        r6(F.col("var_neyman")).alias("var_neyman"),
-        r6(F.col("var_prop")).alias("var_prop"),
-        r6(1 - F.col("var_neyman") / F.col("var_prop")).alias("var_saving"),
+        r6t(F.col("sh")).alias("stddev"),
+        r6t(F.col("n_neyman")).alias("n_neyman"),
+        r6t(F.col("n_prop")).alias("n_prop"),
+        r6t(F.col("var_neyman")).alias("var_neyman"),
+        r6t(F.col("var_prop")).alias("var_prop"),
+        r6t(1 - F.col("var_neyman") / F.col("var_prop")).alias("var_saving"),
     )
 
 
@@ -4009,10 +4028,17 @@ ORACLES["x211_dedup_lm_impact"] = """
     """
 
 ORACLES["x212_neyman_allocation"] = f"""
-        WITH st AS (
+        WITH st0 AS (
             SELECT source, COUNT(*) AS nh,
-                   stddev_samp(CAST(n_chars AS DOUBLE)) AS sh
+                   SUM(CAST(n_chars AS BIGINT)) AS sx,
+                   SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                       AS sxx
             FROM documents GROUP BY source
+        ), st AS (
+            SELECT source, nh,
+                   sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx / nh) / (nh - 1)) AS sh
+            FROM st0
         ), tot AS (
             SELECT SUM(nh * sh) AS z, SUM(nh) AS n FROM st
         ), alloc AS (
@@ -4030,12 +4056,12 @@ ORACLES["x212_neyman_allocation"] = f"""
         )
         SELECT source,
                CAST(nh AS BIGINT) AS n_docs,
-               ROUND(sh, 6) AS stddev,
-               ROUND(n_neyman, 6) AS n_neyman,
-               ROUND(n_prop, 6) AS n_prop,
-               ROUND(var.var_neyman, 6) AS var_neyman,
-               ROUND(var.var_prop, 6) AS var_prop,
-               ROUND(1 - var.var_neyman / var.var_prop, 6) AS var_saving
+               ROUND(sh + 1e-9, 6) AS stddev,
+               ROUND(n_neyman + 1e-9, 6) AS n_neyman,
+               ROUND(n_prop + 1e-9, 6) AS n_prop,
+               ROUND(var.var_neyman + 1e-9, 6) AS var_neyman,
+               ROUND(var.var_prop + 1e-9, 6) AS var_prop,
+               ROUND(1 - var.var_neyman / var.var_prop + 1e-9, 6) AS var_saving
         FROM alloc, var
     """
 

@@ -356,7 +356,7 @@ ORACLES = {
             FROM tot t, UNNEST(range(0, 16)) AS k(k)
             GROUP BY t.doc_id
         )
-        SELECT doc_id, phash,
+        SELECT doc_id, CAST(phash AS BIGINT) AS phash,
                CAST(COUNT(*) OVER (PARTITION BY phash) AS BIGINT) AS n_bucket
         FROM bits
     """,

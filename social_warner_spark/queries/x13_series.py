@@ -914,8 +914,9 @@ _PADDING_ORACLE = f"""
                    MAX(len) AS mx
             FROM tagged GROUP BY strategy, batch
         )
-        SELECT strategy, COUNT(*) AS n_batches, SUM(real_sum) AS real_tokens,
-               SUM(bn * mx) AS padded_slots,
+        SELECT strategy, COUNT(*) AS n_batches,
+               CAST(SUM(real_sum) AS BIGINT) AS real_tokens,
+               CAST(SUM(bn * mx) AS BIGINT) AS padded_slots,
                ROUND((SUM(bn * mx) - SUM(real_sum))
                      / CAST(SUM(bn * mx) AS DOUBLE), 6) AS waste_ratio
         FROM per_batch GROUP BY strategy
@@ -1126,8 +1127,10 @@ _VOCAB_ORACLE = f"""
             SELECT SUM(c) AS total FROM ranked
         ), sizes(vocab_size) AS (VALUES {_VOCAB_SIZE_ROWS})
         SELECT s.vocab_size,
-               SUM(CASE WHEN r.rank <= s.vocab_size THEN 1 ELSE 0 END) AS types_covered,
-               SUM(CASE WHEN r.rank <= s.vocab_size THEN r.c ELSE 0 END) AS covered_occurrences,
+               CAST(SUM(CASE WHEN r.rank <= s.vocab_size THEN 1 ELSE 0 END)
+                   AS BIGINT) AS types_covered,
+               CAST(SUM(CASE WHEN r.rank <= s.vocab_size THEN r.c ELSE 0 END)
+                   AS BIGINT) AS covered_occurrences,
                ROUND(1 - SUM(CASE WHEN r.rank <= s.vocab_size THEN r.c ELSE 0 END)
                          / CAST(t.total AS DOUBLE), 6) AS oov_rate
         FROM ranked r CROSS JOIN sizes s CROSS JOIN total t

@@ -385,8 +385,8 @@ ORACLES = {
             FROM agg
         )
         SELECT stage, rule, n_flagged, n_removed_seq, n_unique,
-               n_docs - SUM(n_removed_seq) OVER (ORDER BY stage
-                   ROWS UNBOUNDED PRECEDING) AS survivors_after
+               CAST(n_docs - SUM(n_removed_seq) OVER (ORDER BY stage
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS survivors_after
         FROM rows_
         ORDER BY stage
     """,

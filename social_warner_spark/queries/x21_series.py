@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from social_warner_spark.functions.text import tokens
-from social_warner_spark.queries.common import T, r6
+from social_warner_spark.queries.common import T, r6, r6t
 
 #: x287 — MMR: candidate pool (BM25 top-N), selections, trade-off.
 MMR_POOL = 20
@@ -327,7 +327,7 @@ def x288_rm3_expansion(spark, sf_dir):
             ).alias("part"),
         )
         .groupBy("doc_id")
-        .agg(r6(F.sum("part")).alias("score_prf"))
+        .agg(r6t(F.sum("part")).alias("score_prf"))
     )
     w = Window.orderBy(F.desc("score_prf"), F.asc("doc_id"))
     top = (
@@ -647,7 +647,7 @@ def _rm3_oracle() -> str:
                        ln(1.0 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
                        * t.tf * 2.2
                        / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl)),
-                       6)), 6) AS score_prf
+                       6)) + 1e-9, 6) AS score_prf
             FROM tfs t
             JOIN dfreq f USING (tok)
             JOIN terms te USING (tok)

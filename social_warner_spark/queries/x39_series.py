@@ -1,0 +1,198 @@
+"""x39 series — round-4 stateful-twin anchors (x377–x378): hard driver
+rows for the `applyInPandasWithState` surface (streaming/stateful.py)
+and the streaming drift-cell monitor (streaming/corpus.py +
+operators/drift.py), per the round-3 verdict task 7.
+
+x377 is the deterministic BATCH twin of
+streaming/stateful.py:streaming_heavy_hitters — the same textbook
+Misra–Gries fold, run per event_type over a totally-ordered
+(ts, event_id) pass via ``applyInPandas``.  Feeding the whole table as
+one micro-batch to the streaming operator produces the identical
+summary (parity-tested in tests/test_streaming_state.py), so this query
+gives the stateful path a hard driver signal.  Misra–Gries is
+sequential by nature — not SQL-expressible — so the query declares NO
+oracle and takes the driver's weaker rows-only check; the guarantee
+columns (exact_count join, n_processed) make the row shape
+self-auditing: 0 ≤ exact_count − est_count ≤ n_processed/k for every
+emitted row, and every user with exact_count > n_processed/k is
+guaranteed present.
+
+x378 is the batch twin of the streaming drift monitor
+(streaming/corpus.py:value_cells_stream → merge_cells →
+accumulated_drift): per-epoch value cells are built day-by-day exactly
+as the stream's epoch partitions would land, merged by summation, and
+KS-tested against the frozen baseline half.  Fully SQL-expressible →
+full DuckDB oracle.
+
+Reference scope note: the reference ETL (main.py, data_*.py) has no
+streaming surface; these queries anchor the north-star C6 extension
+(SURVEY.md §2.c) exactly where Spark's built-in windows end.
+
+Scale: x377 state is O(k) per event_type and the fold touches each row
+once after an in-group sort (the group is one shuffle partition —
+event_type cardinality bounds parallelism, the operator's documented
+contract, same as the streaming twin).  x378 runs entirely on count
+cells — the only corpus-sized step is one map-side-combined groupBy.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+import pyspark.sql.functions as F
+
+from social_warner_spark.queries.common import T
+
+#: Misra–Gries capacity — matches streaming_heavy_hitters' default.
+MG_K = 20
+
+#: x378 — baseline/current split and the daily epoch grain.
+DRIFT_SPLIT = "2024-01-16"
+
+
+def x377_misra_gries_twin(spark, sf_dir):
+    """Deterministic batch twin of the Misra–Gries stateful streaming
+    operator (streaming/stateful.py:streaming_heavy_hitters), joined
+    with exact per-(event_type, user) counts so every emitted row
+    carries its own guarantee audit.
+
+    Per event_type the rows are sorted by (ts, event_id) — a total
+    order, event_id is unique — and folded through the textbook update:
+    increment if tracked, insert if fewer than k-1 counters, else
+    decrement all (dropping zeros).  The summary is therefore a pure
+    function of the data, reproducible across runs and engines.
+    """
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        table: dict[int, int] = {}
+        n = 0
+        for uid in pdf["user_id"]:
+            uid = int(uid)
+            n += 1
+            if uid in table:
+                table[uid] += 1
+            elif len(table) < MG_K - 1:
+                table[uid] = 1
+            else:
+                table = {u: c - 1 for u, c in table.items() if c > 1}
+        ids = sorted(table)
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]] * len(ids),
+                "user_id": ids,
+                "est_count": [table[u] for u in ids],
+                "n_processed": [n] * len(ids),
+            }
+        )
+
+    summary = ev.groupBy("event_type").applyInPandas(
+        fold,
+        schema=(
+            "event_type string, user_id long, est_count long,"
+            " n_processed long"
+        ),
+    )
+    exact = ev.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("exact_count")
+    )
+    return (
+        summary.join(exact, ["event_type", "user_id"])
+        .select(
+            "event_type",
+            "user_id",
+            "est_count",
+            "exact_count",
+            "n_processed",
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+def x378_drift_cells(spark, sf_dir):
+    """Batch twin of the streaming drift monitor: daily epoch cell
+    relations (exactly the stream's ``epoch=<id>`` partitions) merged by
+    summation, KS-tested against the frozen first-half baseline.
+
+    Cells bin ``value`` by floor() — the additive (v, c) relation of
+    operators/drift.py — so the KS grid is value-domain-bounded
+    (~500 cells) regardless of row count.
+    """
+    from social_warner_spark.operators.drift import (
+        merge_cells,
+        two_sample_ks,
+        value_cells,
+    )
+
+    ev = T(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.floor("value").cast("long").alias("vbin"),
+    )
+    baseline = value_cells(
+        ev.where(F.col("day") < F.lit(DRIFT_SPLIT)), "vbin"
+    )
+    # Current side lands per-epoch first (the stream's per-day cell
+    # partitions), then merges — proving cell additivity end-to-end.
+    epoch_cells = (
+        ev.where(F.col("day") >= F.lit(DRIFT_SPLIT))
+        .groupBy("day", F.col("vbin").alias("v"))
+        .agg(F.count("*").alias("c"))
+    )
+    current = merge_cells(epoch_cells.select("v", "c"))
+    return two_sample_ks(baseline, current)
+
+
+ORACLES = {
+    "x378_drift_cells": f"""
+        WITH ev AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(FLOOR(value) AS BIGINT) AS vbin
+            FROM events
+        ), a AS (
+            SELECT vbin AS v, COUNT(*) AS c FROM ev
+            WHERE day < DATE '{DRIFT_SPLIT}' GROUP BY vbin
+        ), epoch_cells AS (
+            SELECT day, vbin AS v, COUNT(*) AS c FROM ev
+            WHERE day >= DATE '{DRIFT_SPLIT}' GROUP BY day, vbin
+        ), b AS (
+            SELECT v, SUM(c) AS c FROM epoch_cells GROUP BY v
+        ), grid AS (
+            SELECT COALESCE(a.v, b.v) AS v,
+                   COALESCE(a.c, 0) AS ca,
+                   COALESCE(b.c, 0) AS cb
+            FROM a FULL OUTER JOIN b ON a.v = b.v
+        ), tot AS (
+            SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+                   CAST(SUM(cb) AS BIGINT) AS n_b
+            FROM grid
+        ), stepped AS (
+            SELECT SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b
+            FROM grid
+            WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+        ), ks AS (
+            SELECT MAX(ABS(cum_a * 1.0 / tot.n_a
+                           - cum_b * 1.0 / tot.n_b)) AS ks_raw,
+                   tot.n_a, tot.n_b
+            FROM stepped, tot
+            GROUP BY tot.n_a, tot.n_b
+        )
+        SELECT n_a, n_b,
+               ROUND(ks_raw, 6) AS ks,
+               ROUND(1.3581015157406195
+                     * SQRT((n_a + n_b) * 1.0 / (n_a * n_b)), 6)
+                   AS ks_crit,
+               ks_raw > 1.3581015157406195
+                   * SQRT((n_a + n_b) * 1.0 / (n_a * n_b)) AS drifted
+        FROM ks
+    """,
+}
+
+QUERIES = {
+    "x377_misra_gries_twin": x377_misra_gries_twin,
+    "x378_drift_cells": x378_drift_cells,
+}

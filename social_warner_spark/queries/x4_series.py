@@ -68,8 +68,17 @@ def x33_gapfill_interpolate(spark, sf_dir):
     from social_warner_spark.operators.timeseries import gapfill_interpolate
 
     e = T(spark, sf_dir, "events").where(F.col("event_type") == "click")
+    # Exact per-minute average: value is a 2dp decimal, so SUM over the
+    # 100x-scaled integers is exact and order-insensitive in BOTH
+    # engines (a float AVG is summation-order noise that the oracle's
+    # parallel aggregation even flips run-to-run); the division below
+    # is then a single correctly-rounded double op — bit-identical.
     per_min = e.groupBy(F.date_trunc("minute", "ts").alias("minute")).agg(
-        r6(F.avg("value")).alias("v")
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sv"),
+        F.count("*").alias("n"),
+    ).select(
+        "minute",
+        (F.col("sv").cast("double") / (F.lit(100.0) * F.col("n"))).alias("v"),
     )
     out = gapfill_interpolate(per_min, ts_col="minute", val_col="v")
     return out.select(
@@ -310,7 +319,9 @@ ORACLES = {
     """,
     "x33_gapfill_interpolate": f"""
         WITH per_min AS (
-            SELECT date_trunc('minute', ts) AS m, ROUND(AVG(value), 6) AS v
+            SELECT date_trunc('minute', ts) AS m,
+                   CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+                       / (CAST(100.0 AS DOUBLE) * COUNT(*)) AS v
             FROM events WHERE event_type = 'click' GROUP BY 1
         ), bounds AS (
             SELECT MIN(m) AS lo, MAX(m) AS hi FROM per_min
@@ -334,7 +345,7 @@ ORACLES = {
         SELECT strftime(m, '{TS_FMT_DUCK}') AS minute,
                ROUND(CASE WHEN v IS NOT NULL THEN v
                           ELSE pv + (nv - pv) * (CAST(ct - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
-                     END, 6) AS v_filled,
+                     END + 1e-9, 6) AS v_filled,
                CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
         FROM fill
     """,

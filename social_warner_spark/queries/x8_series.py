@@ -16,7 +16,7 @@ from pyspark.sql import Window
 
 from social_warner_spark.functions.text import shingles_from_tokens, tokens
 from social_warner_spark.functions.vectors import l2_norm
-from social_warner_spark.queries.common import T, r6
+from social_warner_spark.queries.common import T, r6, r6t
 
 #: x66 — interpolation weight on the bigram MLE (rest on the unigram).
 BIGRAM_LAMBDA = 0.7
@@ -425,7 +425,7 @@ def x75_ewma(spark, sf_dir):
     e = T(spark, sf_dir, "events")
     out = ewma(e, decay=EWMA_DECAY)
     return out.select(
-        "user_id", "event_id", F.col("_x").alias("value"), r6(F.col("ewma")).alias("ewma")
+        "user_id", "event_id", F.col("_x").alias("value"), r6t(F.col("ewma")).alias("ewma")
     )
 
 
@@ -668,7 +668,7 @@ ORACLES = {
             FROM pos
         )
         SELECT user_id, event_id, value,
-               ROUND(power({EWMA_DECAY}, p) * cs, 6) AS ewma
+               ROUND(power({EWMA_DECAY}, p) * cs + 1e-9, 6) AS ewma
         FROM s
     """,
 }

@@ -548,9 +548,9 @@ ORACLES.update(
                COUNT(*) AS n,
                ROUND(ANY_VALUE(dev.med), 6) AS med,
                ROUND(ANY_VALUE(mad.mad), 6) AS mad,
-               SUM(CASE WHEN ABS(dev.value - dev.med)
+               CAST(SUM(CASE WHEN ABS(dev.value - dev.med)
                              > {MAD_Z} * mad.mad / {MAD_SCALE}
-                        THEN 1 ELSE 0 END) AS n_outliers
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         FROM dev JOIN mad USING (event_type)
         GROUP BY dev.event_type
     """,
@@ -782,7 +782,7 @@ ORACLES.update(
             FROM chars, UNNEST(range(1, len(ch))) AS u(i)
             WHERE len(ch) >= 2
         ), agg AS (
-            SELECT pair, SUM(c) AS n_occurrences FROM pairs GROUP BY pair
+            SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences FROM pairs GROUP BY pair
         ), ranked AS (
             SELECT pair, n_occurrences,
                    CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair) AS INT)
@@ -930,7 +930,8 @@ ORACLES.update(
                    ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS r
             FROM c1
         ), s1 AS (
-            SELECT 'user_id' AS dim, COUNT(*) AS n_keys, SUM(c) AS n_rows,
+            SELECT 'user_id' AS dim, COUNT(*) AS n_keys,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
                    MAX(c) AS max_cnt, SUM(i * c) AS sic
             FROM r1
         ), t1 AS (
@@ -943,7 +944,8 @@ ORACLES.update(
                    ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS r
             FROM c2
         ), s2 AS (
-            SELECT 'event_type' AS dim, COUNT(*) AS n_keys, SUM(c) AS n_rows,
+            SELECT 'event_type' AS dim, COUNT(*) AS n_keys,
+                   CAST(SUM(c) AS BIGINT) AS n_rows,
                    MAX(c) AS max_cnt, SUM(i * c) AS sic
             FROM r2
         ), t2 AS (
@@ -968,7 +970,8 @@ ORACLES.update(
             SELECT COUNT(*) AS n_docs,
                    COUNT(DISTINCT source) AS n_sources,
                    COUNT(DISTINCT lang) AS n_langs,
-                   SUM(len(string_split(trim(text), ' '))) AS total_tokens,
+                   CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT)
+                       AS total_tokens,
                    ROUND(AVG(len(string_split(trim(text), ' '))), 6) AS mean_doc_tokens,
                    COUNT(DISTINCT md5(text)) AS nd,
                    ROUND(AVG(ROUND({{q}}, 6)), 6) AS mean_quality
@@ -1150,8 +1153,8 @@ ORACLES.update(
                  UNNEST([{", ".join(str(c) for c in TRUNC_CUTOFFS)}]) AS u(cutoff)
         )
         SELECT cutoff,
-               SUM(n) AS total_tokens,
-               SUM(LEAST(n, cutoff)) AS kept_tokens,
+               CAST(SUM(n) AS BIGINT) AS total_tokens,
+               CAST(SUM(LEAST(n, cutoff)) AS BIGINT) AS kept_tokens,
                ROUND(1.0 - SUM(LEAST(n, cutoff)) / CAST(SUM(n) AS DOUBLE), 6)
                    AS lost_frac,
                ROUND(AVG(CASE WHEN n > cutoff THEN 1.0 ELSE 0.0 END), 6)

@@ -42,6 +42,46 @@ def canonicalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def _dtype_class(s: pd.Series) -> str:
+    """Serialization class of a column — the driver hashes SERIALIZED
+    values, so an int column and a float column holding the same numbers
+    hash differently ("331" vs "331.0").  This is the class that must
+    match between the Spark result and the DuckDB oracle (the r03 x272
+    defect: DuckDB's windowed SUM(BIGINT) returns HUGEINT → pandas
+    float64 → "331.0" vs Spark long "331")."""
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
+def _render_cell(v) -> str:
+    """Dtype-faithful canonical rendering of one value — mirrors the
+    driver's hash input: ints render bare, floats with a fractional
+    part, nulls as NULL."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(round(v, FLOAT_DECIMALS))
+    if isinstance(v, (bool,)):
+        return "true" if v else "false"
+    if isinstance(v, (int,)):
+        return str(v)
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
 def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
     a = canonicalize(spark_df.toPandas())
     b = canonicalize(duck_df)
@@ -51,12 +91,14 @@ def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
         return False, f"row counts differ: spark={len(a)} duck={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # Tolerant numeric pass first: catches real VALUE bugs with a
+        # precise message before the stricter serialization pass runs.
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
-            av = pd.to_numeric(av, errors="coerce").astype(float)
-            bv = pd.to_numeric(bv, errors="coerce").astype(float)
+            avf = pd.to_numeric(av, errors="coerce").astype(float)
+            bvf = pd.to_numeric(bv, errors="coerce").astype(float)
             bad = ~(
-                (av.isna() & bv.isna())
-                | ((av - bv).abs() <= 10 ** -(FLOAT_DECIMALS - 1))
+                (avf.isna() & bvf.isna())
+                | ((avf - bvf).abs() <= 10 ** -(FLOAT_DECIMALS - 1))
             )
         else:
             bad = ~((av.isna() & bv.isna()) | (av.astype(object) == bv.astype(object)))
@@ -67,4 +109,25 @@ def compare(spark_df, duck_df: pd.DataFrame) -> tuple[bool, str]:
                 f"spark={a[c][i]!r} duck={b[c][i]!r} "
                 f"(spark row: {a.iloc[i].to_dict()})"
             )
+        # Strict serialization pass: the driver hashes the SERIALIZED
+        # canonical rows, so the dtype class (int vs float rendering)
+        # must agree even when values are numerically equal.
+        ka, kb = _dtype_class(av), _dtype_class(bv)
+        if ka != kb:
+            return False, (
+                f"column {c!r} serialization class differs: spark={ka} "
+                f"({av.dtype}) duck={kb} ({bv.dtype}) — values match but "
+                f"the driver's value hash would not (int vs float render)"
+            )
+        if ka in ("object", "float"):
+            ra = av.map(_render_cell)
+            rb = bv.map(_render_cell)
+            badr = ra != rb
+            if badr.any():
+                i = badr.idxmax()
+                return False, (
+                    f"column {c!r} canonical rendering differs at row {i}: "
+                    f"spark={ra[i]!r} duck={rb[i]!r} — within numeric "
+                    f"tolerance but the driver's value hash would differ"
+                )
     return True, "ok"

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import pytest
 
-from social_warner_spark.queries import all_oracles, all_queries
+from social_warner_spark.queries import NO_ORACLE, all_oracles, all_queries
 
 from tests.oracle_harness import compare, duck_connection
 
@@ -13,11 +13,17 @@ ORACLES = all_oracles()
 
 
 def test_every_query_has_oracle():
-    missing = [q for q in QUERIES if q not in ORACLES]
+    """Every declared query has a DuckDB oracle, except the documented
+    non-SQL-expressible set (NO_ORACLE — sequential stateful folds the
+    driver checks rows-only and the local suite covers with dedicated
+    guarantee/parity tests)."""
+    missing = [q for q in QUERIES if q not in ORACLES and q not in NO_ORACLE]
     assert not missing, f"queries without oracles: {missing}"
+    stale = [q for q in NO_ORACLE if q not in QUERIES or q in ORACLES]
+    assert not stale, f"NO_ORACLE entries stale or oracled after all: {stale}"
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - NO_ORACLE))
 def test_query_matches_oracle(spark, sf_correct, name):
     sdf = QUERIES[name](spark, sf_correct)
     con = duck_connection(sf_correct)

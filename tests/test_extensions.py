@@ -741,6 +741,33 @@ def test_gif_lzw_roundtrip_stress():
         assert _gif_lzw_decode(_gif_lzw_encode(seq, 8), 8) == seq
 
 
+def test_gif_lzw_rejects_code_beyond_table():
+    """Only code == len(table) is the legal KwKwK self-reference; a
+    corrupt stream carrying a LARGER not-yet-defined code must raise
+    like every other malformed-payload path, not decode into garbage."""
+    import pytest as _pytest
+
+    from social_warner_spark.operators.multimodal import _gif_lzw_decode
+
+    # mcs=2: clear=4, eoi=5, codesize=3.  Emit codes [4 (clear), 1, 7]:
+    # after consuming literal 1 the table has 6 entries, so the next
+    # legal KwKwK code is 6 — 7 is out of range and must raise.
+    codes = [4, 1, 7]
+    cur = nbits = 0
+    out = bytearray()
+    for c in codes:
+        cur |= c << nbits
+        nbits += 3
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(cur & 0xFF)
+    with _pytest.raises(ValueError, match="corrupt LZW"):
+        _gif_lzw_decode(bytes(out), 2)
+
+
 def test_gif_decode_matches_pixel_formula():
     """decode_gif_frames must reproduce every index of every frame of the
     synthesized GIF (real LZW bytes in between), plus the color table."""
@@ -797,9 +824,11 @@ def test_jpeg_ac_entropy_path_roundtrip():
     assert (w, h) == (16, 16)
 
     def ref_block(coefs_zz):
+        # quant is in zig-zag (stored DQT) order per T.81, so scan
+        # index k dequantizes with quant[k]
         nat = [0.0] * 64
         for k in range(64):
-            nat[_JPEG_ZIGZAG[k]] = coefs_zz[k] * quant[_JPEG_ZIGZAG[k]]
+            nat[_JPEG_ZIGZAG[k]] = coefs_zz[k] * quant[k]
         out = []
         for y in range(8):
             row = []
@@ -826,6 +855,75 @@ def test_jpeg_ac_entropy_path_roundtrip():
             for y in range(8):
                 for x in range(8):
                     assert px[(by * 8 + y) * 16 + bx * 8 + x] == ref[y][x]
+
+
+def test_jpeg_nonuniform_quant_table_roundtrip():
+    """A NON-uniform DQT (stored in zig-zag order per T.81) must
+    dequantize by SCAN index, not natural index — a uniform table like
+    the in-repo synth JPEGs use cannot tell the two conventions apart,
+    so this fixture uses the standard luminance table where every
+    mix-up moves pixels."""
+    import math
+    import random
+
+    from social_warner_spark.operators.multimodal import (
+        _JPEG_ZIGZAG,
+        _jpeg_encode_blocks,
+        decode_jpeg_gray,
+    )
+
+    # ITU T.81 Table K.1 luminance quant steps in NATURAL order…
+    std_nat = [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ]
+    # …serialized into the DQT segment in zig-zag order, as T.81 requires.
+    quant = [std_nat[_JPEG_ZIGZAG[k]] for k in range(64)]
+
+    rng = random.Random(7)
+    blocks = []
+    for _ in range(2):
+        c = [0] * 64
+        c[0] = rng.randrange(-8, 8)
+        for _ in range(8):
+            c[rng.randrange(1, 64)] = rng.randrange(-5, 6) or 1
+        blocks.append(c)
+    w, h, px = decode_jpeg_gray(_jpeg_encode_blocks(blocks, 16, 8, quant))
+    assert (w, h) == (16, 8)
+
+    def ref_block(coefs_zz):
+        nat = [0.0] * 64
+        for k in range(64):
+            nat[_JPEG_ZIGZAG[k]] = coefs_zz[k] * quant[k]
+        out = []
+        for y in range(8):
+            row = []
+            for x in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * nat[v * 8 + u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                row.append(min(255, max(0, round(s / 4) + 128)))
+            out.append(row)
+        return out
+
+    for bx in range(2):
+        ref = ref_block(blocks[bx])
+        for y in range(8):
+            for x in range(8):
+                assert px[y * 16 + bx * 8 + x] == ref[y][x]
 
 
 def test_jpeg_decode_dc_formula_and_rejects():

@@ -161,3 +161,74 @@ def test_streaming_heavy_hitters_guarantees_vs_exact(spark, sf_smoke, tmp_path):
             assert t - bound <= est <= t, (etype, uid, est, t, bound)
         # state is bounded by design
         assert len(summ) <= K - 1
+
+
+def test_misra_gries_batch_twin_parity_and_guarantees(spark, sf_smoke, tmp_path):
+    """x377 (the declared batch twin, applyInPandas) must (a) satisfy the
+    Misra-Gries guarantees against independently-computed exact counts,
+    and (b) produce the IDENTICAL summary the applyInPandasWithState
+    streaming operator emits when the whole table arrives as one ordered
+    micro-batch — the stateful-twin contract that earns x377 its
+    rows-only driver row."""
+    from social_warner_spark.queries.x39_series import (
+        MG_K,
+        x377_misra_gries_twin,
+    )
+    from social_warner_spark.streaming.stateful import streaming_heavy_hitters
+
+    twin = x377_misra_gries_twin(spark, sf_smoke).toPandas()
+
+    # (a) guarantees — every row self-audits, plus presence of all true
+    # heavy hitters from an independent exact count
+    exact = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type", "user_id")
+        .count()
+        .toPandas()
+    )
+    for etype, grp in exact.groupby("event_type"):
+        n = int(grp["count"].sum())
+        bound = n / MG_K
+        summ = twin[twin["event_type"] == etype].set_index("user_id")
+        assert (summ["n_processed"] == n).all()
+        assert len(summ) <= MG_K - 1
+        true = dict(zip(grp["user_id"], grp["count"]))
+        for uid, c in true.items():
+            if c > bound:
+                assert uid in summ.index, (etype, uid, c, bound)
+        for uid, row in summ.iterrows():
+            t = true.get(uid, 0)
+            assert t - bound <= row["est_count"] <= t
+            assert row["exact_count"] == t
+
+    # (b) parity with the streaming operator fed one ordered micro-batch
+    d = str(tmp_path / "ev_twin")
+    load_table(spark, sf_smoke, "events").coalesce(1).write.parquet(d)
+    out = (
+        streaming_heavy_hitters(read_events_stream(spark, d), k=MG_K)
+        .writeStream.format("memory")
+        .queryName("state_hh_twin")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    out.awaitTermination(180)
+    assert not out.isActive
+    streamed = (
+        spark.table("state_hh_twin")
+        .toPandas()
+        .sort_values(["event_type", "user_id"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        twin[["event_type", "user_id", "est_count", "n_processed"]]
+        .sort_values(["event_type", "user_id"])
+        .reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        streamed[["event_type", "user_id", "est_count", "n_processed"]],
+        batch,
+        check_dtype=False,
+    )
