@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from social_warner_spark.queries.common import T, r6
+from social_warner_spark.queries.common import T, r6, r6t
 
 #: PQ geometry: 64-dim embeddings → 16 subspaces × 4 dims, 16 codewords
 #: each; ADC keeps a 50-candidate shortlist that is re-ranked exactly.
@@ -990,12 +990,12 @@ def x229_margin_bitext_mining(spark, sf_dir):
     knn_a = (
         ra.where(F.col("rk") <= MARGIN_K)
         .groupBy("fr_id")
-        .agg(r6(F.avg("cos")).alias("knn_a"))
+        .agg(r6t(F.avg("cos")).alias("knn_a"))
     )
     knn_b = (
         rb.where(F.col("rk") <= MARGIN_K)
         .groupBy("en_id")
-        .agg(r6(F.avg("cos")).alias("knn_b"))
+        .agg(r6t(F.avg("cos")).alias("knn_b"))
     )
     return (
         best_a.join(best_b, ["fr_id", "en_id"])  # reciprocal best matches
@@ -1005,7 +1005,7 @@ def x229_margin_bitext_mining(spark, sf_dir):
             "fr_id",
             "en_id",
             "cos",
-            r6(F.col("cos") / ((F.col("knn_a") + F.col("knn_b")) / 2)).alias(
+            r6t(F.col("cos") / ((F.col("knn_a") + F.col("knn_b")) / 2)).alias(
                 "margin"
             ),
         )
@@ -1038,14 +1038,14 @@ def _margin_oracle() -> str:
                                          ORDER BY cos DESC, fr_id) AS rk
             FROM scored
         ), knn_a AS (
-            SELECT fr_id, ROUND(AVG(cos), 6) AS knn_a FROM ra
+            SELECT fr_id, ROUND(AVG(cos) + 1e-9, 6) AS knn_a FROM ra
             WHERE rk <= {MARGIN_K} GROUP BY fr_id
         ), knn_b AS (
-            SELECT en_id, ROUND(AVG(cos), 6) AS knn_b FROM rb
+            SELECT en_id, ROUND(AVG(cos) + 1e-9, 6) AS knn_b FROM rb
             WHERE rk <= {MARGIN_K} GROUP BY en_id
         )
         SELECT a.fr_id, a.en_id, a.cos,
-               ROUND(a.cos / ((ka.knn_a + kb.knn_b) / 2), 6) AS margin
+               ROUND(a.cos / ((ka.knn_a + kb.knn_b) / 2) + 1e-9, 6) AS margin
         FROM (SELECT fr_id, en_id, cos FROM ra WHERE rk = 1) a
         JOIN (SELECT fr_id, en_id FROM rb WHERE rk = 1) m USING (fr_id, en_id)
         JOIN knn_a ka USING (fr_id)

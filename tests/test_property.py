@@ -74,19 +74,26 @@ def test_random_filter_group_agg(spark, sf_smoke, p, group, measure):
     col, op, lit = p
     ev = load_table(spark, sf_smoke, "orders")
     cond = {"<": F.col(col) < lit, ">=": F.col(col) >= lit, "=": F.col(col) == lit}[op]
+    # Measures are cast to DOUBLE on BOTH sides: for integer measures
+    # Spark's ROUND(bigint) stays long while DuckDB's ROUND returns
+    # double (and SUM(BIGINT) is HUGEINT -> pandas float64) — the same
+    # serialization split the strict mirror exists to catch (x272).
+    m = F.col(measure).cast("double")
     sdf = (
         ev.where(cond)
         .groupBy(group)
         .agg(
             F.count("*").alias("cnt"),
-            F.round(F.sum(measure), 2).alias("s"),
-            F.round(F.min(measure), 6).alias("mn"),
-            F.round(F.max(measure), 6).alias("mx"),
+            F.round(F.sum(m), 2).alias("s"),
+            F.round(F.min(m), 6).alias("mn"),
+            F.round(F.max(m), 6).alias("mx"),
         )
     )
     sql = f"""
-        SELECT {group}, COUNT(*) AS cnt, ROUND(SUM({measure}), 2) AS s,
-               ROUND(MIN({measure}), 6) AS mn, ROUND(MAX({measure}), 6) AS mx
+        SELECT {group}, COUNT(*) AS cnt,
+               ROUND(SUM(CAST({measure} AS DOUBLE)), 2) AS s,
+               ROUND(MIN(CAST({measure} AS DOUBLE)), 6) AS mn,
+               ROUND(MAX(CAST({measure} AS DOUBLE)), 6) AS mx
         FROM orders WHERE {col} {op} {lit} GROUP BY {group}
     """
     con = duck_connection(sf_smoke)
