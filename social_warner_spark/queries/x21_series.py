@@ -252,12 +252,16 @@ def x288_rm3_expansion(spark, sf_dir):
         .crossJoin(F.broadcast(ftot))
         .groupBy("tok")
         .agg(
+            # tie-nudged like r6t: w drives the ORDER BY ... LIMIT term
+            # selection, so a rounding-boundary flip here would swap the
+            # marginal expansion term between engines (oracle matches)
             F.round(
                 F.sum(
                     F.col("tf")
                     / F.col("dl")
                     * (F.col("score") / F.col("stot"))
-                ),
+                )
+                + F.lit(1e-9),
                 6,
             ).alias("w")
         )
@@ -612,7 +616,7 @@ def _rm3_oracle() -> str:
             FROM fb f JOIN documents d USING (doc_id)
         ), votes AS (
             SELECT tok,
-                   ROUND(SUM(tf * 1.0 / dl * (score / stot)), 6) AS w
+                   ROUND(SUM(tf * 1.0 / dl * (score / stot)) + 1e-9, 6) AS w
             FROM (SELECT doc_id, score, dl, tok, COUNT(*) AS tf
                   FROM ftoks
                   WHERE len(tok) >= {RM3_MIN_LEN}
