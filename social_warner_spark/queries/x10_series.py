@@ -2461,9 +2461,13 @@ def x148_acctbal_risk(spark, sf_dir):
     return j.groupBy("n_name").agg(
         F.count("*").alias("n_customers"),
         r6(F.avg((F.col("c_acctbal") < 0).cast("double"))).alias("negative_share"),
-        F.round(F.percentile("c_acctbal", F.lit(0.25)), 2).alias("q1"),
-        F.round(F.median("c_acctbal"), 2).alias("q2"),
-        F.round(F.percentile("c_acctbal", F.lit(0.75)), 2).alias("q3"),
+        # +1e-9 tie-nudge (queries/common.py:r6t rationale): quartile
+        # interpolation of 2dp balances yields exact 4dp decimals that
+        # land ON the 2dp rounding boundary where the engines' ROUND
+        # implementations disagree (surfaced by the sf0.1 strict mirror)
+        F.round(F.percentile("c_acctbal", F.lit(0.25)) + F.lit(1e-9), 2).alias("q1"),
+        F.round(F.median("c_acctbal") + F.lit(1e-9), 2).alias("q2"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)) + F.lit(1e-9), 2).alias("q3"),
     )
 
 
@@ -2528,9 +2532,9 @@ ORACLES.update(
                COUNT(*) AS n_customers,
                ROUND(AVG(CASE WHEN c_acctbal < 0 THEN 1.0 ELSE 0.0 END), 6)
                    AS negative_share,
-               ROUND(QUANTILE_CONT(c_acctbal, 0.25), 2) AS q1,
-               ROUND(MEDIAN(c_acctbal), 2) AS q2,
-               ROUND(QUANTILE_CONT(c_acctbal, 0.75), 2) AS q3
+               ROUND(QUANTILE_CONT(c_acctbal, 0.25) + 1e-9, 2) AS q1,
+               ROUND(MEDIAN(c_acctbal) + 1e-9, 2) AS q2,
+               ROUND(QUANTILE_CONT(c_acctbal, 0.75) + 1e-9, 2) AS q3
         FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
         GROUP BY n.n_name
     """,

@@ -310,7 +310,11 @@ def x321_bitemporal_asof(spark, sf_dir):
     amend = o.where(F.col("o_orderkey") % BT_MOD == 0).select(
         "o_orderkey",
         "o_orderdate",
-        F.round(F.col("price") * BT_UPLIFT, 2).alias("price"),
+        # +1e-9 tie-nudge: price*1.1 is an exact 3dp decimal that lands ON
+        # the 2dp rounding boundary whenever the cent digit is odd*5 —
+        # the engines' ROUND implementations then disagree on ~1 in 1e4
+        # amendments (sf0.1 strict-mirror find); oracle nudges identically
+        F.round(F.col("price") * BT_UPLIFT + F.lit(1e-9), 2).alias("price"),
         F.date_add(F.col("o_orderdate"), BT_LAG_DAYS).alias("tx_date"),
         F.lit(1).alias("is_amend"),
     )
@@ -328,7 +332,15 @@ def x321_bitemporal_asof(spark, sf_dir):
         .agg(
             F.count("*").alias("n_orders"),
             F.sum("amended").alias("n_amended_visible"),
-            r2(F.sum("price")).alias("revenue_as_known"),
+            # exact integer-cents sum: at sf0.1 the yearly revenue is
+            # ~2.4e9 where float summation-order noise (~1e-3) straddles
+            # the 2dp rounding grid across engines (sf0.1 strict-mirror
+            # find); cents are exact int64 in both engines
+            (
+                F.sum(F.round(F.col("price") * 100, 0).cast("long"))
+                .cast("double")
+                / 100.0
+            ).alias("revenue_as_known"),
         )
         .orderBy("order_year")
     )
@@ -505,7 +517,7 @@ ORACLES = {
             FROM o
             UNION ALL
             SELECT o_orderkey, o_orderdate,
-                   ROUND(price * {BT_UPLIFT}, 2),
+                   ROUND(price * {BT_UPLIFT} + 1e-9, 2),
                    CAST(o_orderdate + INTERVAL {BT_LAG_DAYS} DAY
                         AS DATE), 1
             FROM o WHERE o_orderkey % {BT_MOD} = 0
@@ -520,7 +532,8 @@ ORACLES = {
         SELECT CAST(year(o_orderdate) AS INT) AS order_year,
                CAST(COUNT(*) AS BIGINT) AS n_orders,
                CAST(SUM(amended) AS BIGINT) AS n_amended_visible,
-               ROUND(SUM(price), 2) AS revenue_as_known
+               CAST(SUM(CAST(ROUND(price * 100, 0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS revenue_as_known
         FROM known
         GROUP BY 1 ORDER BY 1
     """,

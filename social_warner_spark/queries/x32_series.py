@@ -209,7 +209,13 @@ def x344_histogram_design(spark, sf_dir):
 
     Scale: one min/max row, one percentile row (both broadcast), one
     binned aggregation per scheme; SSE from per-bucket moment sums."""
-    ev = T(spark, sf_dir, "events").select(F.col("value").alias("v"))
+    # c = exact integer cents: at sf0.1 the SSE reaches ~2.6e7 where the
+    # cross-engine float moment sums flip the 6dp grid (sf0.1 strict
+    # mirror find); integer moments are exact in both engines.
+    ev = T(spark, sf_dir, "events").select(
+        F.col("value").alias("v"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+    )
     from social_warner_spark.caching import register_persisted
 
     ev = register_persisted(ev.persist())
@@ -223,7 +229,7 @@ def x344_histogram_design(spark, sf_dir):
         ).cast("int"),
     )
     wb = ev.crossJoin(F.broadcast(mm)).select(
-        width_bin.alias("b"), "v"
+        width_bin.alias("b"), "c"
     )
     qs = ", ".join(
         str(round(i / HD_BUCKETS, 2)) for i in range(1, HD_BUCKETS)
@@ -231,7 +237,10 @@ def x344_histogram_design(spark, sf_dir):
     cuts = ev.agg(
         F.expr(f"percentile(v, array({qs}))").alias("cs")
     ).select(F.posexplode("cs").alias("ci", "cut_raw")).select(
-        F.round("cut_raw", 6).alias("cutv")
+        # +1e-9: quantile interpolation of 2dp values is an exact
+        # decimal rational that can land ON the 6dp tie — a cross-engine
+        # cutv flip would REBIN values, not just move a rendered digit
+        F.round(F.col("cut_raw") + F.lit(1e-9), 6).alias("cutv")
     )
     db = (
         ev.crossJoin(F.broadcast(cuts))
@@ -244,21 +253,33 @@ def x344_histogram_design(spark, sf_dir):
             ).cast("int").alias("b"),
             (F.count("*") / (HD_BUCKETS - 1)).cast("long").alias("m"),
         )
+        .select(
+            "b",
+            "m",
+            F.round(F.col("v") * 100, 0).cast("long").alias("c"),
+        )
     )
+
+    def _sse_from_cents():
+        # per-bucket (s2c - s1c^2/n) on exact integer-cent moments, then
+        # /10000 back to value units; tie-nudged like r6t
+        term = (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        return F.round(
+            F.sum(term) / 10000.0 + F.lit(1e-9), 6
+        ).alias("sse")
 
     def score_width(binned):
         per = binned.groupBy("b").agg(
             F.count("*").alias("n"),
-            F.sum("v").alias("s1"),
-            F.sum(F.col("v") * F.col("v")).alias("s2"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
         )
         return per.agg(
             F.count("*").alias("n_buckets"),
-            r6(
-                F.sum(
-                    F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
-                )
-            ).alias("sse"),
+            _sse_from_cents(),
             F.max("n").alias("max_bucket_n"),
             F.min("n").alias("min_bucket_n"),
         )
@@ -266,16 +287,12 @@ def x344_histogram_design(spark, sf_dir):
     def score_depth(binned):
         per = binned.groupBy("b").agg(
             F.sum("m").alias("n"),
-            F.sum(F.col("v") * F.col("m")).alias("s1"),
-            F.sum(F.col("v") * F.col("v") * F.col("m")).alias("s2"),
+            F.sum(F.col("c") * F.col("m")).alias("s1"),
+            F.sum(F.col("c") * F.col("c") * F.col("m")).alias("s2"),
         )
         return per.agg(
             F.count("*").alias("n_buckets"),
-            r6(
-                F.sum(
-                    F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")
-                )
-            ).alias("sse"),
+            _sse_from_cents(),
             F.max("n").alias("max_bucket_n"),
             F.min("n").alias("min_bucket_n"),
         )
@@ -543,21 +560,27 @@ ORACLES = {
         LIMIT {TB_TOP}
     """,
     "x344_histogram_design": f"""
-        WITH ev AS (SELECT value AS v FROM events), mm AS (
+        WITH ev AS (
+            SELECT value AS v,
+                   CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+            FROM events
+        ), mm AS (
             SELECT MIN(v) AS lo, MAX(v) AS hi FROM ev
         ), wb AS (
             SELECT LEAST({HD_BUCKETS - 1},
                          CAST(floor((v - lo) / (hi - lo)
-                                    * {HD_BUCKETS}) AS INT)) AS b, v
+                                    * {HD_BUCKETS}) AS INT)) AS b, c
             FROM ev CROSS JOIN mm
         ), wrow AS (
             SELECT 'equi_width' AS scheme,
                    CAST(COUNT(*) AS BIGINT) AS n_buckets,
-                   ROUND(SUM(s2 - s1 * s1 / n), 6) AS sse,
+                   ROUND(SUM(CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * s1 / n) / 10000.0
+                         + 1e-9, 6) AS sse,
                    CAST(MAX(n) AS BIGINT) AS max_bucket_n,
                    CAST(MIN(n) AS BIGINT) AS min_bucket_n
-            FROM (SELECT b, COUNT(*) AS n, SUM(v) AS s1,
-                         SUM(v * v) AS s2
+            FROM (SELECT b, COUNT(*) AS n, SUM(c) AS s1,
+                         SUM(c * c) AS s2
                   FROM wb GROUP BY b)
         ), qcs AS (
             SELECT quantile_cont(v,
@@ -565,23 +588,26 @@ ORACLES = {
                 AS cs
             FROM ev
         ), cuts AS (
-            SELECT ROUND(cs[u.ci], 6) AS cutv
+            SELECT ROUND(cs[u.ci] + 1e-9, 6) AS cutv
             FROM qcs, UNNEST(range(1, {HD_BUCKETS})) AS u(ci)
         ), db AS (
             SELECT v,
                    CAST(SUM(CASE WHEN v > cutv THEN 1 ELSE 0 END) * 1.0
                         / COUNT(*) * {HD_BUCKETS - 1} AS INT) AS b,
-                   CAST(COUNT(*) / {HD_BUCKETS - 1} AS BIGINT) AS m
+                   CAST(COUNT(*) / {HD_BUCKETS - 1} AS BIGINT) AS m,
+                   CAST(ROUND(v * 100, 0) AS BIGINT) AS c
             FROM ev CROSS JOIN cuts
             GROUP BY v
         ), drow AS (
             SELECT 'equi_depth' AS scheme,
                    CAST(COUNT(*) AS BIGINT) AS n_buckets,
-                   ROUND(SUM(s2 - s1 * s1 / n), 6) AS sse,
+                   ROUND(SUM(CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) * s1 / n) / 10000.0
+                         + 1e-9, 6) AS sse,
                    CAST(MAX(n) AS BIGINT) AS max_bucket_n,
                    CAST(MIN(n) AS BIGINT) AS min_bucket_n
-            FROM (SELECT b, SUM(m) AS n, SUM(v * m) AS s1,
-                         SUM(v * v * m) AS s2
+            FROM (SELECT b, SUM(m) AS n, SUM(c * m) AS s1,
+                         SUM(c * c * m) AS s2
                   FROM db GROUP BY b)
         )
         SELECT scheme, n_buckets, sse, max_bucket_n, min_bucket_n,

@@ -62,7 +62,8 @@ def x372_lww_vs_arrival(spark, sf_dir):
     )
     amend = o.where(F.col("o_orderkey") % BT_MOD == 0).select(
         "o_orderkey",
-        F.round(F.col("price") * BT_UPLIFT, 2).alias("price"),
+        # tie-nudged like x321's ledger (see x27_series) — same amendment
+        F.round(F.col("price") * BT_UPLIFT + F.lit(1e-9), 2).alias("price"),
         F.date_add(F.col("o_orderdate"), BT_LAG_DAYS).alias("tx_date"),
         F.lit(1).alias("ver"),
     )
@@ -97,17 +98,25 @@ def x372_lww_vs_arrival(spark, sf_dir):
     arr = staged.groupBy("o_orderkey").agg(
         F.max_by("price", "arr").alias("p_arr")
     )
-    j = lww.join(arr, "o_orderkey")
+    j = lww.join(arr, "o_orderkey").select(
+        "o_orderkey",
+        # exact integer cents: at sf0.1 these sums reach ~3.8e10 where
+        # float summation-order noise (~0.5) dwarfs the 2dp grid — the
+        # sf0.1 strict mirror caught the cross-engine flip; int64 cents
+        # are exact in both engines (3.8e12 cents << 2^63)
+        F.round(F.col("p_lww") * 100, 0).cast("long").alias("c_lww"),
+        F.round(F.col("p_arr") * 100, 0).cast("long").alias("c_arr"),
+    )
     return j.agg(
         F.count("*").alias("n_orders"),
         F.sum(
-            (F.col("p_lww") != F.col("p_arr")).cast("long")
+            (F.col("c_lww") != F.col("c_arr")).cast("long")
         ).alias("n_disagree"),
-        r2(F.sum("p_lww")).alias("rev_lww"),
-        r2(F.sum("p_arr")).alias("rev_arrival"),
-        r2(F.sum(F.col("p_lww") - F.col("p_arr"))).alias(
-            "silent_delta"
-        ),
+        (F.sum("c_lww").cast("double") / 100.0).alias("rev_lww"),
+        (F.sum("c_arr").cast("double") / 100.0).alias("rev_arrival"),
+        (
+            F.sum(F.col("c_lww") - F.col("c_arr")).cast("double") / 100.0
+        ).alias("silent_delta"),
     )
 
 
@@ -455,7 +464,7 @@ ORACLES = {
             SELECT o_orderkey, price, o_orderdate AS tx_date, 0 AS ver
             FROM o
             UNION ALL
-            SELECT o_orderkey, ROUND(price * {BT_UPLIFT}, 2),
+            SELECT o_orderkey, ROUND(price * {BT_UPLIFT} + 1e-9, 2),
                    CAST(o_orderdate + INTERVAL {BT_LAG_DAYS} DAY
                         AS DATE), 1
             FROM o WHERE o_orderkey % {BT_MOD} = 0
@@ -474,12 +483,17 @@ ORACLES = {
             FROM staged GROUP BY 1
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
-               CAST(SUM(CASE WHEN p_lww != p_arr THEN 1 ELSE 0 END)
+               CAST(SUM(CASE WHEN c_lww != c_arr THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_disagree,
-               ROUND(SUM(p_lww), 2) AS rev_lww,
-               ROUND(SUM(p_arr), 2) AS rev_arrival,
-               ROUND(SUM(p_lww - p_arr), 2) AS silent_delta
-        FROM lww JOIN arrv USING (o_orderkey)
+               CAST(SUM(c_lww) AS DOUBLE) / 100.0 AS rev_lww,
+               CAST(SUM(c_arr) AS DOUBLE) / 100.0 AS rev_arrival,
+               CAST(SUM(c_lww - c_arr) AS DOUBLE) / 100.0 AS silent_delta
+        FROM (
+            SELECT o_orderkey,
+                   CAST(ROUND(p_lww * 100, 0) AS BIGINT) AS c_lww,
+                   CAST(ROUND(p_arr * 100, 0) AS BIGINT) AS c_arr
+            FROM lww JOIN arrv USING (o_orderkey)
+        )
     """,
     "x373_ratio_bridge": """
         WITH split AS (

@@ -123,27 +123,31 @@ def x378_drift_cells(spark, sf_dir):
     operators/drift.py — so the KS grid is value-domain-bounded
     (~500 cells) regardless of row count.
     """
-    from social_warner_spark.operators.drift import (
-        merge_cells,
-        two_sample_ks,
-        value_cells,
-    )
+    from social_warner_spark.operators.drift import merge_cells, two_sample_ks
 
     ev = T(spark, sf_dir, "events").select(
         F.to_date("ts").alias("day"),
         F.floor("value").cast("long").alias("vbin"),
     )
-    baseline = value_cells(
-        ev.where(F.col("day") < F.lit(DRIFT_SPLIT)), "vbin"
-    )
-    # Current side lands per-epoch first (the stream's per-day cell
-    # partitions), then merges — proving cell additivity end-to-end.
-    epoch_cells = (
-        ev.where(F.col("day") >= F.lit(DRIFT_SPLIT))
-        .groupBy("day", F.col("vbin").alias("v"))
+    # ONE corpus scan: daily cells keyed (day, v) — exactly the stream's
+    # per-epoch partitions.  Both halves then derive at CELL granularity
+    # (days x bins rows), so baseline assembly exercises the same
+    # additive merge the streaming monitor relies on.  The cell relation
+    # is persisted because it has two consumers — without it Catalyst
+    # re-expands the corpus scan per consumer.
+    from social_warner_spark.caching import register_persisted
+
+    daily = register_persisted(
+        ev.groupBy("day", F.col("vbin").alias("v"))
         .agg(F.count("*").alias("c"))
+        .persist()
     )
-    current = merge_cells(epoch_cells.select("v", "c"))
+    baseline = merge_cells(
+        daily.where(F.col("day") < F.lit(DRIFT_SPLIT)).select("v", "c")
+    )
+    current = merge_cells(
+        daily.where(F.col("day") >= F.lit(DRIFT_SPLIT)).select("v", "c")
+    )
     return two_sample_ks(baseline, current)
 
 

@@ -57,7 +57,12 @@ def x17_range_frame(spark, sf_dir):
     return o.select(
         "o_orderkey",
         "o_orderstatus",
-        r6(F.sum("o_totalprice").over(w)).alias("nearby_total"),
+        # r2, not r6: the windowed sum reaches ~4e8 where a double's ulp
+        # (6e-8) is within a decade of the 1e-6 grid — the engines' ROUND
+        # implementations then emit DIFFERENT doubles for the same sum
+        # (surfaced by the sf0.1 strict mirror).  2dp follows the repo's
+        # large-sum convention; at 2dp both float paths are exact.
+        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
         F.count("*").over(w).alias("nearby_cnt"),
     )
 
@@ -588,7 +593,7 @@ ORACLES = {
     """,
     "x17_range_frame": """
         SELECT o_orderkey, o_orderstatus,
-               ROUND(SUM(o_totalprice) OVER w, 6) AS nearby_total,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS nearby_total,
                COUNT(*) OVER w AS nearby_cnt
         FROM orders
         WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
