@@ -57,6 +57,15 @@ SCALE_SET = [
     "x282_gmm_em",             # EM fixed point shifts with 10× values
     "x287_mmr_rerank",         # pool composition changes at 10× docs
     "x291_jsd_source_matrix",  # top-V vocabulary boundary at 10× tokens
+    # round-4: every query the full-set sf0.1 strict mirror caught —
+    # large-magnitude rounding, decimal-rational ties, float-sum noise
+    # past the rounding grid (see COVERAGE.md round-4 section)
+    "x17_range_frame",         # ~4e8 windowed sum vs the rounding grid
+    "x148_acctbal_risk",       # quartile-interpolation 2dp ties
+    "x321_bitemporal_asof",    # int-cents revenue + amendment-tie ledger
+    "x344_histogram_design",   # integer-cent SSE moments + quantile cuts
+    "x372_lww_vs_arrival",     # 3.8e10 cents sums + md5 arrival ordering
+    "x378_drift_cells",        # round-4 stateful-twin KS grid at 10× rows
 ]
 
 QUERIES = all_queries()
