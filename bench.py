@@ -94,6 +94,9 @@ HEADLINE = [
     "x269_cluster_quality",    # IVF silhouette/DB (corpus x nlist scoring)
     "x270_markov_attribution", # journey matrix + masked value-iteration folds
     "x277_rouge_pairs",        # exact-Jaccard pairs + clipped n-gram overlap
+    # round-4 stateful-twin anchors (same caveat: compare per-query)
+    "x377_misra_gries_twin",   # ordered applyInPandas fold + exact-count join
+    "x378_drift_cells",        # one-scan daily cells + merged KS grid
 ]
 
 
