@@ -95,8 +95,22 @@ def x302_ccnet_buckets(spark, sf_dir):
         .groupBy("lang", bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n_docs"),
-            r6(F.avg("ppl")).alias("avg_ppl"),
-            r6(F.avg("n_toks")).alias("avg_tokens"),
+            # exact integer micro-unit averages + r6t-style nudge: the
+            # per-doc ppl is a 6dp decimal, so the bucket mean is an
+            # exact rational whose 6dp rounding flaps with DuckDB's
+            # parallel-AVG order at sf0.1 (duck-vs-duck hunt find)
+            F.round(
+                F.sum(F.round(F.col("ppl") * 1000000, 0).cast("long"))
+                .cast("double")
+                / (F.lit(1000000.0) * F.count("*"))
+                + F.lit(1e-9),
+                6,
+            ).alias("avg_ppl"),
+            F.round(
+                F.sum("n_toks").cast("double") / F.count("*")
+                + F.lit(1e-9),
+                6,
+            ).alias("avg_tokens"),
         )
         .orderBy("lang", "bucket")
     )
@@ -376,8 +390,12 @@ ORACLES = {
                     WHEN e.ppl <= c.q2 THEN 'middle'
                     ELSE 'tail' END AS bucket,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
-               ROUND(AVG(e.ppl), 6) AS avg_ppl,
-               ROUND(AVG(e.n_toks), 6) AS avg_tokens
+               ROUND(CAST(SUM(CAST(ROUND(e.ppl * 1000000, 0) AS BIGINT))
+                          AS DOUBLE)
+                     / (CAST(1000000.0 AS DOUBLE) * COUNT(*)) + 1e-9, 6)
+                   AS avg_ppl,
+               ROUND(CAST(SUM(e.n_toks) AS DOUBLE) / COUNT(*) + 1e-9, 6)
+                   AS avg_tokens
         FROM ent e JOIN cuts c USING (lang)
         GROUP BY 1, 2
         ORDER BY lang, bucket
