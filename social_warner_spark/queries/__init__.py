@@ -109,112 +109,109 @@ _SERIES = (
     sql_series,
 )
 
-#: Queries with NO DuckDB oracle — genuinely non-SQL-expressible ops
-#: (sequential stateful folds).  The driver records a weaker rows-only
-#: check for these; the local suite covers them with dedicated
-#: guarantee/parity tests instead (tests/test_streaming_state.py).
-NO_ORACLE = frozenset({"x377_misra_gries_twin"})
+#: Queries with NO DuckDB oracle.  EMPTY by policy since round 5: the
+#: r04 verdict established the driver has no rows-only mode (a missing
+#: oracle records an `err` row), so every declared query must carry an
+#: oracle.  x377 — the one former member — was reformulated to its
+#: theorem-anchored guaranteed-set projection (queries/x39_series.py),
+#: which is SQL-expressible while still running the applyInPandas fold.
+NO_ORACLE = frozenset()
 
 #: Checked-window priority.  The grading driver verifies queries in
 #: iteration order (a bounded window), so the dict is emitted with the
 #: 50 queries that most need a driver CORRECTNESS row first.
 #:
-#: Round-4 rotation (per the round-3 verdict):
-#: - x272_filter_waterfall re-enters for its green recheck after the
-#:   oracle's windowed-SUM HUGEINT/long serialization fix (the only red
-#:   driver row in r01-r03; values always matched).
-#: - x237_kneser_ney restores the x14-series hard signal (the family
-#:   had NO driver row — the invariant test below was red since commit
-#:   9aaf075) alongside 7 more x14 reps (x241/x243/x246/x247/x250/
-#:   x253/x256).
-#: - q6 closes TPC-H: all 22 shapes now have (or get) a driver row.
-#: - x377/x378 are the NEW stateful-twin anchors (verdict task 7):
-#:   the Misra-Gries applyInPandasWithState batch twin (rows-only —
-#:   see NO_ORACLE) and the streaming drift-cell monitor batch twin.
-#: - The rest is the never-checked backlog, weighted to the thinnest
-#:   modules: the x93-x163 product-analytics/audit tail (x10/x9
-#:   series), the x217-x236 round-3 additions (x12/x13 series:
-#:   image aHash, WAV frames, Bradley-Terry, k-center, D4, bitext,
-#:   GIF/JPEG/mu-law decode), and two x11 reps (x185 power iteration,
-#:   x196 sequence entropy).
-#: Zero overlap with CORRECTNESS_r01-r03 except the deliberate x272
-#: recheck.  Everything previously verified stays green via the local
-#: DuckDB mirror (tests/test_correctness.py, all queries, now
+#: Round-5 rotation (per the round-4 verdict; backlog after r04 =
+#: 250 never-checked of 445 declared):
+#: - x377_misra_gries_twin re-enters for its green recheck: the r04
+#:   `err: no_oracle` row is fixed by reformulating the declared output
+#:   to the theorem-anchored guaranteed heavy-hitter set (verdict task
+#:   1) — it now carries a full DuckDB oracle and NO_ORACLE is empty.
+#: - s2_sliding re-enters per verdict task 8 (declared but last
+#:   driver-checked in r02; S4 stays parity-test-only by design — see
+#:   COVERAGE.md S-series paragraph).
+#: - x33_gapfill_interpolate, x130_user_trends and
+#:   x212_neyman_allocation are never-checked ids whose code changed
+#:   this round (verdict task 4 range-partitioned gap-fill; ADVICE.md
+#:   integer-moment overflow + singleton-stddev fixes) — they get hard
+#:   rows in the same round the code moved.
+#: - The rest is the never-checked backlog, thinnest-module-first per
+#:   the plan recorded here last round: the early micro-operator tail
+#:   (x5-x37) and the x40-x76 tail (both families had ZERO driver rows),
+#:   plus x250-x376 reps (x257/x258/x260/x261).
+#: Zero overlap with CORRECTNESS_r01-r04 except the deliberate
+#: x377 and s2 rechecks.  Everything previously verified stays green
+#: via the local DuckDB mirror (tests/test_correctness.py, all queries,
 #: serialization-strict like the driver's hash).  Queries not listed
-#: follow in stable module order; total set is 445 (x377/x378 added —
-#: query-count growth otherwise frozen this round per verdict task 4).
+#: follow in stable module order; total set is 445 (query-count growth
+#: frozen this round — verdict task 3: no new queries until driver
+#: coverage crosses ~60%).
 #:
-#: Round-5 rotation plan (for the next session): after r04 lands,
-#: driver coverage is ~196/445; fill the next window with the remaining
-#: never-checked ids, continuing the thinnest-module-first policy —
-#: the rest of the x10 tail (x101-x103, x105, x109, x123, x125-x127,
-#: x130-x132, x134, x135, x140-x163), the x9 tail (x110, x112, x113,
-#: x116-x118, x121, x128, x129, x139, x151-x163), the x11 tail
-#: (x165-x214 not yet covered), the early micro-operators (x5, x6, x9,
-#: x12, x14, x17-x23, x25, x26, x29, x30, x33, x36, x37, x43, x46-x48,
-#: x50, x53-x57, x60, x62, x64-x67, x69-x75), the x14 tail
+#: Round-6 rotation plan (for the next session): after r05 lands,
+#: driver coverage is ~244/445; fill the next window from the remaining
+#: never-checked ids, continuing thinnest-module-first — the x10 tail
+#: (x101-x103, x105, x109, x123, x125-x127, x131, x132, x134, x135,
+#: x140-x163), the x9 tail (x110, x112, x113, x116-x118, x121, x128,
+#: x129, x139), the x11 tail (x165-x214 not yet covered), the x14 tail
 #: (x238-x240, x242, x244, x245, x248, x249, x251, x252, x254, x255),
-#: and one rep from each x15-x38 module still at 1/5.  Keep zero
-#: overlap with CORRECTNESS_r01-r04.
+#: and the x250-x376 statistical tail.  Keep zero overlap with
+#: CORRECTNESS_r01-r05.
 CHECK_PRIORITY = (
-    # red-row recheck (oracle serialization fix) + last TPC-H hole
-    "x272_filter_waterfall",
-    "q6_forecast_revenue",
-    # NEW stateful-twin anchors (verdict task 7)
+    # rechecks: the r04 err row (oracle added) + the stale s2 anchor
     "x377_misra_gries_twin",
-    "x378_drift_cells",
-    # x14-series: zero driver rows before this round (verdict task 2)
-    "x237_kneser_ney",
-    "x241_greedy_wordpiece",
-    "x243_fellegi_sunter",
-    "x246_snips_offpolicy",
-    "x247_textrank_keywords",
-    "x250_isotonic_calibration",
-    "x253_rbo_rank_agreement",
-    "x256_bcubed_dedup_eval",
-    # x10-series product-analytics/audit tail (1/45 before this round)
-    "x94_cohort_retention",
-    "x95_last_touch_attribution",
-    "x96_rolling_distinct",
-    "x97_session_paths",
-    "x98_transition_matrix",
-    "x100_hierarchy_depth",
-    "x104_ab_experiment",
-    "x106_association_rules",
-    "x107_funnel_durations",
-    "x108_two_hop_neighborhood",
-    "x114_degree_assortativity",
-    "x115_clustering_coefficient",
-    "x124_peak_concurrency",
-    "x133_experiment_power",
-    "x136_pareto_concentration",
-    "x137_rfm_segments",
-    # x9-series dedup/corpus/audit tail (7/43 before this round)
-    "x77_cluster_survivors",
-    "x83_source_overlap",
-    "x84_bpe_merge_pairs",
-    "x86_containment_pairs",
-    "x87_skew_report",
-    "x90_zipf_fit",
-    "x99_dedup_policy_report",
-    "x111_jaccard_threshold_sweep",
-    "x120_cross_source_dups",
-    "x122_tfidf_doc_similarity",
-    "x138_cluster_size_histogram",
-    # x12-series round-3 additions (2/5 before this round)
-    "x217_image_ahash",
-    "x218_wav_frames",
-    "x219_bradley_terry",
-    # x13-series round-3 additions (1/17 before this round)
-    "x221_kcenter_coreset",
-    "x226_d4_prune",
-    "x229_margin_bitext_mining",
-    "x232_gif_frame_stats",
-    "x235_jpeg_pixels",
-    "x236_mulaw_audio",
-    # x11-series reps (mega-plan + entropy families)
-    "x185_power_iteration",
-    "x196_sequence_entropy",
+    "s2_sliding",
+    # code changed this round (verdict task 4 + ADVICE.md fixes)
+    "x33_gapfill_interpolate",
+    "x130_user_trends",
+    "x212_neyman_allocation",
+    # early micro-operator tail (zero driver rows before this round)
+    "x5_token_counts",
+    "x6_fingerprint",
+    "x9_multimodal_binary",
+    "x12_percentiles",
+    "x14_time_rollup",
+    "x17_range_frame",
+    "x18_distribution_windows",
+    "x19_ordered_string_agg",
+    "x20_deterministic_sample",
+    "x21_pivot",
+    "x22_unpivot",
+    "x23_stats_agg",
+    "x25_repetition_metrics",
+    "x26_pii_redaction",
+    "x29_sequence_packing",
+    "x30_boilerplate_ngrams",
+    "x36_sessionize",
+    "x37_zscore_outliers",
+    # x40-x76 tail (zero driver rows before this round)
+    "x43_unigram_logprob",
+    "x46_snapshot_diff",
+    "x47_winsorize",
+    "x48_histogram",
+    "x50_tfidf_topk",
+    "x53_normalize_text",
+    "x54_segment_dedup",
+    "x55_embed_quantize",
+    "x56_global_index",
+    "x57_table_checksum",
+    "x60_fk_check",
+    "x62_gopher_rules",
+    "x64_dsir_select",
+    "x65_hll_distinct",
+    "x66_bigram_logprob",
+    "x67_ngram_novelty",
+    "x69_embed_center_norm",
+    "x70_cooccur_pmi",
+    "x71_vocab_encode",
+    "x72_weighted_sample",
+    "x73_shared_span_coverage",
+    "x74_stats_aggregates",
+    "x75_ewma",
+    # x250-x376 statistical-tail reps
+    "x257_spearman_quality",
+    "x258_kendall_sources",
+    "x260_t_closeness",
+    "x261_acf_ljung_box",
 )
 
 #: The driver verifies a window of this size in iteration order; the

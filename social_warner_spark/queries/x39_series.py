@@ -9,13 +9,18 @@ Misra–Gries fold, run per event_type over a totally-ordered
 (ts, event_id) pass via ``applyInPandas``.  Feeding the whole table as
 one micro-batch to the streaming operator produces the identical
 summary (parity-tested in tests/test_streaming_state.py), so this query
-gives the stateful path a hard driver signal.  Misra–Gries is
-sequential by nature — not SQL-expressible — so the query declares NO
-oracle and takes the driver's weaker rows-only check; the guarantee
-columns (exact_count join, n_processed) make the row shape
-self-auditing: 0 ≤ exact_count − est_count ≤ n_processed/k for every
-emitted row, and every user with exact_count > n_processed/k is
-guaranteed present.
+gives the stateful path a hard driver signal.  The raw summary is
+sequential by nature — not SQL-expressible — so the DECLARED output is
+the theorem-anchored projection of it: the guaranteed-present set
+(users with exact_count·k > n_processed, which Misra–Gries provably
+retains) with their exact counts, plus a ``bound_ok`` column computed
+FROM the fold's estimates asserting the theorem-true error bound
+0 ≤ exact_count − est_count ≤ n_processed/k.  That projection is a
+pure filtered aggregate for the DuckDB oracle (``bound_ok`` is
+constant TRUE by theorem), while the Spark side still runs the real
+``applyInPandas`` fold: a dropped heavy hitter surfaces as a missing
+row (the guaranteed set inner-joins the summary) and a broken counter
+surfaces as ``bound_ok = false`` — either way a hard hash mismatch.
 
 x378 is the batch twin of the streaming drift monitor
 (streaming/corpus.py:value_cells_stream → merge_cells →
@@ -48,15 +53,25 @@ from social_warner_spark.queries.common import T
 #: Misra–Gries capacity — matches streaming_heavy_hitters' default.
 MG_K = 20
 
+#: Capacity of the DECLARED x377 fold.  The guarantee theorem only
+#: surfaces users with frequency > n/k, so k must sit below the
+#: corpus's true max user frequency for the output to be non-trivial:
+#: at the test scales the most active user holds ~0.1–1% of an
+#: event_type's rows (user cardinality grows with SF), so k = 1024
+#: yields 75/750/397 guaranteed rows at sf0.001/0.01/0.1.  At 100 TB
+#: the same dial applies — pick k ≈ 1/(minimum frequency of interest);
+#: state stays O(k) per group regardless of corpus size.
+MG_DECLARED_K = 1024
+
 #: x378 — baseline/current split and the daily epoch grain.
 DRIFT_SPLIT = "2024-01-16"
 
 
-def x377_misra_gries_twin(spark, sf_dir):
-    """Deterministic batch twin of the Misra–Gries stateful streaming
-    operator (streaming/stateful.py:streaming_heavy_hitters), joined
-    with exact per-(event_type, user) counts so every emitted row
-    carries its own guarantee audit.
+def _mg_summary(spark, sf_dir, k: int = MG_K):
+    """Full Misra–Gries summary joined with exact counts (internal —
+    the declared x377 projects its guaranteed set from this; the
+    parity/guarantee tests in tests/test_streaming_state.py consume it
+    directly).
 
     Per event_type the rows are sorted by (ts, event_id) — a total
     order, event_id is unique — and folded through the textbook update:
@@ -77,7 +92,7 @@ def x377_misra_gries_twin(spark, sf_dir):
             n += 1
             if uid in table:
                 table[uid] += 1
-            elif len(table) < MG_K - 1:
+            elif len(table) < k - 1:
                 table[uid] = 1
             else:
                 table = {u: c - 1 for u, c in table.items() if c > 1}
@@ -109,6 +124,49 @@ def x377_misra_gries_twin(spark, sf_dir):
             "est_count",
             "exact_count",
             "n_processed",
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+def x377_misra_gries_twin(spark, sf_dir):
+    """Guaranteed heavy-hitter set from the Misra–Gries batch twin
+    (r04-verdict reformulation: oracle-checkable while still running
+    the real ``applyInPandas`` fold).
+
+    Misra–Gries with k−1 counters provably retains every item whose
+    frequency exceeds n/k, with estimate error in [0, n/k].  The query
+    therefore emits exactly the users with exact_count·k > n_processed
+    (an integer comparison — no rounding grid), their exact counts, and
+    ``bound_ok`` computed from the fold's est_count:
+    est ≤ exact AND (exact − est)·k ≤ n.  Both facts are theorems, so
+    the DuckDB oracle is a plain filtered aggregate with constant TRUE;
+    any implementation defect in the stateful fold breaks the hash
+    (missing row via the inner join, or a FALSE bound_ok).
+
+    Runs the fold at MG_DECLARED_K (1024, vs the streaming default 20)
+    so the guaranteed set is non-trivial at every test scale — see the
+    MG_DECLARED_K note; the k=20 twin parity with the streaming
+    operator is covered by tests/test_streaming_state.py.
+    """
+    full = _mg_summary(spark, sf_dir, k=MG_DECLARED_K)
+    return (
+        full.where(
+            F.col("exact_count") * MG_DECLARED_K > F.col("n_processed")
+        )
+        .select(
+            "event_type",
+            "user_id",
+            "exact_count",
+            "n_processed",
+            (
+                (F.col("est_count") <= F.col("exact_count"))
+                & (
+                    (F.col("exact_count") - F.col("est_count"))
+                    * MG_DECLARED_K
+                    <= F.col("n_processed")
+                )
+            ).alias("bound_ok"),
         )
         .orderBy("event_type", "user_id")
     )
@@ -152,6 +210,33 @@ def x378_drift_cells(spark, sf_dir):
 
 
 ORACLES = {
+    # Misra–Gries guarantee (k−1 counters): every item with
+    # frequency > n/k is retained and 0 ≤ exact − est ≤ n/k — both
+    # theorems, so the oracle is the exact guaranteed set with
+    # constant-TRUE bound_ok.  Integer compare (·k, no division) keeps
+    # the filter off any rounding grid.
+    "x377_misra_gries_twin": f"""
+        WITH exact AS (
+            SELECT event_type, user_id,
+                   CAST(COUNT(*) AS BIGINT) AS exact_count
+            FROM events
+            GROUP BY event_type, user_id
+        ), tot AS (
+            SELECT event_type,
+                   CAST(SUM(exact_count) AS BIGINT) AS n_processed
+            FROM exact
+            GROUP BY event_type
+        )
+        SELECT e.event_type,
+               e.user_id,
+               e.exact_count,
+               t.n_processed,
+               TRUE AS bound_ok
+        FROM exact e
+        JOIN tot t ON e.event_type = t.event_type
+        WHERE e.exact_count * {MG_DECLARED_K} > t.n_processed
+        ORDER BY e.event_type, e.user_id
+    """,
     "x378_drift_cells": f"""
         WITH ev AS (
             SELECT CAST(ts AS DATE) AS day,

@@ -7,7 +7,9 @@ Used by tests/test_correctness.py for every (queries, oracle_sql) pair.
 
 from __future__ import annotations
 
+import decimal
 import math
+from decimal import Decimal
 
 import duckdb
 import pandas as pd
@@ -60,6 +62,27 @@ def _dtype_class(s: pd.Series) -> str:
     return "object"
 
 
+def _render_float(f: float) -> str:
+    """Decimal-string rendering with explicit ROUND_HALF_UP at
+    FLOAT_DECIMALS — the documented driver rounding — independent of
+    Python round()'s banker's rounding and of numpy's repr (numpy >= 2
+    renders np.float64 as 'np.float64(x)'; ADVICE r04).  Trailing zeros
+    are stripped but one fractional digit is kept, matching the float
+    repr forms the mirror hashed historically ('331.0', '0.1')."""
+    if math.isinf(f):
+        return repr(f)
+    with decimal.localcontext() as ctx:
+        ctx.prec = 60
+        d = Decimal(repr(f)).quantize(
+            Decimal(1).scaleb(-FLOAT_DECIMALS), rounding=decimal.ROUND_HALF_UP
+        )
+    s = format(d, "f")
+    s = s.rstrip("0")
+    if s.endswith("."):
+        s += "0"
+    return s
+
+
 def _render_cell(v) -> str:
     """Dtype-faithful canonical rendering of one value — mirrors the
     driver's hash input: ints render bare, floats with a fractional
@@ -69,7 +92,7 @@ def _render_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NULL"
-        return repr(round(v, FLOAT_DECIMALS))
+        return _render_float(float(v))
     if isinstance(v, (bool,)):
         return "true" if v else "false"
     if isinstance(v, (int,)):

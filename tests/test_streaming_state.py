@@ -164,19 +164,22 @@ def test_streaming_heavy_hitters_guarantees_vs_exact(spark, sf_smoke, tmp_path):
 
 
 def test_misra_gries_batch_twin_parity_and_guarantees(spark, sf_smoke, tmp_path):
-    """x377 (the declared batch twin, applyInPandas) must (a) satisfy the
+    """The Misra-Gries batch twin (applyInPandas) must (a) satisfy the
     Misra-Gries guarantees against independently-computed exact counts,
-    and (b) produce the IDENTICAL summary the applyInPandasWithState
+    (b) produce the IDENTICAL summary the applyInPandasWithState
     streaming operator emits when the whole table arrives as one ordered
-    micro-batch — the stateful-twin contract that earns x377 its
-    rows-only driver row."""
+    micro-batch, and (c) project the declared x377 output (the
+    oracle-checkable guaranteed set) exactly: all users with
+    exact·k > n, bound_ok TRUE everywhere."""
     from social_warner_spark.queries.x39_series import (
+        MG_DECLARED_K,
         MG_K,
+        _mg_summary,
         x377_misra_gries_twin,
     )
     from social_warner_spark.streaming.stateful import streaming_heavy_hitters
 
-    twin = x377_misra_gries_twin(spark, sf_smoke).toPandas()
+    twin = _mg_summary(spark, sf_smoke).toPandas()
 
     # (a) guarantees — every row self-audits, plus presence of all true
     # heavy hitters from an independent exact count
@@ -232,3 +235,29 @@ def test_misra_gries_batch_twin_parity_and_guarantees(spark, sf_smoke, tmp_path)
         batch,
         check_dtype=False,
     )
+
+    # (c) the declared x377 (fold at MG_DECLARED_K) = the guaranteed
+    # heavy-hitter set computed INDEPENDENTLY from exact counts, with
+    # bound_ok TRUE everywhere (theorem + correct fold)
+    declared = (
+        x377_misra_gries_twin(spark, sf_smoke)
+        .toPandas()
+        .sort_values(["event_type", "user_id"])
+        .reset_index(drop=True)
+    )
+    assert declared["bound_ok"].all()
+    totals = exact.groupby("event_type")["count"].transform("sum")
+    guaranteed = exact[exact["count"] * MG_DECLARED_K > totals]
+    expected = (
+        guaranteed.rename(columns={"count": "exact_count"})
+        .assign(n_processed=totals[guaranteed.index])
+        [["event_type", "user_id", "exact_count", "n_processed"]]
+        .sort_values(["event_type", "user_id"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        declared[["event_type", "user_id", "exact_count", "n_processed"]],
+        expected,
+        check_dtype=False,
+    )
+    assert len(declared) > 0  # the guaranteed set is non-trivial at smoke SF
