@@ -169,10 +169,23 @@ def main() -> None:
         "runs": n_runs,
         "loadavg": [round(x, 1) for x in (*load_before, *load_after)],
     }
+    # Stay inside the driver's ~2000-char stdout tail window: drop
+    # optional fields first, then truncate the queries map from the end
+    # (full per-query detail survives in bench_runs_detail.json either
+    # way).  A final hard assert makes an oversize line fail loudly at
+    # bench time rather than surfacing as unparseable JSON at grading
+    # time (ADVICE r04).
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:  # stay inside the driver's stdout tail window
-        compact.pop("loadavg", None)
+    for field in ("loadavg", "runs"):
+        if len(line) <= 1900:
+            break
+        compact.pop(field, None)
         line = json.dumps(compact, separators=(",", ":"))
+    while len(line) > 1900 and compact["queries"]:
+        compact["queries"].popitem()
+        compact["queries_truncated"] = True
+        line = json.dumps(compact, separators=(",", ":"))
+    assert len(line) <= 1900, f"compact bench line still {len(line)} chars"
     print(line)
 
 

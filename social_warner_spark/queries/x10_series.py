@@ -1546,18 +1546,24 @@ def x130_user_trends(spark, sf_dir):
         "user_id",
         F.expr(
             f"timestampdiff(SECOND, TIMESTAMP '{COHORT_EPOCH} 00:00:00', ts)"
+            " div 60"
         ).alias("xs"),
         F.round(F.col("value") * 100, 0).cast("long").alias("y"),
     )
-    # Exact integer-moment regression: x = whole seconds since the fixed
-    # epoch (<= 2.6e6 over the 30-day window), y = the 2dp value scaled
-    # to integer cents.  All five moments are EXACT integer sums in both
-    # engines (regr_slope's streaming co-moment algorithms differ across
-    # engines by ~1e-9 relative — enough to flip a 6dp boundary, as the
-    # r04 strict mirror caught); the closed-form slope below is then one
-    # fixed sequence of double ops, bit-identical cross-engine.  864.0 =
-    # 86400 s/day / 100 cents.  Integer ranges: n*sxx <= 3e18 < 2^63 at
-    # sf0.1; rescale x to minutes for sf >= 1.
+    # Exact integer-moment regression: x = whole MINUTES since the fixed
+    # epoch (<= 43200 over the 30-day window; xs >= 0 so div/// truncate
+    # identically cross-engine), y = the 2dp value scaled to integer
+    # cents.  All five moments are EXACT integer sums in both engines
+    # (regr_slope's streaming co-moment algorithms differ across engines
+    # by ~1e-9 relative — enough to flip a 6dp boundary, as the r04
+    # strict mirror caught); the closed-form slope below is then one
+    # fixed sequence of double ops, bit-identical cross-engine.  14.4 =
+    # 1440 min/day / 100 cents.  Integer ranges (ADVICE r04 fix —
+    # seconds overflowed int64 headroom at sf >= 1): with x <= 43200,
+    # n*sxx <= n^2 * 1.9e9, so a single user needs > 2e6 events in the
+    # window before n*sxx nears 2^63 — per-user event counts stay flat
+    # as SF grows (users scale with events), leaving ~5 orders of
+    # magnitude of headroom at any SF.
     m = e.groupBy("user_id").agg(
         F.count("*").alias("n"),
         F.sum("xs").alias("sx"),
@@ -1572,7 +1578,7 @@ def x130_user_trends(spark, sf_dir):
         .select(
             "user_id",
             F.col("n").alias("n_events"),
-            r6t(num.cast("double") * 864.0 / den.cast("double")).alias(
+            r6t(num.cast("double") * 14.4 / den.cast("double")).alias(
                 "slope_per_day"
             ),
         )
@@ -1633,7 +1639,8 @@ ORACLES.update(
         WITH e AS (
             SELECT user_id,
                    date_diff('second',
-                             TIMESTAMP '{COHORT_EPOCH} 00:00:00', ts) AS xs,
+                             TIMESTAMP '{COHORT_EPOCH} 00:00:00', ts) // 60
+                       AS xs,
                    CAST(ROUND(value * 100, 0) AS BIGINT) AS y
             FROM events
         ), m AS (
@@ -1642,7 +1649,7 @@ ORACLES.update(
             FROM e GROUP BY user_id
         ), slopes AS (
             SELECT user_id, n AS n_events,
-                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 864.0
+                   ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * 14.4
                          / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6)
                        AS slope_per_day
             FROM m WHERE n * sxx - sx * sx != 0

@@ -2725,6 +2725,10 @@ def x212_neyman_allocation(spark, sf_dir):
     # sample variance below is then one fixed sequence of double ops —
     # bit-identical across engines (stddev_samp's streaming algorithms
     # differ between engines at ~1e-11, enough to flip a 6dp boundary).
+    # Singleton strata (nh == 1) get NULL like stddev_samp would — the
+    # bare closed form is 0/0 there, and Spark's IEEE NaN would poison
+    # SUM(nh*sh) while DuckDB's behavior is config-dependent (ADVICE
+    # r04); NULL degrades identically in both engines (SUM skips it).
     st = d.groupBy("source").agg(
         F.count("*").alias("nh"),
         F.sum("x").alias("sx"),
@@ -2732,12 +2736,15 @@ def x212_neyman_allocation(spark, sf_dir):
     ).select(
         "source",
         "nh",
-        F.sqrt(
-            (
-                F.col("sxx").cast("double")
-                - F.col("sx").cast("double") * F.col("sx") / F.col("nh")
-            )
-            / (F.col("nh") - 1)
+        F.when(
+            F.col("nh") > 1,
+            F.sqrt(
+                (
+                    F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx") / F.col("nh")
+                )
+                / (F.col("nh") - 1)
+            ),
         ).alias("sh"),
     )
     tot = st.agg(
@@ -4036,8 +4043,10 @@ ORACLES["x212_neyman_allocation"] = f"""
             FROM documents GROUP BY source
         ), st AS (
             SELECT source, nh,
-                   sqrt((CAST(sxx AS DOUBLE)
-                         - CAST(sx AS DOUBLE) * sx / nh) / (nh - 1)) AS sh
+                   CASE WHEN nh > 1 THEN
+                       sqrt((CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx / nh) / (nh - 1))
+                   END AS sh
             FROM st0
         ), tot AS (
             SELECT SUM(nh * sh) AS z, SUM(nh) AS n FROM st
