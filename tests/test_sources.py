@@ -87,3 +87,77 @@ def test_credentials_env_missing_raises(monkeypatch):
     monkeypatch.delenv(DEFAULT_CREDENTIALS_ENV, raising=False)
     with pytest.raises(KeyError, match="SOCIAL_WARNER_CREDENTIALS"):
         resolve_credentials({})
+
+
+def http_fetch_page(page_index: int, options: dict):
+    """Real-socket fetcher for the localhost round-trip test: GET
+    ``{base_url}/items?page=N`` and yield the JSON rows.  Importable by
+    module path so DataSource executors can resolve it."""
+    import urllib.request
+
+    url = f"{options['base_url']}/items?page={page_index}"
+    with urllib.request.urlopen(url, timeout=10) as resp:
+        yield from json.loads(resp.read().decode("utf-8"))
+
+
+def test_datasource_real_http_roundtrip(spark):
+    """A1 through a genuine socket (r04 verdict task 6): a localhost
+    http.server serves 3 JSON pages then empty pages; the real
+    DataSource read path must fetch page==partition in executors and
+    honor pagination-end (the empty trailing page contributes 0 rows)."""
+    import http.server
+    import threading
+
+    PAGES = 3
+    PER_PAGE = 2
+    hits = []
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            page = int(self.path.split("page=")[1])
+            hits.append(page)
+            rows = (
+                [
+                    {
+                        "page": page,
+                        "item_id": page * 100 + i,
+                        "name": f"srv{i}",
+                    }
+                    for i in range(PER_PAGE)
+                ]
+                if page < PAGES
+                else []  # pagination end: the API returns an empty page
+            )
+            body = json.dumps(rows).encode("utf-8")
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # keep pytest output clean
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        spark.dataSource.register(PagedRestDataSource)
+        df = (
+            spark.read.format("paged_rest")
+            .schema(SCHEMA_DDL)
+            .option("fetcher", "tests.test_sources:http_fetch_page")
+            .option("base_url", f"http://127.0.0.1:{port}")
+            .option("num_pages", str(PAGES + 1))  # overshoot into the end
+            .load()
+        )
+        assert df.rdd.getNumPartitions() == PAGES + 1  # page == partition
+        rows = df.collect()
+    finally:
+        server.shutdown()
+        server.server_close()
+    assert len(rows) == PAGES * PER_PAGE  # empty page adds nothing
+    assert {r.page for r in rows} == set(range(PAGES))
+    assert any(r.item_id == 201 and r.name == "srv1" for r in rows)
+    assert sorted(hits) == list(range(PAGES + 1))  # every page truly fetched
