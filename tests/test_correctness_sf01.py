@@ -66,6 +66,11 @@ SCALE_SET = [
     "x344_histogram_design",   # integer-cent SSE moments + quantile cuts
     "x372_lww_vs_arrival",     # 3.8e10 cents sums + md5 arrival ordering
     "x378_drift_cells",        # round-4 stateful-twin KS grid at 10× rows
+    # round-5: machinery changed this round
+    "x33_gapfill_interpolate",  # day-partitioned halo gap-fill layout
+    "x377_misra_gries_twin",   # guaranteed-set projection, k=1024 fold
+    "x130_user_trends",        # minute-rescaled integer moments
+    "x212_neyman_allocation",  # singleton-stratum NULL guard
 ]
 
 QUERIES = all_queries()
