@@ -97,6 +97,8 @@ HEADLINE = [
     # round-4 stateful-twin anchors (same caveat: compare per-query)
     "x377_misra_gries_twin",   # ordered applyInPandas fold + exact-count join
     "x378_drift_cells",        # one-scan daily cells + merged KS grid
+    # round-5 addition: layout changed this round (same caveat)
+    "x33_gapfill_interpolate",  # day-partitioned halo gap-fill segments
 ]
 
 
