@@ -11,17 +11,38 @@ BNLJ/Cartesian are not forbidden outright: a crossJoin against a
 broadcast 1-row relation (argmax rules in x170/x176, corpus-stat rows
 everywhere) legitimately compiles to a BroadcastNestedLoopJoin.  The
 ratchet pins each query at its audited count instead.
+
+UnpartitionedWindow (r05 addition) counts window specs with NO
+PARTITION BY — each one is a single-partition sort, the other silent
+100 TB killer.  107 of 445 queries legitimately carry one over a
+provably bounded relation (corpus-stat rows, calendar grids, top-k
+shortlists, |sources|-sized aggregates); the ratchet pins those counts
+so a refactor that pushes a CORPUS-sized relation through a global
+window (what gapfill_interpolate did before r05) fails the suite.
 """
 
 from __future__ import annotations
 
 import contextlib
 import io
+import re
 
 from pyspark.sql import SparkSession
 
-#: Substrings counted in the formatted physical plan.
-SHAPE_KEYS = ("Exchange", "BroadcastNestedLoopJoin", "CartesianProduct")
+#: Substrings counted in the formatted physical plan (plus one regex
+#: metric, see _UNPARTITIONED_WINDOW).
+SHAPE_KEYS = (
+    "Exchange",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "UnpartitionedWindow",
+)
+
+#: windowspecdefinition whose FIRST argument is already an ordering
+#: column (no partition columns precede it) = a global window.
+_UNPARTITIONED_WINDOW = re.compile(
+    r"windowspecdefinition\([^,()]*#\d+[^,()]* (?:ASC|DESC) NULLS"
+)
 
 
 def plan_shape_counts(
@@ -40,7 +61,9 @@ def plan_shape_counts(
         with contextlib.redirect_stdout(buf):
             queries[name](spark, sf_dir).explain("formatted")
         plan = buf.getvalue()
-        out[name] = {k: plan.count(k) for k in SHAPE_KEYS}
+        counts = {k: plan.count(k) for k in SHAPE_KEYS if k != "UnpartitionedWindow"}
+        counts["UnpartitionedWindow"] = len(_UNPARTITIONED_WINDOW.findall(plan))
+        out[name] = counts
     return out
 
 
