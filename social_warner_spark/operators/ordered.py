@@ -1,0 +1,207 @@
+"""Distributed total-order operators: exact global rank / ntile / lead
+over a unique composite sort key WITHOUT a single-partition sort.
+
+Why: ``Window.orderBy(...)`` with no PARTITION BY compiles to Exchange
+SinglePartition — every row through one task.  Fine for stat rows and
+calendar grids (the plan ratchet's audited allowlist); fatal for
+corpus-sized relations at 100 TB.  These helpers implement the classic
+two-pass layout instead:
+
+1. ``repartitionByRange`` on the (unique) order key — contiguous,
+   balanced ranges whose partition ids ascend with the sort order.
+2. A per-partition window (``row_number``/``lead``) does the local work.
+3. A P-row (or P·k-row) boundary relation — per-partition counts or the
+   first k rows of each partition — is collected once, prefix-combined
+   on the driver, and broadcast back to finish the global answer.
+
+Results are pure functions of the data: partition BOUNDS vary with
+range sampling, but rank/neighbor arithmetic reconstructs the global
+order exactly wherever the boundaries fall (double-run determinism
+gate: tests/run_strict_mirror.py sparkdet).
+
+The driver-side collects here are bounded by the PARTITION COUNT (P
+rows / P·k rows), not the data — the same class as the module-audited
+pivot-key, probe-set, and gap-fill-halo collects.
+
+Reference scope: the reference ETL sorts one in-memory frame
+(data_transform.py operates on a single pandas DataFrame); these
+operators are what "sort the corpus" must become distributed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _range_staged(df: DataFrame, order_cols: list, num_partitions: int | None):
+    """repartitionByRange + ascending partition id column ``_pid``.
+
+    PERSISTED (and registered for host release): the boundary-relation
+    collect and the final compute must read the SAME materialization —
+    range-bound sampling re-runs per execution, so without the pin the
+    two passes could see different partitionings and the broadcast
+    offsets would label the wrong rows."""
+    from social_warner_spark.caching import register_persisted
+
+    spark = df.sparkSession
+    p = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    staged = df.repartitionByRange(p, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    return register_persisted(staged.persist())
+
+
+def _ranked_with_total(
+    df: DataFrame, order_cols: list, rank_col: str, num_partitions: int | None
+) -> tuple[DataFrame, int]:
+    staged = _range_staged(df, order_cols, num_partitions)
+    counts = {
+        r["_pid"]: r["c"]
+        for r in staged.groupBy("_pid").agg(F.count("*").alias("c")).collect()
+    }
+    acc = 0
+    offsets = []
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, 0)],
+        StructType(
+            [StructField("_pid", IntegerType()), StructField("_off", LongType())]
+        ),
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (
+        staged.join(F.broadcast(off), "_pid")
+        .withColumn(rank_col, F.row_number().over(w).cast("long") + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+    return ranked, acc
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_col: str = "_grank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the exact global ``row_number() over (ORDER BY order_cols)``
+    — the order key must be a total order (include a unique tiebreaker).
+
+    Two passes over the range shuffle: per-partition counts (P-row
+    collect → prefix offsets, broadcast) + per-partition row_number.
+    """
+    ranked, _ = _ranked_with_total(df, order_cols, rank_col, num_partitions)
+    return ranked
+
+
+def ntile_from_rank(rank: Column, total: int, buckets: int) -> Column:
+    """Spark's exact ntile(buckets) bucket for a 1-based global rank over
+    ``total`` rows: the first ``total % buckets`` buckets get one extra
+    row — closed-form integer arithmetic, reproducible in any engine."""
+    q, r = divmod(int(total), int(buckets))
+    if q == 0:  # fewer rows than buckets: bucket i holds row i
+        return rank.cast("int")
+    head = r * (q + 1)
+    return (
+        F.when(rank <= head, F.floor((rank - 1) / (q + 1)) + 1)
+        .otherwise(F.lit(r) + F.floor((rank - 1 - head) / q) + 1)
+        .cast("int")
+    )
+
+
+def with_global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    buckets: int,
+    tile_col: str = "_tile",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact ``ntile(buckets) over (ORDER BY order_cols)`` without the
+    single-partition sort: two-pass global rank + closed-form bucket
+    (the total comes free from the rank pass's partition counts)."""
+    ranked, total = _ranked_with_total(df, order_cols, "_grank_nt", num_partitions)
+    return ranked.withColumn(
+        tile_col, ntile_from_rank(F.col("_grank_nt"), total, buckets)
+    ).drop("_grank_nt")
+
+
+def with_global_lead_structs(
+    df: DataFrame,
+    order_cols: list,
+    payload_cols: list,
+    k: int,
+    out_col: str = "_next",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = array of the next ``k`` rows' payload structs
+    in the GLOBAL (order_cols) order — the sorted-neighborhood primitive
+    — without a single-partition sort.
+
+    Per-partition ``lead`` covers interior rows; each partition's last
+    ``k`` rows are completed from a broadcast successor stream built
+    from the first ``k`` rows of every later partition (P·k-row
+    collect).  Entries past the global end are NULL (same as lead()).
+    """
+    staged = _range_staged(df, order_cols, num_partitions)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    rn = F.row_number().over(w)
+    cnt = F.count("*").over(Window.partitionBy("_pid"))
+
+    # Boundary stream: first k rows of every partition, in global order;
+    # each partition's successor stream = the next k rows drawn from
+    # LATER partitions' heads (built in one reverse pass).
+    firsts = (
+        staged.withColumn("_rn", rn)
+        .where(F.col("_rn") <= k)
+        .select("_pid", "_rn", *payload_cols)
+        .collect()
+    )
+    heads: dict[int, list[tuple]] = {}
+    for r in sorted(firsts, key=lambda r: (r["_pid"], r["_rn"])):
+        heads.setdefault(r["_pid"], []).append(
+            tuple(r[c] for c in payload_cols)
+        )
+    succ_rows = []
+    stream: list[tuple] = []
+    for pid in sorted(heads, reverse=True):
+        succ_rows.append((pid, list(stream)))
+        stream = (heads[pid] + stream)[:k]
+    payload_struct = StructType(
+        [StructField(c, df.schema[c].dataType) for c in payload_cols]
+    )
+    succ_schema = StructType(
+        [
+            StructField("_pid", IntegerType()),
+            StructField("_succ", ArrayType(payload_struct)),
+        ]
+    )
+    succ = df.sparkSession.createDataFrame(succ_rows, succ_schema)
+
+    payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    leads = F.array(*[F.lead(payload, j).over(w) for j in range(1, k + 1)])
+    followers = (cnt - rn).cast("int")  # in-partition rows after this one
+    joined = (
+        staged.withColumn("_leads", leads)
+        .withColumn("_fol", followers)
+        .join(F.broadcast(succ), "_pid", "left")
+    )
+    # j-th global neighbor: in-partition lead when j <= followers, else
+    # the (j - followers)-th element of the successor stream.
+    neighbor = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda j: F.when(
+            j <= F.col("_fol"), F.try_element_at(F.col("_leads"), j)
+        ).otherwise(F.try_element_at(F.col("_succ"), j - F.col("_fol"))),
+    )
+    return joined.withColumn(out_col, neighbor).drop(
+        "_pid", "_leads", "_fol", "_succ"
+    )

@@ -896,33 +896,29 @@ def x180_sorted_neighborhood(spark, sf_dir):
     the sorted neighborhood catches them because closeness in SORT
     ORDER, not block identity, generates the candidates.
 
-    Plan: one sort (the window), candidates emitted as lead columns —
-    |docs|×window rows with zero join; Levenshtein is a narrow map.
-    100 TB: the only movement is the sort's range exchange; candidate
-    volume is exactly n×w by construction, immune to block skew.
+    Plan (r05: distributed total order via operators/ordered.py): the
+    corpus is range-partitioned on the sort key; per-partition lead()
+    emits interior neighbors and partition tails are completed from a
+    broadcast successor stream (first w rows of each later partition, a
+    P·w boundary relation) — NO single-partition sort anywhere.
+    Candidate volume is exactly n×w by construction, immune to block
+    skew; Levenshtein is a narrow map.
     """
+    from social_warner_spark.operators.ordered import with_global_lead_structs
+
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars", F.substring("text", 1, SN_PREFIX).alias("pfx")
     )
-    w = Window.orderBy("lang", "n_chars", "doc_id")
-    cols = []
-    for k in range(1, SN_WINDOW + 1):
-        cols.append(
-            F.struct(
-                F.lead("doc_id", k).over(w).alias("doc_id_b"),
-                F.lead("pfx", k).over(w).alias("pfx_b"),
-            ).alias(f"_n{k}")
-        )
-    staged = d.select("doc_id", "pfx", *cols)
+    staged = with_global_lead_structs(
+        d, ["lang", "n_chars", "doc_id"], ["doc_id", "pfx"], SN_WINDOW, "_nbs"
+    )
     pairs = staged.select(
-        "doc_id",
-        "pfx",
-        F.explode(F.array(*[F.col(f"_n{k}") for k in range(1, SN_WINDOW + 1)])).alias("nb"),
-    ).where(F.col("nb.doc_id_b").isNotNull())
+        "doc_id", "pfx", F.explode("_nbs").alias("nb")
+    ).where(F.col("nb.doc_id").isNotNull())
     return pairs.select(
         F.col("doc_id").alias("doc_id_a"),
-        F.col("nb.doc_id_b").alias("doc_id_b"),
-        F.levenshtein(F.col("pfx"), F.col("nb.pfx_b")).alias("dist"),
+        F.col("nb.doc_id").alias("doc_id_b"),
+        F.levenshtein(F.col("pfx"), F.col("nb.pfx")).alias("dist"),
     ).where(F.col("dist") <= SN_MAXDIST)
 
 

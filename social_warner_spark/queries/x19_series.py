@@ -386,19 +386,22 @@ def x280_gains_table(spark, sf_dir):
     negative share) — the model-triage table that x184's single-number
     AUC summarizes away.
 
-    Scale: gains tables are computed on scored relations whose total
-    order the analyst already wants; the ntile is one global sort, and
-    every statistic after is a 10-row window."""
+    Scale (r05): the decile assignment uses the distributed exact ntile
+    (operators/ordered.py — range partitions + broadcast prefix
+    offsets + closed-form bucket), NOT a single-partition sort; every
+    statistic after is a 10-row window."""
+    from social_warner_spark.operators.ordered import with_global_ntile
+
     d = T(spark, sf_dir, "documents").select(
         F.col("n_chars").alias("score"),
         (F.col("lang") == GAINS_LANG).cast("long").alias("y"),
         "doc_id",
     )
-    nt = F.ntile(GAINS_BUCKETS).over(
-        Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    tiled = with_global_ntile(
+        d, [F.desc("score"), F.asc("doc_id")], GAINS_BUCKETS, "decile"
     )
     per = (
-        d.select(nt.alias("decile"), "y")
+        tiled.select("decile", "y")
         .groupBy("decile")
         .agg(F.count("*").alias("n_docs"), F.sum("y").alias("n_pos"))
     )

@@ -62,8 +62,12 @@ def x347_qini_uplift(spark, sf_dir):
     gaps) summarizes — with an A/A split this calibrates the metric's
     null behavior, and a real treatment flag drops straight in.
 
-    Scale: one user aggregation; deciles from the (count desc, id)
-    ntile; the curve is 10-row algebra."""
+    Scale (r05): one user aggregation; deciles from the DISTRIBUTED
+    exact ntile over (count desc, id) — operators/ordered.py range
+    partitions + broadcast prefix offsets, no single-partition sort of
+    the |users| relation; the curve is 10-row algebra."""
+    from social_warner_spark.operators.ordered import with_global_ntile
+
     ev = T(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
         F.count("*").alias("cnt"),
@@ -74,13 +78,9 @@ def x347_qini_uplift(spark, sf_dir):
         .cast("long")
         .alias("y"),
     )
-    staged = users.select(
-        "y",
-        _arm(F.col("user_id")).alias("t"),
-        F.ntile(QU_BINS)
-        .over(Window.orderBy(F.desc("cnt"), F.asc("user_id")))
-        .alias("dec"),
-    )
+    staged = with_global_ntile(
+        users, [F.desc("cnt"), F.asc("user_id")], QU_BINS, "dec"
+    ).select("y", _arm(F.col("user_id")).alias("t"), "dec")
     from social_warner_spark.caching import register_persisted
 
     staged = register_persisted(staged.persist())

@@ -1,0 +1,106 @@
+"""operators/ordered.py: distributed total-order primitives must equal
+their single-partition window counterparts exactly, for any partition
+count (including partitions smaller than the neighbor horizon)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from social_warner_spark.operators.ordered import (
+    with_global_lead_structs,
+    with_global_ntile,
+    with_global_rank,
+)
+
+
+def _corpus(spark, n=97):
+    # deliberately non-uniform key distribution + unique tiebreaker
+    rows = [((i * 7919) % 13, (i * 37) % n, i) for i in range(n)]
+    return spark.createDataFrame(rows, "g INT, v INT, id INT")
+
+
+ORDER = ["g", "v", "id"]
+
+
+@pytest.mark.parametrize("p", [1, 4, 16])
+def test_global_rank_matches_window(spark, p):
+    df = _corpus(spark)
+    got = {
+        r["id"]: r["_grank"]
+        for r in with_global_rank(df, ORDER, num_partitions=p).collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy(*ORDER)).cast("long")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("p,buckets", [(4, 10), (16, 10), (4, 7), (8, 200)])
+def test_global_ntile_matches_window(spark, p, buckets):
+    df = _corpus(spark)
+    got = {
+        r["id"]: r["_tile"]
+        for r in with_global_ntile(df, ORDER, buckets, num_partitions=p).collect()
+    }
+    want = {
+        r["id"]: r["nt"]
+        for r in df.withColumn(
+            "nt", F.ntile(buckets).over(Window.orderBy(*ORDER))
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("p,k", [(4, 3), (16, 5), (8, 11), (1, 3)])
+def test_global_lead_structs_matches_window(spark, p, k):
+    # k=11 with 16 partitions over 97 rows: partitions hold ~6 rows, so
+    # most neighbors cross MULTIPLE partition boundaries — the stream path.
+    df = _corpus(spark)
+    got = {
+        r["id"]: [None if e is None else (e["v"], e["id"]) for e in r["_next"]]
+        for r in with_global_lead_structs(
+            df, ORDER, ["v", "id"], k, num_partitions=p
+        ).collect()
+    }
+    w = Window.orderBy(*ORDER)
+    lead_cols = [
+        F.lead(F.struct(F.col("v"), F.col("id")), j).over(w).alias(f"_l{j}")
+        for j in range(1, k + 1)
+    ]
+    want = {}
+    for r in df.select("id", *lead_cols).collect():
+        want[r["id"]] = [
+            None if r[f"_l{j}"] is None else (r[f"_l{j}"]["v"], r[f"_l{j}"]["id"])
+            for j in range(1, k + 1)
+        ]
+    assert got == want
+
+
+@pytest.mark.parametrize("p", [4, 16])
+def test_global_ntile_desc_order(spark, p):
+    """x280/x347 sort (score DESC, id ASC) — sort-expression columns must
+    flow through repartitionByRange and the per-partition window alike."""
+    df = _corpus(spark)
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["_tile"]
+        for r in with_global_ntile(df, order, 10, num_partitions=p).collect()
+    }
+    want = {
+        r["id"]: r["nt"]
+        for r in df.withColumn(
+            "nt", F.ntile(10).over(Window.orderBy(F.desc("v"), F.asc("id")))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_single_row(spark):
+    df = spark.createDataFrame([(1, 1, 1)], "g INT, v INT, id INT")
+    out = with_global_rank(df, ORDER, num_partitions=4).collect()
+    assert [r["_grank"] for r in out] == [1]
