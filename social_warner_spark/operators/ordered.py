@@ -134,6 +134,52 @@ def with_global_ntile(
     ).drop("_grank_nt")
 
 
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list,
+    sum_cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append inclusive global running sums over the total order —
+    ``sum_cols`` maps output name → source column — without a
+    single-partition sort: per-partition cumulative window + broadcast
+    per-partition totals prefix (P-row collect).
+
+    EXACT for integer/decimal sources (the repo's exact-moment
+    discipline); float sources would re-associate the summation across
+    the partition boundary — don't pass them."""
+    staged = _range_staged(df, order_cols, num_partitions)
+    srcs = sorted(set(sum_cols.values()))
+    totals = {
+        r["_pid"]: r
+        for r in staged.groupBy("_pid")
+        .agg(*[F.sum(c).alias(c) for c in srcs])
+        .collect()
+    }
+    acc = {c: 0 for c in srcs}
+    offsets = []
+    for pid in sorted(totals):
+        offsets.append((pid, *[acc[c] for c in srcs]))
+        for c in srcs:
+            acc[c] += totals[pid][c] or 0
+    off_schema = StructType(
+        [StructField("_pid", IntegerType())]
+        + [StructField(f"_off_{c}", LongType()) for c in srcs]
+    )
+    off = df.sparkSession.createDataFrame(offsets or [(0, *[0] * len(srcs))], off_schema)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = staged.join(F.broadcast(off), "_pid")
+    for name, src in sum_cols.items():
+        out = out.withColumn(
+            name, F.sum(src).over(w).cast("long") + F.col(f"_off_{src}")
+        )
+    return out.drop("_pid", *[f"_off_{c}" for c in srcs])
+
+
 def with_global_lead_structs(
     df: DataFrame,
     order_cols: list,

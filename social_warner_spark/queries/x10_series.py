@@ -2022,12 +2022,19 @@ def x137_rfm_segments(spark, sf_dir):
             "_mon",
         )
     )
-    r = F.ntile(3).over(Window.orderBy(F.asc("_rec_s"), F.asc("user_id")))
-    f_ = F.ntile(3).over(Window.orderBy(F.desc("_freq"), F.asc("user_id")))
-    m = F.ntile(3).over(Window.orderBy(F.desc("_mon"), F.asc("user_id")))
-    coded = per.select(
+    # r05: three DISTRIBUTED exact ntiles (operators/ordered.py) — the
+    # |users| relation never passes through a single-partition sort.
+    from social_warner_spark.operators.ordered import with_global_ntile
+
+    t = with_global_ntile(per, [F.asc("_rec_s"), F.asc("user_id")], 3, "_r")
+    t = with_global_ntile(t, [F.desc("_freq"), F.asc("user_id")], 3, "_f")
+    t = with_global_ntile(t, [F.desc("_mon"), F.asc("user_id")], 3, "_m")
+    coded = t.select(
         F.concat_ws(
-            "-", r.cast("string"), f_.cast("string"), m.cast("string")
+            "-",
+            F.col("_r").cast("string"),
+            F.col("_f").cast("string"),
+            F.col("_m").cast("string"),
         ).alias("segment")
     )
     return coded.groupBy("segment").agg(F.count("*").alias("n_users"))

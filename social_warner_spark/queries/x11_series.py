@@ -1119,28 +1119,34 @@ def x184_rank_auc(spark, sf_dir):
 
     AUC = (Σ_pos r̄ − n₁(n₁+1)/2) / (n₁·n₀); the rank-sum twin of the
     KS machinery (x172 compares distributions; this scores a ranking).
-    Plan: one global rank window over |vectors| rows, one agg.
+    Plan (r05): ranks come from the DISTINCT-SCORE cumulative relation
+    via the distributed prefix sum (operators/ordered.py) — every tie
+    group shares avg rank cum_before + (t+1)/2, so Σ_pos r̄ = Σ_groups
+    ysum·r̄ exactly (half-integer arithmetic, bit-identical to the
+    per-row global rank window this replaces).  No single-partition
+    sort; the windowed relation is |distinct scores| grouped first.
     """
+    from social_warner_spark.operators.ordered import with_global_cumsum
+
     e = T(spark, sf_dir, "embeddings").select(
         (F.col("label") >= AUC_POS_MIN).cast("int").alias("y"),
         F.element_at(F.col("embedding").cast("array<double>"), 1).alias("score"),
     )
-    wr = Window.orderBy("score")
-    ranked = e.select(
-        "y",
-        "score",
-        (
-            F.rank().over(wr)
-            + (F.count("*").over(Window.partitionBy("score")) - 1) / 2.0
-        ).alias("r"),
-        F.count("*").over(Window.partitionBy("score")).alias("t"),
+    per_score = e.groupBy("score").agg(
+        F.count("*").alias("t"), F.sum("y").alias("ys")
+    )
+    cum = with_global_cumsum(per_score, ["score"], {"cum_t": "t"})
+    ranked = cum.select(
+        "t",
+        "ys",
+        ((F.col("cum_t") - F.col("t")) + (F.col("t") + 1) / 2.0).alias("r"),
     )
     agg = ranked.agg(
-        F.sum("y").alias("n1"),
-        F.sum(1 - F.col("y")).alias("n0"),
-        F.sum(F.when(F.col("y") == 1, F.col("r"))).alias("rsum"),
-        F.sum(F.col("t") * F.col("t") - 1).alias("tie3"),  # Σ over rows of t²−1 = Σ_groups (t³−t)
-        F.count("*").alias("n"),
+        F.sum("ys").alias("n1"),
+        F.sum(F.col("t") - F.col("ys")).alias("n0"),
+        F.sum(F.col("ys") * F.col("r")).alias("rsum"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3"),
+        F.sum("t").alias("n"),
     )
     u = F.col("rsum") - F.col("n1") * (F.col("n1") + 1) / 2.0
     mu = F.col("n1") * F.col("n0") / 2.0

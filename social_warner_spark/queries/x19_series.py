@@ -442,8 +442,11 @@ def x281_cochran_armitage(spark, sf_dir):
     (sum s_i n_i)^2/N), Z = T/sqrt(Var) — the dose-response sharpening
     of a flat chi-square independence test.
 
-    Scale: one user-keyed aggregation; the trend algebra runs on the
-    5-row bucket relation."""
+    Scale: one user-keyed aggregation; buckets from the distributed
+    exact ntile (r05, operators/ordered.py — no single-partition sort
+    of |users|); the trend algebra runs on the 5-row bucket relation."""
+    from social_warner_spark.operators.ordered import with_global_ntile
+
     ev = T(spark, sf_dir, "events")
     users = ev.groupBy("user_id").agg(
         F.count("*").alias("cnt"),
@@ -454,11 +457,11 @@ def x281_cochran_armitage(spark, sf_dir):
         .cast("long")
         .alias("y"),
     )
-    nt = F.ntile(CA_BUCKETS).over(
-        Window.orderBy(F.desc("cnt"), F.asc("user_id"))
-    )
     per = (
-        users.select(nt.alias("s"), "y")
+        with_global_ntile(
+            users, [F.desc("cnt"), F.asc("user_id")], CA_BUCKETS, "s"
+        )
+        .select("s", "y")
         .groupBy("s")
         .agg(F.count("*").alias("n"), F.sum("y").alias("r"))
     )

@@ -1574,9 +1574,11 @@ def x117_quality_by_length(spark, sf_dir):
         quality_score(F.col("text")).alias("_q"),
         F.col("doc_id"),
     )
-    decile = F.ntile(10).over(Window.orderBy("n_chars", "doc_id"))
+    # r05: distributed exact ntile — no single-partition sort of |docs|.
+    from social_warner_spark.operators.ordered import with_global_ntile
+
     return (
-        d.withColumn("decile", decile)
+        with_global_ntile(d, ["n_chars", "doc_id"], 10, "decile")
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_docs"),
@@ -2046,10 +2048,16 @@ def x128_mutual_information(spark, sf_dir):
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", quality_score(F.col("text")).alias("_q")
     )
-    binned = d.select(
-        F.ntile(MI_BINS).over(Window.orderBy("n_chars", "doc_id")).alias("bx"),
-        F.ntile(MI_BINS).over(Window.orderBy("_q", "doc_id")).alias("by"),
-    )
+    # r05: two distributed exact ntiles — the corpus never passes
+    # through a single-partition sort (operators/ordered.py).
+    from social_warner_spark.operators.ordered import with_global_ntile
+
+    binned = with_global_ntile(
+        with_global_ntile(d, ["n_chars", "doc_id"], MI_BINS, "bx"),
+        ["_q", "doc_id"],
+        MI_BINS,
+        "by",
+    ).select("bx", "by")
     joint = binned.groupBy("bx", "by").agg(F.count("*").alias("c"))
     n = d.agg(F.count("*").alias("_n"))
     px = joint.groupBy("bx").agg(F.sum("c").alias("cx"))
@@ -2381,9 +2389,13 @@ def x152_curriculum_deciles(spark, sf_dir):
     with_len = scored.join(
         d.select("doc_id", token_count_ws(F.col("text")).alias("_n")), "doc_id"
     )
-    decile = F.ntile(10).over(Window.orderBy(F.desc("_lp"), F.asc("doc_id")))
+    # r05: distributed exact ntile — no single-partition sort of |docs|.
+    from social_warner_spark.operators.ordered import with_global_ntile
+
     return (
-        with_len.withColumn("decile", decile)
+        with_global_ntile(
+            with_len, [F.desc("_lp"), F.asc("doc_id")], 10, "decile"
+        )
         .groupBy("decile")
         .agg(
             F.count("*").alias("n_docs"),

@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import Window
 
 from social_warner_spark.operators.ordered import (
+    with_global_cumsum,
     with_global_lead_structs,
     with_global_ntile,
     with_global_rank,
@@ -96,6 +97,23 @@ def test_global_ntile_desc_order(spark, p):
         for r in df.withColumn(
             "nt", F.ntile(10).over(Window.orderBy(F.desc("v"), F.asc("id")))
         ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("p", [1, 4, 16])
+def test_global_cumsum_matches_window(spark, p):
+    df = _corpus(spark).withColumn("c", (F.col("v") % 5 + 1).cast("long"))
+    got = {
+        r["id"]: r["cum_c"]
+        for r in with_global_cumsum(
+            df, ORDER, {"cum_c": "c"}, num_partitions=p
+        ).collect()
+    }
+    w = Window.orderBy(*ORDER).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cc"]
+        for r in df.withColumn("cc", F.sum("c").over(w).cast("long")).collect()
     }
     assert got == want
 
