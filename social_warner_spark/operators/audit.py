@@ -155,16 +155,19 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 3) -> DataFrame:
     the report that decides whether a join/agg on this key needs salting
     (operators/grouped.py:salted_join) before it becomes a straggler.
 
-    Everything past the per-key count is |keys|-sized; the Gini rank
-    window sorts the count table, not the data.  Gini uses the standard
-    sorted-rank identity G = 2·Σ(i·cᵢ)/(n·Σcᵢ) − (n+1)/n with ties
-    broken by key so both engines rank identically."""
+    Everything past the per-key count is |keys|-sized — which for a
+    user-grained key still scales with the corpus, so (r05) the Gini
+    rank comes from the DISTRIBUTED global rank (operators/ordered.py)
+    and the heavy-key list from a distributed top-k
+    (TakeOrderedAndProject), not single-partition sorts.  Gini uses the
+    standard sorted-rank identity G = 2·Σ(i·cᵢ)/(n·Σcᵢ) − (n+1)/n with
+    ties broken by key so both engines rank identically."""
+    from social_warner_spark.operators.ordered import with_global_rank
+
     counts = df.groupBy(F.col(key_col).cast("string").alias("k")).agg(
         F.count("*").alias("c")
     )
-    ranked = counts.withColumn(
-        "i", F.row_number().over(Window.orderBy(F.asc("c"), F.asc("k")))
-    )
+    ranked = with_global_rank(counts, [F.asc("c"), F.asc("k")], "i")
     stats = ranked.agg(
         F.count("*").alias("n_keys"),
         F.sum("c").alias("n_rows"),
@@ -172,17 +175,18 @@ def skew_report(df: DataFrame, key_col: str, top_k: int = 3) -> DataFrame:
         F.sum(F.col("i") * F.col("c")).alias("_sic"),
     )
     top = (
-        counts.withColumn(
-            "r", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("k")))
-        )
-        .where(F.col("r") <= top_k)
-        # collect_list arrival order is nondeterministic — sort the
-        # (rank, key) structs inside the aggregate to pin it
+        counts.orderBy(F.desc("c"), F.asc("k"))
+        .limit(top_k)
+        # collect_list arrival order is nondeterministic — sort
+        # (-count, key) structs inside the aggregate to pin the
+        # (desc count, asc key) display order
         .agg(
             F.concat_ws(
                 ",",
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("r", "k"))),
+                    F.array_sort(
+                        F.collect_list(F.struct((-F.col("c")).alias("nc"), "k"))
+                    ),
                     lambda s: s["k"],
                 ),
             ).alias("top_keys")

@@ -1967,20 +1967,30 @@ def x136_pareto_concentration(spark, sf_dir):
     """Pareto/concentration analysis of revenue by customer: customers
     ranked by spend, cumulative share, and how few customers cover 80%
     of revenue — the concentration-risk question every account team
-    asks.  Per-customer totals are one shuffle; the cumulative share is
-    a single ordered window over the |customers| relation."""
+    asks.  Per-customer totals are one shuffle; the cumulative share
+    (r05) runs through the DISTRIBUTED prefix sum over exact integer
+    cents (operators/ordered.py — float cumsums reassociate across
+    partition boundaries, integer ones cannot; prices are 2dp so cents
+    are exact), so the |customers| relation never passes through a
+    single-partition sort."""
+    from social_warner_spark.operators.ordered import with_global_cumsum
+
     o = T(spark, sf_dir, "orders")
-    per = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("_v"))
-    tot = per.agg(F.sum("_v").alias("_t"))
-    w = Window.orderBy(F.desc("_v"), F.asc("o_custkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("_vc")
     )
-    ranked = per.crossJoin(F.broadcast(tot)).select(
+    tot = per.agg(F.sum("_vc").alias("_t"))
+    cum = with_global_cumsum(
+        per.withColumn("_one", F.lit(1).cast("long")),
+        [F.desc("_vc"), F.asc("o_custkey")],
+        {"_cumvc": "_vc", "rk": "_one"},
+    )
+    ranked = cum.crossJoin(F.broadcast(tot)).select(
         "o_custkey",
-        F.row_number()
-        .over(Window.orderBy(F.desc("_v"), F.asc("o_custkey")))
-        .alias("rk"),
-        (F.sum("_v").over(w) / F.col("_t")).alias("_cum"),
+        "rk",
+        (F.col("_cumvc").cast("double") / F.col("_t").cast("double")).alias(
+            "_cum"
+        ),
     )
     n_cust = per.agg(F.count("*").alias("n_customers"))
     covered = ranked.where(F.col("_cum") >= PARETO_TARGET).agg(
@@ -2051,15 +2061,18 @@ ORACLES.update(
     {
         "x136_pareto_concentration": f"""
         WITH per AS (
-            SELECT o_custkey, SUM(o_totalprice) AS v FROM orders GROUP BY o_custkey
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS v
+            FROM orders GROUP BY o_custkey
         ), tot AS (
             SELECT SUM(v) AS t FROM per
         ), ranked AS (
             SELECT o_custkey,
                    ROW_NUMBER() OVER (ORDER BY v DESC, o_custkey) AS rk,
-                   SUM(v) OVER (ORDER BY v DESC, o_custkey
+                   CAST(SUM(v) OVER (ORDER BY v DESC, o_custkey
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       / tot.t AS cum
+                        AS DOUBLE)
+                       / CAST(tot.t AS DOUBLE) AS cum
             FROM per, tot
         ), nc AS (
             SELECT COUNT(*) AS n_customers FROM per

@@ -170,10 +170,20 @@ def x334_shuffle_quality(spark, sf_dir):
         F.count("*").alias("n_pairs_shuffled"),
         r6(F.corr("y", "yl")).alias("serial_corr_shuffled"),
     )
-    wo = Window.orderBy("doc_id")
+    # r05: the unshuffled-order lag pairs come from the distributed
+    # global lead (operators/ordered.py) — no single-partition sort of
+    # |docs|; pair (y_t, y_{t+1}) carries the same (current, previous)
+    # roles the lag formulation had.
+    from social_warner_spark.operators.ordered import with_global_lead_structs
+
+    nxt = with_global_lead_structs(
+        staged.select("doc_id", "y"), ["doc_id"], ["y"], 1, "_nx"
+    )
     base = (
-        staged.select("y", F.lag("y").over(wo).alias("yl"))
-        .where(F.col("yl").isNotNull())
+        nxt.select(
+            F.col("_nx")[0]["y"].alias("y"), F.col("y").alias("yl")
+        )
+        .where(F.col("y").isNotNull())
         .agg(
             F.count("*").alias("n_pairs_ordered"),
             r6(F.corr("y", "yl")).alias("serial_corr_ordered"),
