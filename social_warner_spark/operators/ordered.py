@@ -180,6 +180,51 @@ def with_global_cumsum(
     return out.drop("_pid", *[f"_off_{c}" for c in srcs])
 
 
+def with_global_cummax_excl(
+    df: DataFrame,
+    order_cols: list,
+    val_col: str,
+    out_col: str = "_cummax",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the EXCLUSIVE global running max (frame UNBOUNDED
+    PRECEDING .. 1 PRECEDING) over the total order — the
+    gaps-and-islands / skyline primitive — without a single-partition
+    sort: per-partition exclusive running max, combined with the
+    broadcast max over all EARLIER partitions (P-row collect).  NULL
+    for the global first row, exactly like the window form."""
+    staged = _range_staged(df, order_cols, num_partitions)
+    maxes = {
+        r["_pid"]: r["m"]
+        for r in staged.groupBy("_pid").agg(F.max(val_col).alias("m")).collect()
+    }
+    prior = None
+    offsets = []
+    for pid in sorted(maxes):
+        offsets.append((pid, prior))
+        prior = maxes[pid] if prior is None else max(prior, maxes[pid])
+    off_schema = StructType(
+        [
+            StructField("_pid", IntegerType()),
+            StructField("_prior", df.schema[val_col].dataType),
+        ]
+    )
+    off = df.sparkSession.createDataFrame(offsets or [(0, None)], off_schema)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        staged.join(F.broadcast(off), "_pid")
+        # greatest() skips NULLs (returns the non-null side), which is
+        # exactly the boundary semantics: pid-first rows take the prior
+        # partitions' max; the global first row stays NULL.
+        .withColumn(out_col, F.greatest(F.max(val_col).over(w), F.col("_prior")))
+        .drop("_pid", "_prior")
+    )
+
+
 def with_global_lead_structs(
     df: DataFrame,
     order_cols: list,

@@ -251,14 +251,17 @@ def x97_session_paths(spark, sf_dir):
         ).alias("path")
     )
     counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    # r05: distributed top-k first (orderBy+limit), rank over k rows —
+    # |distinct paths| grows with the corpus.
     return (
-        counts.withColumn(
+        counts.orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOPK)
+        .withColumn(
             "rk",
             F.row_number()
             .over(Window.orderBy(F.desc("n_sessions"), F.asc("path")))
             .cast("int"),
         )
-        .where(F.col("rk") <= PATH_TOPK)
         .select("path", "n_sessions", "rk")
     )
 
@@ -1189,13 +1192,12 @@ def x123_popularity_hitrate(spark, sf_dir):
     train = li.join(F.broadcast(multi), "ok", "left").where(
         F.col("_held").isNull() | (F.col("pk") != F.col("_held"))
     )
+    # r05: distributed top-k — no single-partition sort of |parts|
     pop = (
         train.groupBy("pk")
         .agg(F.count("*").alias("_c"))
-        .withColumn(
-            "rk", F.row_number().over(Window.orderBy(F.desc("_c"), F.asc("pk")))
-        )
-        .where(F.col("rk") <= REC_K)
+        .orderBy(F.desc("_c"), F.asc("pk"))
+        .limit(REC_K)
         .select(F.col("pk").alias("_rec"))
     )
     hits = multi.join(
@@ -1583,10 +1585,14 @@ def x130_user_trends(spark, sf_dir):
             ),
         )
     )
+    # r05: distributed top-k (TakeOrderedAndProject) — the |users|
+    # slope relation never passes through a single-partition sort; the
+    # rank window touches only the k surviving rows.
     w = Window.orderBy(F.desc(F.abs(F.col("slope_per_day"))), F.asc("user_id"))
     return (
-        slopes.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= TREND_TOPK)
+        slopes.orderBy(F.desc(F.abs(F.col("slope_per_day"))), F.asc("user_id"))
+        .limit(TREND_TOPK)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
     )
 
 
@@ -2870,10 +2876,13 @@ def x157_burstiness(spark, sf_dir):
             r6(F.col("_v") / (F.col("_m") * F.col("_m"))).alias("cv2"),
         )
     )
+    # r05: distributed top-k — no single-partition sort of |users|;
+    # the rank window touches only the k surviving rows.
     w = Window.orderBy(F.asc("cv2"), F.asc("user_id"))
     return (
-        per.withColumn("rk", F.row_number().over(w).cast("int"))
-        .where(F.col("rk") <= BURST_TOPK)
+        per.orderBy(F.asc("cv2"), F.asc("user_id"))
+        .limit(BURST_TOPK)
+        .withColumn("rk", F.row_number().over(w).cast("int"))
     )
 
 

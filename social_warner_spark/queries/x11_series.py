@@ -1322,14 +1322,18 @@ def x187_heaps_law(spark, sf_dir):
     per_doc = toks_per_doc.join(new_per_doc, "doc_id", "left").select(
         "doc_id", "n_toks", F.coalesce("new_types", F.lit(0)).alias("new_types")
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    wr = Window.orderBy("doc_id")
-    cum = per_doc.select(
-        F.sum("n_toks").over(w).alias("nn"),
-        F.sum("new_types").over(w).alias("vv"),
-        F.row_number().over(wr).alias("i"),
-        F.count("*").over(Window.partitionBy()).alias("k"),
-    )
+    # r05: the three per-doc running stats come from ONE distributed
+    # prefix-sum pass (operators/ordered.py) — the |docs| relation never
+    # passes through a single-partition sort; the corpus size joins as a
+    # broadcast 1-row stat.
+    from social_warner_spark.operators.ordered import with_global_cumsum
+
+    k1 = per_doc.agg(F.count("*").alias("k"))
+    cum = with_global_cumsum(
+        per_doc.withColumn("_one", F.lit(1).cast("long")),
+        ["doc_id"],
+        {"nn": "n_toks", "vv": "new_types", "i": "_one"},
+    ).crossJoin(F.broadcast(k1)).select("nn", "vv", "i", "k")
     checkpoints = cum.where(
         (F.col("i") % F.greatest(F.floor(F.col("k") / HEAPS_BUCKETS), F.lit(1)) == 0)
     )
@@ -1514,11 +1518,16 @@ def x190_skyline(spark, sf_dir):
     parts = T(spark, sf_dir, "part").select(
         "p_partkey", "p_retailprice", F.col("p_size").cast("long").alias("p_size")
     )
-    w = (
-        Window.orderBy("p_retailprice", F.desc("p_size"), "p_partkey")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    # r05: exclusive running max via the distributed prefix-max
+    # (operators/ordered.py) — no single-partition sort of |parts|.
+    from social_warner_spark.operators.ordered import with_global_cummax_excl
+
+    flagged = with_global_cummax_excl(
+        parts,
+        ["p_retailprice", F.desc("p_size"), "p_partkey"],
+        "p_size",
+        "prevmax",
     )
-    flagged = parts.withColumn("prevmax", F.max("p_size").over(w))
     sky = flagged.where(
         F.col("prevmax").isNull() | (F.col("p_size") > F.col("prevmax"))
     )

@@ -1971,14 +1971,17 @@ def x255_ndcg_popularity(spark, sf_dir):
     train = li.join(F.broadcast(multi), "ok", "left").where(
         F.col("held").isNull() | (F.col("pk") != F.col("held"))
     )
+    # r05: distributed top-k first (orderBy+limit), rank over k rows —
+    # no single-partition sort of |parts|.
     pop = (
         train.groupBy("pk")
         .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("pk"))
+        .limit(NDCG_K)
         .withColumn(
             "rk",
             F.row_number().over(Window.orderBy(F.desc("c"), F.asc("pk"))),
         )
-        .where(F.col("rk") <= NDCG_K)
         .select("pk", "rk")
     )
     gains = multi.join(

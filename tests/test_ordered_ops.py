@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import Window
 
 from social_warner_spark.operators.ordered import (
+    with_global_cummax_excl,
     with_global_cumsum,
     with_global_lead_structs,
     with_global_ntile,
@@ -116,6 +117,22 @@ def test_global_cumsum_matches_window(spark, p):
         for r in df.withColumn("cc", F.sum("c").over(w).cast("long")).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("p", [1, 4, 16])
+def test_global_cummax_excl_matches_window(spark, p):
+    df = _corpus(spark).withColumn("m", ((F.col("v") * 13) % 29).cast("long"))
+    got = {
+        r["id"]: r["pm"]
+        for r in with_global_cummax_excl(
+            df, ORDER, "m", "pm", num_partitions=p
+        ).collect()
+    }
+    w = Window.orderBy(*ORDER).rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["pm"] for r in df.withColumn("pm", F.max("m").over(w)).collect()
+    }
+    assert got == want  # includes the NULL global-first row
 
 
 def test_global_rank_single_row(spark):
