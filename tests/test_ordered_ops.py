@@ -139,3 +139,14 @@ def test_global_rank_single_row(spark):
     df = spark.createDataFrame([(1, 1, 1)], "g INT, v INT, id INT")
     out = with_global_rank(df, ORDER, num_partitions=4).collect()
     assert [r["_grank"] for r in out] == [1]
+
+
+def test_ordered_ops_empty_input(spark):
+    df = spark.createDataFrame([], "g INT, v INT, id INT")
+    assert with_global_rank(df, ORDER, num_partitions=4).count() == 0
+    assert with_global_cumsum(df, ORDER, {"c": "v"}, num_partitions=4).count() == 0
+    assert with_global_cummax_excl(df, ORDER, "v", num_partitions=4).count() == 0
+    assert (
+        with_global_lead_structs(df, ORDER, ["v", "id"], 3, num_partitions=4).count()
+        == 0
+    )
