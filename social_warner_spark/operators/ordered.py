@@ -145,11 +145,23 @@ def with_global_cumsum(
     single-partition sort: per-partition cumulative window + broadcast
     per-partition totals prefix (P-row collect).
 
-    EXACT for integer/decimal sources (the repo's exact-moment
-    discipline); float sources would re-associate the summation across
-    the partition boundary — don't pass them."""
+    EXACT for INTEGRAL sources only (byte/short/int/long): the running
+    sum and the prefix offsets are carried as longs.  Decimal sources
+    would silently truncate and float sources would re-associate the
+    summation across the partition boundary — both are rejected up
+    front (ADVICE r05: the old docstring claimed decimal support the
+    long-typed offsets could not deliver)."""
+    from pyspark.sql.types import ByteType, ShortType
+
     staged = _range_staged(df, order_cols, num_partitions)
     srcs = sorted(set(sum_cols.values()))
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for c in srcs:
+        if not isinstance(df.schema[c].dataType, integral):
+            raise TypeError(
+                f"with_global_cumsum requires an integral source column; "
+                f"{c!r} is {df.schema[c].dataType.simpleString()}"
+            )
     totals = {
         r["_pid"]: r
         for r in staged.groupBy("_pid")
@@ -202,7 +214,10 @@ def with_global_cummax_excl(
     offsets = []
     for pid in sorted(maxes):
         offsets.append((pid, prior))
-        prior = maxes[pid] if prior is None else max(prior, maxes[pid])
+        # An all-NULL partition contributes nothing to the running max
+        # (max() over it is None); skip it instead of max(long, None).
+        if maxes[pid] is not None:
+            prior = maxes[pid] if prior is None else max(prior, maxes[pid])
     off_schema = StructType(
         [
             StructField("_pid", IntegerType()),

@@ -38,11 +38,60 @@ SHAPE_KEYS = (
     "UnpartitionedWindow",
 )
 
-#: windowspecdefinition whose FIRST argument is already an ordering
-#: column (no partition columns precede it) = a global window.
-_UNPARTITIONED_WINDOW = re.compile(
-    r"windowspecdefinition\([^,()]*#\d+[^,()]* (?:ASC|DESC) NULLS"
-)
+#: Sort-order marker inside a windowspecdefinition argument.
+_ORDER_MARK = re.compile(r" (?:ASC|DESC) NULLS")
+
+
+def _count_unpartitioned_windows(plan: str) -> int:
+    """Count windowspecdefinition specs with NO partition columns.
+
+    A spec is unpartitioned iff its FIRST top-level argument is already
+    an ordering expression (``... ASC/DESC NULLS ...``) or — degenerate
+    global frame with no ordering either — the ``specifiedwindowframe``
+    itself.  The old regex only matched bare-attribute order columns
+    (``col#N ASC``); an expression-valued order argument (a cast or
+    function call, which renders with parens/commas) slipped through
+    uncounted (ADVICE r05).  This parser splits the first top-level
+    argument with balanced parens and classifies EVERY spec; a spec it
+    cannot delimit (e.g. a truncated plan line) raises instead of
+    silently undercounting.
+    """
+    n = 0
+    idx = 0
+    token = "windowspecdefinition("
+    while True:
+        i = plan.find(token, idx)
+        if i < 0:
+            return n
+        j = i + len(token)
+        line_end = plan.find("\n", j)
+        if line_end < 0:
+            line_end = len(plan)
+        depth = 1
+        first_arg_end = None
+        k = j
+        while k < line_end and depth > 0:
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and first_arg_end is None:
+                    first_arg_end = k
+            elif ch == "," and depth == 1 and first_arg_end is None:
+                first_arg_end = k
+            k += 1
+        if depth > 0 or first_arg_end is None:
+            raise ValueError(
+                "unclassifiable windowspecdefinition (truncated plan line?): "
+                + plan[i:line_end][:200]
+            )
+        first_arg = plan[j:first_arg_end]
+        if _ORDER_MARK.search(first_arg) or first_arg.startswith(
+            "specifiedwindowframe("
+        ):
+            n += 1
+        idx = j
 
 
 def plan_shape_counts(
@@ -62,7 +111,7 @@ def plan_shape_counts(
             queries[name](spark, sf_dir).explain("formatted")
         plan = buf.getvalue()
         counts = {k: plan.count(k) for k in SHAPE_KEYS if k != "UnpartitionedWindow"}
-        counts["UnpartitionedWindow"] = len(_UNPARTITIONED_WINDOW.findall(plan))
+        counts["UnpartitionedWindow"] = _count_unpartitioned_windows(plan)
         out[name] = counts
     return out
 

@@ -145,7 +145,15 @@ def x334_shuffle_quality(spark, sf_dir):
     per-shard rank windows (shards bound the partitions); each serial
     correlation is one lag join."""
     d = T(spark, sf_dir, "documents").select(
-        "doc_id", (F.col("lang") == WI_LANG).cast("double").alias("y")
+        "doc_id",
+        # Coalesce the comparison so a NULL lang yields y=0.0, exactly
+        # like the oracle's CASE WHEN (NULL predicate falls to ELSE) —
+        # otherwise the lead-formulated pair filter below would drop
+        # pairs by NEXT-null while the oracle's lag form drops by
+        # PREVIOUS-null (ADVICE r05; benign today, lang is non-null).
+        F.coalesce(F.col("lang") == WI_LANG, F.lit(False))
+        .cast("double")
+        .alias("y"),
     )
     h = F.conv(
         F.substring(

@@ -68,7 +68,16 @@ def _render_float(f: float) -> str:
     Python round()'s banker's rounding and of numpy's repr (numpy >= 2
     renders np.float64 as 'np.float64(x)'; ADVICE r04).  Trailing zeros
     are stripped but one fractional digit is kept, matching the float
-    repr forms the mirror hashed historically ('331.0', '0.1')."""
+    repr forms the mirror hashed historically ('331.0', '0.1').
+
+    Extreme magnitudes render POSITIONALLY, not scientifically
+    (1.5e16 → '15000000000000000.0', 1e-05 → '0.00001') — this differs
+    from repr() but is harmless for driver parity: the driver hashes
+    BOTH the Spark result and the oracle result through its own single
+    serializer, so the mirror only has to reproduce the driver's
+    EQUALITY semantics (ROUND_HALF_UP at FLOAT_DECIMALS), not its exact
+    byte forms.  tests/test_oracle_harness.py pins these renderings so
+    any change is a conscious one (ADVICE r05)."""
     if math.isinf(f):
         return repr(f)
     with decimal.localcontext() as ctx:

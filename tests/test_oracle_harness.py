@@ -61,3 +61,27 @@ def test_nulls_match_across_classes(spark):
     duck_side = pd.DataFrame({"k": ["a", "b"], "x": [1.5, float("nan")]})
     ok, msg = compare(_sdf(spark, spark_side), duck_side)
     assert ok, msg
+
+
+def test_extreme_magnitude_rendering_pinned():
+    """Pin the positional rendering of magnitudes where repr() would go
+    scientific (ADVICE r05): >= 1e16 and <= 1e-4.  The mirror's renderer
+    is applied to BOTH sides of every compare, so only EQUALITY semantics
+    must match the driver — but the forms themselves are pinned here so a
+    renderer change is a conscious decision, not a silent drift."""
+    from tests.oracle_harness import _render_float
+
+    assert _render_float(1.5e16) == "15000000000000000.0"
+    assert _render_float(-1.5e16) == "-15000000000000000.0"
+    assert _render_float(1e-05) == "0.00001"
+    assert _render_float(1e-06) == "0.000001"
+    # below the 6dp quantum: rounds to zero, renders as plain zero
+    assert _render_float(4.9e-07) == "0.0"
+    assert _render_float(float("inf")) == "inf"
+
+
+def test_equal_extreme_magnitudes_pass(spark):
+    spark_side = pd.DataFrame({"k": ["a", "b"], "x": [1.5e16, 1e-05]})
+    duck_side = pd.DataFrame({"k": ["a", "b"], "x": [1.5e16, 1e-05]})
+    ok, msg = compare(_sdf(spark, spark_side), duck_side)
+    assert ok, msg

@@ -150,3 +150,36 @@ def test_ordered_ops_empty_input(spark):
         with_global_lead_structs(df, ORDER, ["v", "id"], 3, num_partitions=4).count()
         == 0
     )
+
+
+def test_global_cumsum_rejects_non_integral_sources(spark):
+    """ADVICE r05: the long-typed prefix offsets cannot carry decimal or
+    float sources exactly — the contract is integral-only and enforced."""
+    dec = spark.createDataFrame([(1, 1, 1)], "g INT, v INT, id INT").withColumn(
+        "d", F.col("v").cast("decimal(12,2)")
+    )
+    with pytest.raises(TypeError, match="integral"):
+        with_global_cumsum(dec, ORDER, {"cum": "d"}, num_partitions=4)
+    flt = dec.withColumn("f", F.col("v").cast("double"))
+    with pytest.raises(TypeError, match="integral"):
+        with_global_cumsum(flt, ORDER, {"cum": "f"}, num_partitions=4)
+
+
+@pytest.mark.parametrize("p", [1, 4, 16])
+def test_global_cummax_excl_all_null_partition(spark, p):
+    """ADVICE r05: a range partition whose val_col is entirely NULL must
+    contribute nothing to the running max (window null-skipping), not
+    crash the driver-side prefix fold on max(long, None)."""
+    rows = [(0, i, i, None if 20 <= i < 40 else i * 7 % 13) for i in range(60)]
+    df = spark.createDataFrame(rows, "g INT, v INT, id INT, m INT")
+    got = {
+        r["id"]: r["pm"]
+        for r in with_global_cummax_excl(
+            df, ORDER, "m", "pm", num_partitions=p
+        ).collect()
+    }
+    w = Window.orderBy(*ORDER).rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r["id"]: r["pm"] for r in df.withColumn("pm", F.max("m").over(w)).collect()
+    }
+    assert got == want

@@ -36,3 +36,45 @@ def test_plan_shapes_do_not_regress(spark, sf_smoke):
         "plan-shape regressions (new shuffles / nested loops):\n"
         + "\n".join(regressions)
     )
+
+
+def test_unpartitioned_window_classifier():
+    """ADVICE r05: the old regex missed expression-valued order args
+    (parens/commas in the first windowspecdefinition argument).  The
+    balanced-paren classifier counts those, still skips partitioned
+    specs, and raises on a spec it cannot delimit."""
+    from social_warner_spark.planaudit import _count_unpartitioned_windows
+
+    bare = (
+        "windowspecdefinition(x#3L ASC NULLS FIRST, specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    expr = (
+        "windowspecdefinition(cast(round(x#3, 2) as string) ASC NULLS "
+        "FIRST, specifiedwindowframe(RangeFrame, unboundedpreceding$(), "
+        "currentrow$()))"
+    )
+    partitioned = (
+        "windowspecdefinition(g#1, x#3L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$()))"
+    )
+    part_expr = (
+        "windowspecdefinition(coalesce(g#1, 0), x#3L DESC NULLS LAST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "currentrow$()))"
+    )
+    frame_only = (
+        "windowspecdefinition(specifiedwindowframe(RowFrame, "
+        "unboundedpreceding$(), unboundedfollowing$()))"
+    )
+    assert _count_unpartitioned_windows(bare) == 1
+    assert _count_unpartitioned_windows(expr) == 1
+    assert _count_unpartitioned_windows(partitioned) == 0
+    assert _count_unpartitioned_windows(part_expr) == 0
+    assert _count_unpartitioned_windows(frame_only) == 1
+    assert _count_unpartitioned_windows("\n".join([bare, expr, partitioned])) == 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unclassifiable"):
+        _count_unpartitioned_windows("windowspecdefinition(x#3L ASC NULLS")
