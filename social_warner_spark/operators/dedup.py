@@ -767,8 +767,11 @@ def containment_pairs(
     sa = sizes.withColumnsRenamed({id_col: "doc_id_a", "sz": "_sa"})
     sb = sizes.withColumnsRenamed({id_col: "doc_id_b", "sz": "_sb"})
     return (
-        shared.join(F.broadcast(sa), "doc_id_a")
-        .join(F.broadcast(sb), "doc_id_b")
+        # sizes is |docs|-scaled: no explicit broadcast hint — the side
+        # choice belongs to AQE (r05 verdict: a hint bypasses the size
+        # threshold and OOMs at 100 TB).
+        shared.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
         .select(
             "doc_id_a",
             "doc_id_b",

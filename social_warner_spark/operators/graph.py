@@ -85,8 +85,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         .agg(F.count("*").alias("deg"))
     )
     with_deg = (
-        edges.join(F.broadcast(deg.withColumnsRenamed({"n": src, "deg": "_ds"})), src)
-        .join(F.broadcast(deg.withColumnsRenamed({"n": dst, "deg": "_dd"})), dst)
+        # deg is |nodes|-scaled: no explicit broadcast hint (r05 verdict
+        # — AQE picks the build side; a hint would force corpus-sized
+        # broadcasts at 100 TB).
+        edges.join(deg.withColumnsRenamed({"n": src, "deg": "_ds"}), src)
+        .join(deg.withColumnsRenamed({"n": dst, "deg": "_dd"}), dst)
     )
     src_first = (F.col("_ds") < F.col("_dd")) | (
         (F.col("_ds") == F.col("_dd")) & (F.col(src) < F.col(dst))
@@ -101,9 +104,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
         F.collect_list("v").alias("nbrs")
     )
     closed = (
-        oriented.join(F.broadcast(adj.withColumnsRenamed({"n": "u", "nbrs": "_nu"})), "u")
+        # adj is |nodes|-scaled WITH adjacency arrays — the worst
+        # relation to force-broadcast; plain equi-joins, AQE decides.
+        oriented.join(adj.withColumnsRenamed({"n": "u", "nbrs": "_nu"}), "u")
         .join(
-            F.broadcast(adj.withColumnsRenamed({"n": "v", "nbrs": "_nv"})), "v", "left"
+            adj.withColumnsRenamed({"n": "v", "nbrs": "_nv"}), "v", "left"
         )
         .select(
             F.when(F.col("_nv").isNull(), F.lit(0))

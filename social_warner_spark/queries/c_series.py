@@ -25,16 +25,21 @@ def c1_scan_filter(spark, sf_dir):
 
 
 def c2_inner_join(spark, sf_dir):
-    """orders ⋈ customer — customer is the small side → broadcast hash join."""
+    """orders ⋈ customer — no explicit broadcast hint: customer scales
+    with SF, so the side choice belongs to AQE/autoBroadcastJoinThreshold
+    (an explicit hint is honored regardless of size and would OOM at
+    100 TB — r05 verdict)."""
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
-    return o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+    return o.join(c, o.o_custkey == c.c_custkey).select(
         "o_orderkey", "c_name", "o_totalprice"
     )
 
 
 def c3_star_join(spark, sf_dir):
-    """Star join: fact ⋈ three broadcastable dims; revenue by region."""
+    """Star join: fact ⋈ three dims; revenue by region.  nation/region
+    are constant-size (25/5 rows) → hinted; customer scales with SF →
+    hint left to AQE (r05 verdict)."""
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
     c = T(spark, sf_dir, "customer")
@@ -42,7 +47,7 @@ def c3_star_join(spark, sf_dir):
     r = T(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")

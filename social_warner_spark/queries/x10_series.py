@@ -65,8 +65,9 @@ def x93_funnel(spark, sf_dir):
 def x94_cohort_retention(spark, sf_dir):
     """Day-grain cohort retention matrix: users grouped by their first
     active day, counted per (cohort_day, day_offset) of later activity.
-    The cohort label is a |users|-row aggregate broadcast back onto the
-    distinct (user, day) activity relation; the matrix itself is
+    The cohort label is a |users|-row aggregate equi-joined back onto
+    the distinct (user, day) activity relation (no broadcast hint — it
+    scales with SF, the side is AQE's call); the matrix itself is
     |days²|-bounded."""
     e = T(spark, sf_dir, "events").select(
         "user_id",
@@ -75,7 +76,7 @@ def x94_cohort_retention(spark, sf_dir):
     active = e.distinct()
     cohort = active.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
     return (
-        active.join(F.broadcast(cohort), "user_id")
+        active.join(cohort, "user_id")
         .groupBy(
             "cohort_day", (F.col("d") - F.col("cohort_day")).alias("day_offset")
         )
@@ -795,8 +796,10 @@ def x106_association_rules(spark, sf_dir):
         pairs.select(F.col("y").alias("x"), F.col("x").alias("y"), "_cp")
     )
     scored = (
-        both.join(F.broadcast(item.withColumnsRenamed({"pk": "x", "_ci": "_cx"})), "x")
-        .join(F.broadcast(item.withColumnsRenamed({"pk": "y", "_ci": "_cy"})), "y")
+        # |items|-sized relation: no explicit broadcast hint (scales
+        # with SF — AQE picks the side; r05 verdict).
+        both.join(item.withColumnsRenamed({"pk": "x", "_ci": "_cx"}), "x")
+        .join(item.withColumnsRenamed({"pk": "y", "_ci": "_cy"}), "y")
         .crossJoin(F.broadcast(n_orders))
         .select(
             F.col("x").alias("antecedent"),
@@ -1065,8 +1068,10 @@ def x114_degree_assortativity(spark, sf_dir):
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     paired = (
-        sym.join(F.broadcast(deg.withColumnsRenamed({"n": "src", "deg": "_dx"})), "src")
-        .join(F.broadcast(deg.withColumnsRenamed({"n": "dst", "deg": "_dy"})), "dst")
+        # |nodes|-sized degree relation: no explicit broadcast hint
+        # (scales with SF — AQE picks the side; r05 verdict).
+        sym.join(deg.withColumnsRenamed({"n": "src", "deg": "_dx"}), "src")
+        .join(deg.withColumnsRenamed({"n": "dst", "deg": "_dy"}), "dst")
     )
     return paired.agg(
         (F.count("*") / 2).cast("long").alias("n_edges"),
@@ -1179,8 +1184,9 @@ def x123_popularity_hitrate(spark, sf_dir):
     top-50 globally most-ordered parts computed WITHOUT the held-out
     occurrences, and report hit-rate@50 — the sanity floor every
     recommender must beat, evaluated the way the real thing would be.
-    Popularity is a |parts| aggregate; the hit test is one broadcast
-    semi-join of the |orders|-sized holdout against 50 rows."""
+    Popularity is a |parts| aggregate; the hit test joins the
+    |orders|-sized holdout against 50 rows.  The holdout relation
+    scales with SF, so it carries NO broadcast hint (r05 verdict)."""
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
@@ -1189,7 +1195,7 @@ def x123_popularity_hitrate(spark, sf_dir):
         .where(F.col("_n") >= 2)
         .select("ok", "_held")
     )
-    train = li.join(F.broadcast(multi), "ok", "left").where(
+    train = li.join(multi, "ok", "left").where(
         F.col("_held").isNull() | (F.col("pk") != F.col("_held"))
     )
     # r05: distributed top-k — no single-partition sort of |parts|
@@ -2144,7 +2150,8 @@ def x140_supplier_scorecard(spark, sf_dir):
     n = T(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("s_nationkey"), "n_name"
     )
-    joined = per.join(F.broadcast(s), "l_suppkey").join(F.broadcast(n), "s_nationkey")
+    # supplier scales with SF → no hint; nation is 25 rows → hinted.
+    joined = per.join(s, "l_suppkey").join(F.broadcast(n), "s_nationkey")
     w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("l_suppkey"))
     return (
         joined.withColumn("nation_rank", F.row_number().over(w).cast("int"))
@@ -2174,7 +2181,8 @@ def x141_brand_type_share(spark, sf_dir):
         F.col("p_partkey").alias("l_partkey"), "p_brand", "p_type"
     )
     cells = (
-        li.join(F.broadcast(p), "l_partkey")
+        # part scales with SF → no explicit broadcast hint (r05 verdict)
+        li.join(p, "l_partkey")
         .groupBy("p_brand", "p_type")
         .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
     )
@@ -2252,7 +2260,7 @@ def x142_discount_elasticity(spark, sf_dir):
     p = T(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_brand"
     )
-    j = li.join(F.broadcast(p), "l_partkey")
+    j = li.join(p, "l_partkey")  # part scales with SF → no hint
     return j.groupBy("p_brand").agg(
         F.count("*").alias("n_lines"),
         r6(F.corr(F.col("_d"), F.col("_q"))).alias("corr_disc_qty"),
@@ -2336,8 +2344,9 @@ def x144_trade_matrix(spark, sf_dir):
     n = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     flows = (
         li.join(o, "l_orderkey")
-        .join(F.broadcast(c), "o_custkey")
-        .join(F.broadcast(s), "l_suppkey")
+        # customer/supplier scale with SF → no hints; nations hinted.
+        .join(c, "o_custkey")
+        .join(s, "l_suppkey")
         .join(
             F.broadcast(n.withColumnsRenamed({"n_nationkey": "c_nationkey", "n_name": "cust_nation"})),
             "c_nationkey",
@@ -2375,7 +2384,7 @@ def x145_price_realization(spark, sf_dir):
     p = T(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("l_partkey"), "p_type", "p_retailprice"
     )
-    j = per_part.join(F.broadcast(p), "l_partkey")
+    j = per_part.join(p, "l_partkey")  # part scales with SF → no hint
     return j.groupBy("p_type").agg(
         F.count("*").alias("n_parts"),
         F.round(F.avg("p_retailprice"), 2).alias("mean_retail"),
@@ -2601,9 +2610,11 @@ def x149_item_item_cf(spark, sf_dir):
         .where(F.col("cooc") >= CF_MIN_COOC)
     )
     scored = (
-        cooc.join(F.broadcast(item.withColumnsRenamed({"pk": "item", "_n": "_na"})), "item")
+        # |items|-sized counts: no explicit broadcast hint (scales with
+        # SF — AQE picks the side; r05 verdict).
+        cooc.join(item.withColumnsRenamed({"pk": "item", "_n": "_na"}), "item")
         .join(
-            F.broadcast(item.withColumnsRenamed({"pk": "neighbor", "_n": "_nb"})),
+            item.withColumnsRenamed({"pk": "neighbor", "_n": "_nb"}),
             "neighbor",
         )
         .select(

@@ -1968,7 +1968,8 @@ def x255_ndcg_popularity(spark, sf_dir):
         .where(F.col("_n") >= 2)
         .select("ok", "held")
     )
-    train = li.join(F.broadcast(multi), "ok", "left").where(
+    # multi is |orders|-scaled → no broadcast hint (r05 verdict)
+    train = li.join(multi, "ok", "left").where(
         F.col("held").isNull() | (F.col("pk") != F.col("held"))
     )
     # r05: distributed top-k first (orderBy+limit), rank over k rows —

@@ -222,7 +222,8 @@ def x330_medoid_canonicals(spark, sf_dir):
     )
     sizes = labels.groupBy("cluster_id").agg(F.count("*").alias("sz"))
     multi = sizes.where(F.col("sz") >= 2)
-    mem = labels.join(F.broadcast(multi), "cluster_id")
+    # multi is cluster-count-scaled (grows with |docs|) → no hint
+    mem = labels.join(multi, "cluster_id")
     pairs = exact_jaccard_pairs(d, MED_SAMPLE_MIN).select(
         F.col("doc_id_a").alias("a"),
         F.col("doc_id_b").alias("b"),

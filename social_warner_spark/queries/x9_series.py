@@ -1764,8 +1764,10 @@ def x120_cross_source_dups(spark, sf_dir):
     how many join documents from the SAME source vs DIFFERENT sources —
     same-source dups mean a feed re-crawls itself; cross-source dups
     mean feeds mirror each other (and per-source contribution caps
-    won't dedup them).  One broadcast of the doc→source map onto the
-    pair relation."""
+    won't dedup them).  The doc→source map joins onto the pair relation
+    by equi-key with NO explicit broadcast hint — the map is |docs| rows
+    (corpus-sized at 100 TB), so the side choice belongs to AQE
+    (r05 verdict: an explicit hint bypasses the size threshold)."""
     from social_warner_spark.operators.dedup import exact_jaccard_pairs
 
     docs = T(spark, sf_dir, "documents")
@@ -1773,11 +1775,11 @@ def x120_cross_source_dups(spark, sf_dir):
     src = docs.select("doc_id", "source")
     tagged = (
         pairs.join(
-            F.broadcast(src.withColumnsRenamed({"doc_id": "doc_id_a", "source": "_sa"})),
+            src.withColumnsRenamed({"doc_id": "doc_id_a", "source": "_sa"}),
             "doc_id_a",
         )
         .join(
-            F.broadcast(src.withColumnsRenamed({"doc_id": "doc_id_b", "source": "_sb"})),
+            src.withColumnsRenamed({"doc_id": "doc_id_b", "source": "_sb"}),
             "doc_id_b",
         )
     )
@@ -1940,7 +1942,8 @@ def x122_tfidf_doc_similarity(spark, sf_dir):
     n_docs = d.agg(F.count("*").alias("_n"))
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     w = (
-        tf.join(F.broadcast(df), "term")
+        # df is vocabulary-scaled (Heaps-law growth) → no broadcast hint
+        tf.join(df, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -1966,12 +1969,13 @@ def x122_tfidf_doc_similarity(spark, sf_dir):
         .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("_dot"))
     )
     scored = (
+        # norms is |docs|-scaled → no broadcast hint (r05 verdict)
         dots.join(
-            F.broadcast(norms.withColumnsRenamed({"doc_id": "doc_id_a", "nrm": "_na"})),
+            norms.withColumnsRenamed({"doc_id": "doc_id_a", "nrm": "_na"}),
             "doc_id_a",
         )
         .join(
-            F.broadcast(norms.withColumnsRenamed({"doc_id": "doc_id_b", "nrm": "_nb"})),
+            norms.withColumnsRenamed({"doc_id": "doc_id_b", "nrm": "_nb"}),
             "doc_id_b",
         )
         .select(
@@ -2201,13 +2205,15 @@ def x139_cold_start_parts(spark, sf_dir):
     part (degree 0 in the co-purchase graph) — the items a
     'bought-together' recommender can say nothing about.  The connected
     part set comes from the bounded within-order pair join; the
-    cold-start set is one broadcast anti-join against the part dimension."""
+    cold-start set is one anti-join against the part dimension (both
+    sides scale with SF, so no broadcast hints — AQE decides)."""
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     ).distinct()
     per_order = li.groupBy("ok").agg(F.count("*").alias("_n"))
     connected = (
-        li.join(F.broadcast(per_order.where(F.col("_n") >= 2)), "ok")
+        # per_order is |orders|-scaled → no broadcast hint (r05 verdict)
+        li.join(per_order.where(F.col("_n") >= 2), "ok")
         .select("pk")
         .distinct()
     )
