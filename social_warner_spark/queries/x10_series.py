@@ -2639,11 +2639,15 @@ def x150_change_point(spark, sf_dir):
     non-empty), reported with the two means and the shift — the simplest
     honest answer to 'when did behavior change?'.  Candidate evaluation
     uses running prefix sums over the |days| relation (two windows, one
-    sort) — never a days × days join."""
+    sort) — never a days × days join.  The daily grid is
+    localCheckpoint-ed (r06: its two consumers each re-embedded the
+    events aggregation) and the argmax is orderBy+limit 1
+    (TakeOrderedAndProject — per-partition heap, no global rank
+    window)."""
     e = T(spark, sf_dir, "events")
     daily = e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.round(F.sum("value"), 2).alias("total")
-    )
+    ).localCheckpoint(eager=True)
     wall = Window.orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -2668,10 +2672,9 @@ def x150_change_point(spark, sf_dir):
         "mean_after",
         F.round(F.abs(F.col("mean_after") - F.col("mean_before")), 6).alias("shift"),
     )
-    w = Window.orderBy(F.desc("shift"), F.asc("day"))
     return (
-        best.withColumn("_rk", F.row_number().over(w))
-        .where(F.col("_rk") == 1)
+        best.orderBy(F.desc("shift"), F.asc("day"))
+        .limit(1)
         .select(
             F.col("day").alias("change_day"), "mean_before", "mean_after", "shift"
         )

@@ -1817,6 +1817,10 @@ def x197_cross_correlation(spark, sf_dir):
     causal-impact model.  Plan: one date agg builds both series on the
     |days| grid; each lag is a window-shift column and corr() is a
     single-pass moment aggregate — 7 correlations, one tiny relation.
+    The shifted grid is localCheckpoint-ed (r06): the 7 union branches
+    each re-ran the full orders aggregation AND the |days| lag window
+    before — one |days|-row materialization replaces seven corpus
+    scans and the seven audited unpartitioned-window specs.
     """
     daily = (
         T(spark, sf_dir, "orders")
@@ -1837,7 +1841,7 @@ def x197_cross_correlation(spark, sf_dir):
             else F.lead("aov", -k).over(w).alias(f"aov_m{k}")
             for k in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1)
         ],
-    )
+    ).localCheckpoint(eager=True)
     rows = []
     for k in range(-CCF_MAX_LAG, CCF_MAX_LAG + 1):
         rows.append(
@@ -1984,10 +1988,18 @@ def x200_ransac_trend(spark, sf_dir):
         .groupBy(F.col("o_orderdate").alias("d"))
         .agg((F.sum("o_totalprice") / F.count("*")).alias("y"))
     )
+    # localCheckpoints (r06): pts feeds the hash ranking AND the scoring
+    # cross-join; hranked feeds both candidate endpoints — without the
+    # pins the plan embedded the orders aggregation three times (and
+    # the |days| windows with it).
     w = Window.orderBy("d")
-    pts = daily.select(F.row_number().over(w).cast("double").alias("x"), "y")
+    pts = daily.select(
+        F.row_number().over(w).cast("double").alias("x"), "y"
+    ).localCheckpoint(eager=True)
     hw = Window.orderBy(F.md5(F.concat(F.lit("rs|"), F.col("x").cast("string"))))
-    hranked = pts.select("x", "y", F.row_number().over(hw).alias("hr"))
+    hranked = pts.select(
+        "x", "y", F.row_number().over(hw).alias("hr")
+    ).localCheckpoint(eager=True)
     a = hranked.where(F.col("hr") <= RANSAC_CANDS).select(
         F.col("hr").alias("cand"), F.col("x").alias("x1"), F.col("y").alias("y1")
     )
@@ -2805,13 +2817,19 @@ def x213_sequential_monitor(spark, sf_dir):
     crossed flag.  Plan: one pass tags each event with its look number
     (day-quartile via a |days|-row ntile map, broadcast); cumulative
     stats come from conditional aggs per look — 4 rows end to end.
+    The ntile map is localCheckpoint-ed (r06): |days| rows, and the 8
+    union branches each embedded their own copy of the day-distinct +
+    global-ntile pipeline before — one materialization replaces eight
+    recomputations and the eight audited unpartitioned-window specs.
     """
     e = T(spark, sf_dir, "events").select(
         "user_id", "value", F.to_date("ts").alias("d")
     )
     days = e.select("d").distinct()
     wq = Window.orderBy("d")
-    qd = days.select("d", F.ntile(4).over(wq).alias("q"))
+    qd = days.select("d", F.ntile(4).over(wq).alias("q")).localCheckpoint(
+        eager=True
+    )
     g = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit("ab|"), F.col("user_id").cast("string"))), 1, 8),

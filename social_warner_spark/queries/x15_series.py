@@ -313,9 +313,12 @@ def x261_acf_ljung_box(spark, sf_dir):
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.round(F.sum("value"), 6).alias("y")
     )
+    # localCheckpoint (r06): idx feeds the stats row AND both sides of
+    # the lag self-join — one |days|-row materialization instead of
+    # three embedded events aggregations + index windows.
     idx = daily.select(
         F.row_number().over(Window.orderBy("day")).alias("t"), "y"
-    )
+    ).localCheckpoint(eager=True)
     st = idx.agg(F.count("*").alias("n"), F.avg("y").alias("mu"))
     cen = idx.crossJoin(F.broadcast(st)).select(
         "t", "n", (F.col("y") - F.col("mu")).alias("c")

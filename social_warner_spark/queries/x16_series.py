@@ -147,7 +147,11 @@ def x263_changepoint(spark, sf_dir):
 
     Scale: the corpus collapses to the bounded daily grid in one
     aggregation; prefix sums are one narrow window over that grid and
-    the argmin is orderBy+limit 1."""
+    the argmin is orderBy+limit 1.  The prefix-sum grid is
+    localCheckpoint-ed (r06): its two consumers (the grand-total row
+    and the candidate scan) each re-embedded the events aggregation
+    and the |days| windows before — one |days|-row materialization
+    replaces both."""
     ev = T(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.round(F.sum("value"), 6).alias("y")
@@ -158,7 +162,7 @@ def x263_changepoint(spark, sf_dir):
         F.row_number().over(Window.orderBy("day")).alias("s"),
         F.sum("y").over(w).alias("s1"),
         F.sum(F.col("y") * F.col("y")).over(w).alias("s2"),
-    )
+    ).localCheckpoint(eager=True)
     tot = idx.agg(
         F.max("s").alias("n"),
         F.max_by("s1", "s").alias("g1"),

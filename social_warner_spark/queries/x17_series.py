@@ -51,13 +51,20 @@ HARM_PERIOD = 7
 
 
 def _daily(spark, sf_dir):
+    """Daily total-value grid with a 1-based day index.
+
+    localCheckpoint-ed (r06): callers reference the grid 3-5 times
+    (pair self-joins, residuals, count rows), and without the pin each
+    reference re-embedded the full events aggregation AND the |days|
+    index window into the plan — one |days|-row materialization
+    replaces them all."""
     ev = T(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
         F.round(F.sum("value"), 6).alias("y")
     )
     return daily.select(
         "day", F.row_number().over(Window.orderBy("day")).alias("t"), "y"
-    )
+    ).localCheckpoint(eager=True)
 
 
 def x267_theil_sen(spark, sf_dir):
@@ -69,8 +76,14 @@ def x267_theil_sen(spark, sf_dir):
     outliers instead of absorbing them).
 
     Scale: the corpus collapses to the bounded daily grid in one
-    aggregation; the pair join and the median ranks run on grid^2
-    (calendar-bounded) rows."""
+    aggregation, but the pair join is grid² — big enough at a
+    decade-scale calendar (~6.6M pairs) that its median ranks run as
+    DISTRIBUTED global ranks (operators/ordered.py two-pass layout,
+    r06), not a single-partition sort.  Ties in sl get arbitrary ranks
+    either way; the median averages the two middle VALUES, which is
+    tie-insensitive (sparkdet double-run gated)."""
+    from social_warner_spark.operators.ordered import with_global_rank
+
     idx = _daily(spark, sf_dir)
     a, b = idx.alias("a"), idx.alias("b")
     slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
@@ -79,9 +92,7 @@ def x267_theil_sen(spark, sf_dir):
         ).alias("sl")
     )
     m = slopes.agg(F.count("*").alias("m"))
-    ranked = slopes.withColumn(
-        "r", F.row_number().over(Window.orderBy("sl"))
-    )
+    ranked = with_global_rank(slopes, ["sl"], "r")
     slope = (
         ranked.crossJoin(F.broadcast(m))
         .where(
@@ -96,9 +107,7 @@ def x267_theil_sen(spark, sf_dir):
         (F.col("y") - F.col("slope") * F.col("t")).alias("rs"),
     )
     n = idx.agg(F.count("*").alias("n_days"))
-    rr = resid.withColumn(
-        "r", F.row_number().over(Window.orderBy("rs"))
-    ).crossJoin(F.broadcast(n))
+    rr = with_global_rank(resid, ["rs"], "r").crossJoin(F.broadcast(n))
     return (
         rr.where(
             (F.col("r") == F.floor((F.col("n_days") + 1) / 2))

@@ -348,18 +348,22 @@ def x286_ks_exponential(spark, sf_dir):
     assumption (x172 compares two samples; this tests a parametric
     law).
 
-    Scale: inter-arrivals come from one lag window over the
-    time-ordered stream; the CDF steps run on the distinct-value
-    relation (support-bounded).  At much larger scale the standard
-    practice this query is written for is testing a time-sliced
-    subsample."""
+    Scale (r06): inter-arrivals come from the DISTRIBUTED global
+    1-lead (operators/ordered.py — range partitions + P-row boundary
+    heads), replacing the old corpus-sized single-partition lag window
+    — the (prev, cur) lag pairs and the (cur, next) lead pairs are the
+    same interval multiset.  The CDF steps run on the distinct-value
+    relation (support-bounded)."""
+    from social_warner_spark.operators.ordered import with_global_lead_structs
+
     ev = T(spark, sf_dir, "events")
-    lw = Window.orderBy("ts", "event_id")
+    nxt = with_global_lead_structs(
+        ev.select("ts", "event_id"), ["ts", "event_id"], ["ts"], 1, "_nx"
+    )
     ia = (
-        ev.select(
+        nxt.select(
             F.expr(
-                "timestampdiff(MICROSECOND, lag(ts) OVER "
-                "(ORDER BY ts, event_id), ts)"
+                "timestampdiff(MICROSECOND, ts, _nx[0].ts)"
             ).alias("us")
         )
         .where(F.col("us").isNotNull() & (F.col("us") > 0))

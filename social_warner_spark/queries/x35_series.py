@@ -280,13 +280,16 @@ def x360_peak_nms(spark, sf_dir):
         F.round(F.sum("value"), 6).alias("y")
     )
     w = Window.orderBy("day")
+    # localCheckpoint (r06): idx feeds both the candidate fold and the
+    # final peak join — one |days|-row materialization instead of two
+    # embedded events aggregations + day windows.
     idx = daily.select(
         F.row_number().over(w).alias("t"),
         "day",
         "y",
         F.lag("y").over(w).alias("yp"),
         F.lead("y").over(w).alias("yn"),
-    )
+    ).localCheckpoint(eager=True)
     cands = idx.where(
         F.col("yp").isNotNull()
         & F.col("yn").isNotNull()

@@ -1724,7 +1724,15 @@ def x119_split_leakage(spark, sf_dir):
     x34 md5 train split — the eval-hygiene check that catches inflated
     held-out scores before anyone trusts them.  One summary row: split
     sizes, leaking pair count, and distinct held-out docs compromised.
-    Cluster labels are a |docs| relation; the leak join is cluster-keyed."""
+
+    r06: NO pair materialization.  The old cluster-keyed self-join was
+    quadratic in the largest cluster — real corpora have boilerplate
+    mega-clusters, so at 100 TB one hot cluster dominates (r05 verdict).
+    The verdict needs only per-cluster train/heldout tallies:
+    n_leaking_pairs = Σ ct·ch and the compromised heldout set is every
+    heldout member of a cluster with ≥1 train member = Σ ch·[ct>0].
+    Cluster labels are a |docs| relation; one groupBy(cluster_id) and a
+    two-long fold replace the self-join entirely."""
     from social_warner_spark.operators.dedup import neardup_clusters
 
     docs = T(spark, sf_dir, "documents")
@@ -1735,26 +1743,22 @@ def x119_split_leakage(spark, sf_dir):
         "doc_id", (h_split < "cc").alias("_is_train")
     )
     clusters = neardup_clusters(docs, threshold=0.5).join(labeled, "doc_id")
-    a = clusters.select(
-        F.col("cluster_id"), F.col("doc_id").alias("a"), F.col("_is_train").alias("ta")
-    )
-    b = clusters.select(
-        F.col("cluster_id"), F.col("doc_id").alias("b"), F.col("_is_train").alias("tb")
-    )
-    leaks = (
-        a.join(b, "cluster_id")
-        .where((F.col("a") < F.col("b")) & (F.col("ta") != F.col("tb")))
-        .select(
-            "a", "b", F.when(F.col("ta"), F.col("b")).otherwise(F.col("a")).alias("_held")
-        )
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.sum(F.col("_is_train").cast("long")).alias("ct"),
+        F.sum((~F.col("_is_train")).cast("long")).alias("ch"),
     )
     sizes = labeled.agg(
         F.sum(F.col("_is_train").cast("long")).alias("n_train"),
         F.sum((~F.col("_is_train")).cast("long")).alias("n_heldout"),
     )
-    stats = leaks.agg(
-        F.count("*").alias("n_leaking_pairs"),
-        F.count_distinct("_held").alias("n_compromised_heldout"),
+    stats = per_cluster.agg(
+        F.coalesce(F.sum(F.col("ct") * F.col("ch")), F.lit(0)).alias(
+            "n_leaking_pairs"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("ct") > 0, F.col("ch")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("n_compromised_heldout"),
     )
     return sizes.crossJoin(stats)
 
