@@ -121,97 +121,103 @@ NO_ORACLE = frozenset()
 #: iteration order (a bounded window), so the dict is emitted with the
 #: 50 queries that most need a driver CORRECTNESS row first.
 #:
-#: Round-5 rotation (per the round-4 verdict; backlog after r04 =
-#: 250 never-checked of 445 declared):
-#: - x377_misra_gries_twin re-enters for its green recheck: the r04
-#:   `err: no_oracle` row is fixed by reformulating the declared output
-#:   to the theorem-anchored guaranteed heavy-hitter set (verdict task
-#:   1) — it now carries a full DuckDB oracle and NO_ORACLE is empty.
-#: - s2_sliding re-enters per verdict task 8 (declared but last
-#:   driver-checked in r02; S4 stays parity-test-only by design — see
-#:   COVERAGE.md S-series paragraph).
-#: - x33_gapfill_interpolate, x130_user_trends and
-#:   x212_neyman_allocation are never-checked ids whose code changed
-#:   this round (verdict task 4 range-partitioned gap-fill; ADVICE.md
-#:   integer-moment overflow + singleton-stddev fixes) — they get hard
-#:   rows in the same round the code moved.
+#: Round-6 rotation (per the round-5 verdict; backlog after r05 =
+#: 202 never-checked of 445 declared):
+#: - x119/x120 re-enter as deliberate rechecks: both were named by
+#:   verdict tasks 2-3 and their code changed this round (x119's
+#:   pair-free tally rewrite; x120's forced doc→source broadcast
+#:   dropped).  x261 (driver-checked r05) also re-enters because its
+#:   grid gained a localCheckpoint this round.  These three are the
+#:   only overlap with CORRECTNESS_r01-r05.
+#: - Every never-checked query whose code moved this round gets its
+#:   hard row now (the r05 discipline): the ten unpartitioned-window
+#:   conversions/checkpoints (x150/x197/x200/x213/x261/x263/x267/
+#:   x286/x334/x360), the eleven broadcast-hint removals
+#:   (x123/x125/x139/x140/x141/x142/x144/x145/x149/x255/x330), and
+#:   x317 (top-5 window offender, justified in PERF.md rather than
+#:   converted).
 #: - The rest is the never-checked backlog, thinnest-module-first per
-#:   the plan recorded here last round: the early micro-operator tail
-#:   (x5-x37) and the x40-x76 tail (both families had ZERO driver rows),
-#:   plus x250-x376 reps (x257/x258/x260/x261).
-#: Zero overlap with CORRECTNESS_r01-r04 except the deliberate
-#: x377 and s2 rechecks.  Everything previously verified stays green
-#: via the local DuckDB mirror (tests/test_correctness.py, all queries,
-#: serialization-strict like the driver's hash).  Queries not listed
-#: follow in stable module order; total set is 445 (query-count growth
-#: frozen this round — verdict task 3: no new queries until driver
-#: coverage crosses ~60%).
+#:   the r05 plan: the x7/x8 early tail (x78-x92), the x9 tail
+#:   (x110-x129), and the x10 tail (x101-x146).
+#: Everything previously verified stays green via the local DuckDB
+#: mirror (tests/test_correctness.py, all queries, serialization-strict
+#: like the driver's hash).  Queries not listed follow in stable module
+#: order; total set is 445 (query-count freeze HELD per verdict task 6:
+#: no new queries until driver coverage crosses 66%).
 #:
-#: Round-6 rotation plan (for the next session): after r05 lands,
-#: driver coverage is ~244/445; fill the next window from the remaining
-#: never-checked ids, continuing thinnest-module-first — the x10 tail
-#: (x101-x103, x105, x109, x123, x125-x127, x131, x132, x134, x135,
-#: x140-x163), the x9 tail (x110, x112, x113, x116-x118, x121, x128,
-#: x129, x139), the x11 tail (x165-x214 not yet covered), the x14 tail
-#: (x238-x240, x242, x244, x245, x248, x249, x251, x252, x254, x255),
-#: and the x250-x376 statistical tail.  Keep zero overlap with
-#: CORRECTNESS_r01-r05.
+#: Round-7 rotation plan (for the next session): after r06 lands,
+#: driver coverage is ~291/445; fill the next window from the remaining
+#: never-checked ids, continuing thinnest-module-first — the x10
+#: remnants (x143, x147, x148, x151-x163), the x11 tail
+#: (x165-x214 not yet covered: x165, x166, x168, x169, x171-x175,
+#: x177-x204, x211, x214), the x14 tail (x238-x254), and the
+#: x250-x376 statistical tail (x264 onward).  Keep zero overlap with
+#: CORRECTNESS_r01-r06 unless code changes force rechecks.
 CHECK_PRIORITY = (
-    # rechecks: the r04 err row (oracle added) + the stale s2 anchor
-    "x377_misra_gries_twin",
-    "s2_sliding",
-    # code changed this round (verdict task 4 + ADVICE.md fixes)
-    "x33_gapfill_interpolate",
-    "x130_user_trends",
-    "x212_neyman_allocation",
-    # early micro-operator tail (zero driver rows before this round)
-    "x5_token_counts",
-    "x6_fingerprint",
-    "x9_multimodal_binary",
-    "x12_percentiles",
-    "x14_time_rollup",
-    "x17_range_frame",
-    "x18_distribution_windows",
-    "x19_ordered_string_agg",
-    "x20_deterministic_sample",
-    "x21_pivot",
-    "x22_unpivot",
-    "x23_stats_agg",
-    "x25_repetition_metrics",
-    "x26_pii_redaction",
-    "x29_sequence_packing",
-    "x30_boilerplate_ngrams",
-    "x36_sessionize",
-    "x37_zscore_outliers",
-    # x40-x76 tail (zero driver rows before this round)
-    "x43_unigram_logprob",
-    "x46_snapshot_diff",
-    "x47_winsorize",
-    "x48_histogram",
-    "x50_tfidf_topk",
-    "x53_normalize_text",
-    "x54_segment_dedup",
-    "x55_embed_quantize",
-    "x56_global_index",
-    "x57_table_checksum",
-    "x60_fk_check",
-    "x62_gopher_rules",
-    "x64_dsir_select",
-    "x65_hll_distinct",
-    "x66_bigram_logprob",
-    "x67_ngram_novelty",
-    "x69_embed_center_norm",
-    "x70_cooccur_pmi",
-    "x71_vocab_encode",
-    "x72_weighted_sample",
-    "x73_shared_span_coverage",
-    "x74_stats_aggregates",
-    "x75_ewma",
-    # x250-x376 statistical-tail reps
-    "x257_spearman_quality",
-    "x258_kendall_sources",
-    "x260_t_closeness",
+    # rechecks (code changed this round, previously driver-checked):
+    # x119's leak count was rewritten to per-cluster tallies (no pair
+    # materialization — r05 verdict task 3); x120 lost its forced
+    # doc→source broadcast (verdict task 2's named site).
+    "x119_split_leakage",
+    "x120_cross_source_dups",
+    # never-checked queries whose CODE CHANGED this round — the r05
+    # discipline: hard rows land the same round the code moves.
+    # Unpartitioned-window conversions / grid checkpoints (task 5):
+    "x150_change_point",
+    "x197_cross_correlation",
+    "x200_ransac_trend",
+    "x213_sequential_monitor",
     "x261_acf_ljung_box",
+    "x263_changepoint",
+    "x267_theil_sen",
+    "x286_ks_exponential",
+    "x334_shuffle_quality",
+    "x360_peak_nms",
+    # broadcast-hint removals (task 2 sweep):
+    "x123_popularity_hitrate",
+    "x125_deletion_impact",
+    "x139_cold_start_parts",
+    "x140_supplier_scorecard",
+    "x141_brand_type_share",
+    "x142_discount_elasticity",
+    "x144_trade_matrix",
+    "x145_price_realization",
+    "x149_item_item_cf",
+    "x255_ndcg_popularity",
+    "x330_medoid_canonicals",
+    # plus x317: top-5 window offender, justified (not converted) in
+    # PERF.md — gets its hard row alongside the converted four.
+    "x317_burn_rate",
+    # never-checked backlog, thinnest-module-first (the r05 plan):
+    # x7/x8-series early tail
+    "x78_char_profile",
+    "x82_mad_outliers",
+    "x88_corpus_card",
+    "x91_truncation_cost",
+    "x92_source_quality_gate",
+    # x9-series tail
+    "x110_embed_dim_health",
+    "x112_kmv_accuracy_sweep",
+    "x113_mixture_temperature",
+    "x116_blocklist_screen",
+    "x117_quality_by_length",
+    "x118_label_separability",
+    "x121_prefix_filter_pairs",
+    "x128_mutual_information",
+    "x129_vocab_churn",
+    # x10-series tail
+    "x101_sampled_stats",
+    "x102_revenue_tieout",
+    "x103_partition_balance",
+    "x105_seasonality_profile",
+    "x109_tokenizer_fertility",
+    "x126_join_cardinality_estimate",
+    "x127_sla_attainment",
+    "x131_fold_balance",
+    "x132_funnel_by_first_touch",
+    "x134_repeat_purchase_gaps",
+    "x135_trailing_anomalies",
+    "x146_session_depth_conversion",
 )
 
 #: The driver verifies a window of this size in iteration order; the
