@@ -252,6 +252,14 @@ def neardup_clusters(
     components are shallow, so 2–3 rounds in practice.  The only
     driver-side value is the per-round convergence flag (one scalar).
 
+    r06: rounds run over EDGE-INCIDENT nodes only — a singleton doc's
+    label can never change, so propagating |corpus| labels per round
+    (as before) did |corpus|/|edge nodes| times too much join,
+    aggregate, and checkpoint work.  Singletons rejoin as their own
+    cluster at the end via one left join.  At realistic near-dup
+    incidence (a few percent of the corpus touches any edge) this cuts
+    per-round cost by 10-100×; output is identical.
+
     Lineage: the edge relation and each round's labels are eagerly
     ``localCheckpoint``-ed — without the cut, every round's plan embeds
     the full shingle-join lineage again and downstream consumers
@@ -268,7 +276,13 @@ def neardup_clusters(
         .unionByName(pairs.toDF("dst", "src"))
         .localCheckpoint(eager=True)
     )
-    labels = df.select(F.col(id_col).alias("id"), F.col(id_col).alias("lab"))
+    # Both directions are present, so src alone covers every incident node.
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("lab", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iters):
         neigh = (
@@ -300,9 +314,13 @@ def neardup_clusters(
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
 
-    # labels is already materialized by the final round's localCheckpoint;
-    # multi-action consumers re-read the checkpoint blocks, not the lineage.
-    return labels.select(F.col("id").alias(id_col), F.col("lab").alias("cluster_id"))
+    # labels is materialized by the final round's localCheckpoint (or the
+    # initial one when there are no edges); singleton docs — never in any
+    # pair — are their own cluster and rejoin with one left join.
+    return df.select(F.col(id_col).alias("id")).join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("lab"), F.col("id")).alias("cluster_id"),
+    )
 
 
 def minhash_signature_cols(num_hashes: int) -> list[Column]:
