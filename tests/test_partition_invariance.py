@@ -28,6 +28,14 @@ SENSITIVE = [
     "x234_uncertainty_sampling",  # TakeOrdered + bounded rank window
     "x176_source_set_cover",   # greedy argmax loop over broadcast picks
     "x227_dsir_selection",     # TakeOrdered top-k with rank attach
+    # r06 ordered-op conversions: median ranks over the grid² slope
+    # relation / distributed 1-lead inter-arrivals — the range-partition
+    # boundary must never leak into the reported values.
+    "x267_theil_sen",
+    "x286_ks_exponential",
+    # r06 edge-incident propagation: singleton rejoin must not depend
+    # on partitioning.
+    "x27_neardup_clusters",
 ]
 
 
