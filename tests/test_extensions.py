@@ -1021,3 +1021,20 @@ def test_frame_sample_real_path_extracts_gif_frames_as_png():
 
     with _pytest.raises(NotImplementedError):
         _frame_sample_stub(b"mp4-bytes", 250, 3, fake=False)
+
+
+def test_neardup_clusters_no_edges_all_singletons(spark):
+    """r06 edge-incident propagation: with NO qualifying pair the label
+    relation starts empty and every doc must come back as its own
+    cluster through the singleton left-join path."""
+    from social_warner_spark.operators.dedup import neardup_clusters
+
+    rows = [
+        (1, "aa bb cc dd ee ff"),
+        (2, "gg hh ii jj kk ll"),
+        (7, "mm nn oo pp qq rr"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(df, threshold=0.5).collect()}
+    assert got == {1: 1, 2: 2, 7: 7}
+
