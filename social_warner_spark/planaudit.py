@@ -19,6 +19,17 @@ provably bounded relation (corpus-stat rows, calendar grids, top-k
 shortlists, |sources|-sized aggregates); the ratchet pins those counts
 so a refactor that pushes a CORPUS-sized relation through a global
 window (what gapfill_interpolate did before r05) fails the suite.
+
+BroadcastHint (r06 addition) counts ResolvedHint nodes in the ANALYZED
+logical plan — every explicit ``F.broadcast()`` surviving to the final
+query (hints inside eagerly-checkpointed sub-relations are gone with
+their lineage).  r06 stripped every hint from SF-scaling relations (an
+explicit hint bypasses autoBroadcastJoinThreshold, so it would force a
+corpus-sized broadcast at 100 TB where AQE would demote to a shuffle
+join); the surviving hints sit on provably bounded relations only
+(constant dims, 1-row stats, value-domain grids, top-k shortlists,
+probe sets, P-row offsets).  The pin makes re-adding a hint a
+conscious baseline edit, not a silent drift.
 """
 
 from __future__ import annotations
@@ -36,6 +47,7 @@ SHAPE_KEYS = (
     "BroadcastNestedLoopJoin",
     "CartesianProduct",
     "UnpartitionedWindow",
+    "BroadcastHint",
 )
 
 #: Sort-order marker inside a windowspecdefinition argument.
@@ -103,15 +115,21 @@ def plan_shape_counts(
 
     queries = all_queries()
     out: dict[str, dict[str, int]] = {}
+    derived = ("UnpartitionedWindow", "BroadcastHint")
     for name in names if names is not None else sorted(queries):
         release_persisted_intermediates()
         spark.catalog.clearCache()
+        df = queries[name](spark, sf_dir)
+        # Analysis only — no execution; ResolvedHint nodes are erased by
+        # the optimizer, so the analyzed plan is where hints are visible.
+        analyzed = df._jdf.queryExecution().analyzed().toString()
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
-            queries[name](spark, sf_dir).explain("formatted")
+            df.explain("formatted")
         plan = buf.getvalue()
-        counts = {k: plan.count(k) for k in SHAPE_KEYS if k != "UnpartitionedWindow"}
+        counts = {k: plan.count(k) for k in SHAPE_KEYS if k not in derived}
         counts["UnpartitionedWindow"] = _count_unpartitioned_windows(plan)
+        counts["BroadcastHint"] = analyzed.count("ResolvedHint")
         out[name] = counts
     return out
 
