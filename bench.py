@@ -14,6 +14,15 @@ headline set changes):
   queries hardest (±40% observed).
 - the 1-minute load average is recorded before and after so a noisy run
   is visible in the artifact itself.
+- r07 (verdict task 8 — BENCH artifacts keep being polluted by shared-
+  host load; r06's driver run at loadavg 6.8 made three sub-second
+  queries look 7x slower): the detail artifact additionally records the
+  PER-QUERY start loadavg ("queries_loadavg"), and any headline query
+  whose median moved >1.5x vs the most recent BENCH_r*.json artifact is
+  AUTOMATICALLY re-measured with a 5-run median after the main sweep
+  ("isolated_rechecks") — the same isolated re-measure the r05/r06
+  judges ran by hand.  Read isolated_rechecks before believing a
+  regression in "queries".
 - each run is executed to completion with a count() action (forces full
   evaluation without driver-side result materialization dominating);
   persisted intermediates are released between runs so run k+1 never
@@ -102,6 +111,26 @@ HEADLINE = [
 ]
 
 
+def _previous_round_medians() -> dict[str, float]:
+    """Per-query medians from the most recent BENCH_r*.json artifact
+    (the driver records one per round) — the round-over-round reference
+    for the isolated-recheck protocol.  Missing/unparseable artifacts
+    mean no rechecks, never a bench failure."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not arts:
+        return {}
+    try:
+        with open(arts[-1]) as f:
+            data = json.load(f)
+        q = data.get("queries", {})
+        return {k: float(v) for k, v in q.items()}
+    except (OSError, ValueError, TypeError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -127,7 +156,9 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     load_before = os.getloadavg()
     all_runs: dict[str, list[float]] = {}
+    query_loadavg: dict[str, float] = {}
     for name in HEADLINE:
+        query_loadavg[name] = round(os.getloadavg()[0], 2)
         runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
@@ -139,6 +170,36 @@ def main() -> None:
 
     medians = {name: round(statistics.median(r), 3) for name, r in all_runs.items()}
     total = round(sum(medians.values()), 3)
+
+    # Isolated recheck protocol (r07): compare against the most recent
+    # round artifact; any query whose median moved >1.5x in EITHER
+    # direction gets a 5-run re-measure at the end of the sweep, when
+    # nothing else from this bench is running.  Shared-host load from
+    # OTHER tenants can still pollute it — the per-query loadavg is the
+    # tell — but this catches the common case where one crosstalk spike
+    # hit one query mid-sweep.
+    isolated: dict[str, dict] = {}
+    prev = _previous_round_medians()
+    for name, med in medians.items():
+        p = prev.get(name)
+        if not p or p <= 0:
+            continue
+        ratio = med / p
+        if ratio > 1.5 or ratio < 1 / 1.5:
+            la = round(os.getloadavg()[0], 2)
+            runs = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).count()
+                runs.append(round(time.perf_counter() - t0, 3))
+                release_persisted_intermediates()
+            isolated[name] = {
+                "prev_median": p,
+                "sweep_median": med,
+                "runs": runs,
+                "median": round(statistics.median(runs), 3),
+                "loadavg_start": la,
+            }
     # Full 3-run detail goes to a repo artifact (the driver's stdout tail
     # keeps only the last ~2000 chars, which truncated the r02/r03
     # records); stdout gets ONE compact line — 2-decimal medians, no
@@ -158,6 +219,8 @@ def main() -> None:
                 "runs": n_runs,
                 "queries_all_runs": all_runs,
                 "loadavg": [round(x, 2) for x in (*load_before, *load_after)],
+                "queries_loadavg": query_loadavg,
+                "isolated_rechecks": isolated,
             },
             f,
             indent=1,

@@ -433,13 +433,54 @@ def minhash_neardup_pairs(
     n: int = 3,
 ) -> DataFrame:
     """MinHash+LSH candidates, verified with exact Jaccard (so output is
-    exact-precision; recall is the approximate part, tested by tolerance)."""
+    exact-precision; recall is the approximate part, tested by tolerance).
+
+    r07: verification RE-SCORES THE CANDIDATE PAIRS ONLY — the same
+    shape as exact_jaccard_pairs' max_doc_freq branch (join the pair
+    relation to the full shingle relation twice on equi-keys, count
+    shared shingles).  The old form joined candidates against the FULL
+    exact_jaccard_pairs output, so the corpus-wide shingle self-join ran
+    regardless and the "scale path" cost ≥ the exact path it fronts
+    (r06 verdict task 1).  Now every join is keyed by candidate id or
+    (id, shingle): shuffle ∝ |candidates|·avg|doc shingles|, never
+    corpus².  Output is unchanged — candidates ∩ {J ≥ threshold}, with
+    the identical 6dp-rounded exact Jaccard.
+
+    The shingle relation feeds signatures, sizes, AND the rescore —
+    persisted once (registered for host release, caching.py)."""
+    from social_warner_spark.caching import register_persisted
+
+    sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
     cands = lsh_candidate_pairs(
-        minhash_signatures(df, num_hashes, text_col, id_col, n), bands, rows_per_band, id_col
+        minhash_signatures(df, num_hashes, text_col, id_col, n, shingles=sh),
+        bands,
+        rows_per_band,
+        id_col,
+    ).select(F.col("doc_id_a").alias("a"), F.col("doc_id_b").alias("b"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    # exact re-score over the FULL shingle sets: (b, shingle) is an
+    # equi-join key, so no row explosion beyond |cands| · |A|.  Every
+    # LSH candidate shares its banding shingle, so the inner join loses
+    # no pair with J > 0 (and a shared-nothing pair has J = 0 < t).
+    shared = (
+        cands.join(sh.select(F.col(id_col).alias("a"), "shingle"), "a")
+        .join(sh.select(F.col(id_col).alias("b"), "shingle"), ["b", "shingle"])
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("shared"))
     )
-    exact = exact_jaccard_pairs(df, threshold, text_col, id_col, n)
-    return cands.join(exact, ["doc_id_a", "doc_id_b"]).select(
-        "doc_id_a", "doc_id_b", "jaccard"
+    return (
+        shared.join(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a").alias("doc_id_a"), F.col("b").alias("doc_id_b"), "jaccard"
+        )
     )
 
 

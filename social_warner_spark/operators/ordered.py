@@ -41,6 +41,22 @@ from pyspark.sql.types import (
 )
 
 
+def _require_integral(df: DataFrame, cols: list[str], who: str) -> None:
+    """Running sums and their prefix offsets are carried as longs —
+    EXACT for integral sources only.  Decimal sources would silently
+    truncate and float sources would re-associate across the partition
+    boundary; both are rejected before any work happens."""
+    from pyspark.sql.types import ByteType, ShortType
+
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    for c in cols:
+        if not isinstance(df.schema[c].dataType, integral):
+            raise TypeError(
+                f"{who} requires an integral source column; "
+                f"{c!r} is {df.schema[c].dataType.simpleString()}"
+            )
+
+
 def _range_staged(df: DataFrame, order_cols: list, num_partitions: int | None):
     """repartitionByRange + ascending partition id column ``_pid``.
 
@@ -151,17 +167,12 @@ def with_global_cumsum(
     summation across the partition boundary — both are rejected up
     front (ADVICE r05: the old docstring claimed decimal support the
     long-typed offsets could not deliver)."""
-    from pyspark.sql.types import ByteType, ShortType
-
-    staged = _range_staged(df, order_cols, num_partitions)
     srcs = sorted(set(sum_cols.values()))
-    integral = (ByteType, ShortType, IntegerType, LongType)
-    for c in srcs:
-        if not isinstance(df.schema[c].dataType, integral):
-            raise TypeError(
-                f"with_global_cumsum requires an integral source column; "
-                f"{c!r} is {df.schema[c].dataType.simpleString()}"
-            )
+    _require_integral(df, srcs, "with_global_cumsum")
+    # the type check above needs only df.schema — running it first means
+    # the TypeError path never leaves a registered persisted staged
+    # relation behind (ADVICE r06).
+    staged = _range_staged(df, order_cols, num_partitions)
     totals = {
         r["_pid"]: r
         for r in staged.groupBy("_pid")
@@ -238,6 +249,120 @@ def with_global_cummax_excl(
         .withColumn(out_col, F.greatest(F.max(val_col).over(w), F.col("_prior")))
         .drop("_pid", "_prior")
     )
+
+
+def _grouped_staged(df: DataFrame, group_cols: list[str], order_cols: list, num_partitions: int | None):
+    """Range-stage on (group, order): every group's rows are contiguous
+    across ascending partition ids, and a partition holds a contiguous
+    run of groups — so the per-(partition, group) boundary relation has
+    at most P + G − 1 rows (each partition adds one row per group it
+    touches; only the group straddling a boundary repeats).
+
+    This is the grouped counterpart of the global primitives above,
+    built for LOW-CARDINALITY group keys (lang/source): there,
+    ``Window.partitionBy(group)`` routes the whole corpus through ~G
+    reducer tasks — one dominant language at 100 TB is a single-task
+    sort in disguise (r06 verdict).  Range-partitioning on (group,
+    order) keeps every partition at ~|corpus|/P rows NO MATTER how
+    skewed the group mix is; the driver-side collect stays bounded by
+    P + G − 1.  (For high-cardinality groups a plain hash-partitioned
+    window is already balanced — use that instead.)"""
+    return _range_staged(df, [*group_cols, *order_cols], num_partitions)
+
+
+def with_grouped_rank(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    rank_col: str = "_grank",
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append the exact ``row_number() over (PARTITION BY group_cols
+    ORDER BY order_cols)`` without routing each group through one task:
+    range partition on (group, order), per-(partition, group) local
+    row_number, plus broadcast prefix offsets from a ≤(P+G−1)-row
+    boundary collect.  The (group, order) key must be a total order
+    (include a unique tiebreaker).
+
+    ``count_col`` (optional) also appends the group's TOTAL row count —
+    free from the same boundary collect (a G-row broadcast join), so
+    rank-position math (rn−1)/(n−1) needs no second corpus aggregation
+    and no ``count(*) over (partition by group)`` window."""
+    staged = _grouped_staged(df, group_cols, order_cols, num_partitions)
+    rows = staged.groupBy("_pid", *group_cols).agg(F.count("*").alias("c")).collect()
+    acc: dict[tuple, int] = {}
+    offsets = []
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        offsets.append((r["_pid"], *g, acc.get(g, 0)))
+        acc[g] = acc.get(g, 0) + r["c"]
+    gtypes = [StructField(c, df.schema[c].dataType) for c in group_cols]
+    off_schema = StructType(
+        [StructField("_pid", IntegerType()), *gtypes, StructField("_off", LongType())]
+    )
+    off = df.sparkSession.createDataFrame(offsets or [], off_schema)
+    w = Window.partitionBy("_pid", *group_cols).orderBy(*order_cols)
+    out = (
+        staged.join(F.broadcast(off), ["_pid", *group_cols])
+        .withColumn(rank_col, F.row_number().over(w).cast("long") + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+    if count_col is not None:
+        totals = df.sparkSession.createDataFrame(
+            [(*g, n) for g, n in sorted(acc.items())] or [],
+            StructType([*gtypes, StructField(count_col, LongType())]),
+        )
+        out = out.join(F.broadcast(totals), group_cols)
+    return out
+
+
+def with_grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    sum_cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append inclusive per-group running sums over the (group, order)
+    total order — ``sum_cols`` maps output name → source column —
+    without a per-group single-task sort: range partition on (group,
+    order), per-(partition, group) cumulative window, broadcast
+    per-(partition, group) prefix totals (≤(P+G−1)-row collect).
+
+    EXACT for INTEGRAL sources only, same contract (and reason) as
+    with_global_cumsum."""
+    srcs = sorted(set(sum_cols.values()))
+    _require_integral(df, srcs, "with_grouped_cumsum")
+    staged = _grouped_staged(df, group_cols, order_cols, num_partitions)
+    rows = staged.groupBy("_pid", *group_cols).agg(
+        *[F.sum(c).alias(c) for c in srcs]
+    ).collect()
+    acc: dict[tuple, dict[str, int]] = {}
+    offsets = []
+    for r in sorted(rows, key=lambda r: r["_pid"]):
+        g = tuple(r[c] for c in group_cols)
+        cur = acc.setdefault(g, {c: 0 for c in srcs})
+        offsets.append((r["_pid"], *g, *[cur[c] for c in srcs]))
+        for c in srcs:
+            cur[c] += r[c] or 0
+    gtypes = [StructField(c, df.schema[c].dataType) for c in group_cols]
+    off_schema = StructType(
+        [StructField("_pid", IntegerType()), *gtypes]
+        + [StructField(f"_off_{c}", LongType()) for c in srcs]
+    )
+    off = df.sparkSession.createDataFrame(offsets or [], off_schema)
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = staged.join(F.broadcast(off), ["_pid", *group_cols])
+    for name, src in sum_cols.items():
+        out = out.withColumn(
+            name, F.sum(src).over(w).cast("long") + F.col(f"_off_{src}")
+        )
+    return out.drop("_pid", *[f"_off_{c}" for c in srcs])
 
 
 def with_global_lead_structs(

@@ -30,6 +30,15 @@ join); the surviving hints sit on provably bounded relations only
 (constant dims, 1-row stats, value-domain grids, top-k shortlists,
 probe sets, P-row offsets).  The pin makes re-adding a hint a
 conscious baseline edit, not a silent drift.
+
+LowCardPartitionWindow (r07 addition) counts window specs partitioned
+SOLELY by declared low-cardinality columns (LOW_CARD_COLS) — at 100 TB
+such a window routes the corpus through ~|key| reducer tasks (one
+dominant language = one straggler sorting most of the corpus).  The
+grouped ordered-op primitives (operators/ordered.py
+with_grouped_cumsum/rank) are the scale-safe replacement; bounded
+survivors (vocab-keyed stat relations, WindowGroupLimit-capped top-k)
+are pinned with justifications in PERF.md.
 """
 
 from __future__ import annotations
@@ -48,10 +57,102 @@ SHAPE_KEYS = (
     "CartesianProduct",
     "UnpartitionedWindow",
     "BroadcastHint",
+    "LowCardPartitionWindow",
 )
 
 #: Sort-order marker inside a windowspecdefinition argument.
 _ORDER_MARK = re.compile(r" (?:ASC|DESC) NULLS")
+
+#: Bare attribute rendering in a physical plan: ``name#17`` with an
+#: optional type-suffix letter run (``doc_id#0L``).
+_BARE_ATTR = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*)#\d+[A-Za-z]*$")
+
+#: Declared LOW-CARDINALITY columns (≤ ~25 distinct values in the data
+#: model: ~10 langs, a handful of sources/event types, 3 order statuses
+#: / return flags, 25 nations / brands).  A window PARTITIONED solely by
+#: these over a corpus-scale relation is the r06 verdict's second silent
+#: 100 TB killer: hash-partitioning on a ~10-value key routes the whole
+#: relation through ~10 reducer tasks — one dominant language IS the
+#: single-partition sort the UnpartitionedWindow metric already pins,
+#: just wearing a PARTITION BY.  Bounded survivors (vocab-keyed stat
+#: relations, WindowGroupLimit-capped top-k) are pinned by the baseline
+#: with justifications in PERF.md.
+LOW_CARD_COLS = frozenset(
+    {"lang", "source", "event_type", "o_orderstatus", "l_returnflag", "n_name", "p_brand"}
+)
+
+
+def _window_specs(plan: str) -> list[list[str]]:
+    """Top-level argument lists of every windowspecdefinition in `plan`.
+
+    Balanced-paren split; newlines are treated as ordinary whitespace
+    (ADVICE r06: Spark currently renders a full spec on one physical
+    line, but a rendering change must not hard-fail the audit — only a
+    spec whose parens never close, i.e. a genuinely truncated plan,
+    raises).
+    """
+    specs: list[list[str]] = []
+    idx = 0
+    token = "windowspecdefinition("
+    while True:
+        i = plan.find(token, idx)
+        if i < 0:
+            return specs
+        j = i + len(token)
+        depth = 1
+        args: list[str] = []
+        start = j
+        k = j
+        end = len(plan)
+        while k < end and depth > 0:
+            ch = plan[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(plan[start:k].strip())
+            elif ch == "," and depth == 1:
+                args.append(plan[start:k].strip())
+                start = k + 1
+            k += 1
+        if depth > 0:
+            raise ValueError(
+                "unclassifiable windowspecdefinition (truncated plan?): "
+                + plan[i : i + 200]
+            )
+        specs.append(args)
+        idx = j
+
+
+def _partition_args(args: list[str]) -> list[str]:
+    """The PARTITION BY prefix of a windowspecdefinition argument list —
+    everything before the first ordering expression (``… ASC/DESC NULLS
+    …``) or, for order-less global frames, the specifiedwindowframe."""
+    out: list[str] = []
+    for a in args:
+        if _ORDER_MARK.search(a) or a.startswith("specifiedwindowframe("):
+            break
+        out.append(a)
+    return out
+
+
+def _count_lowcard_partition_windows(plan: str) -> int:
+    """Count specs whose partition key set consists ENTIRELY of declared
+    low-cardinality columns (LOW_CARD_COLS) — the r07 metric.  A key set
+    containing any other column (a user id, a day, a token) is fine: the
+    combined cardinality is what bounds the biggest reducer task.
+    Expression-valued partition args are not classified (conservative:
+    the declared queries partition on bare attributes)."""
+    n = 0
+    for args in _window_specs(plan):
+        parts = _partition_args(args)
+        if not parts:
+            continue
+        bases = [_BARE_ATTR.match(p) for p in parts]
+        if all(b and b.group(1) in LOW_CARD_COLS for b in bases):
+            n += 1
+    return n
 
 
 def _count_unpartitioned_windows(plan: str) -> int:
@@ -60,50 +161,9 @@ def _count_unpartitioned_windows(plan: str) -> int:
     A spec is unpartitioned iff its FIRST top-level argument is already
     an ordering expression (``... ASC/DESC NULLS ...``) or — degenerate
     global frame with no ordering either — the ``specifiedwindowframe``
-    itself.  The old regex only matched bare-attribute order columns
-    (``col#N ASC``); an expression-valued order argument (a cast or
-    function call, which renders with parens/commas) slipped through
-    uncounted (ADVICE r05).  This parser splits the first top-level
-    argument with balanced parens and classifies EVERY spec; a spec it
-    cannot delimit (e.g. a truncated plan line) raises instead of
-    silently undercounting.
-    """
-    n = 0
-    idx = 0
-    token = "windowspecdefinition("
-    while True:
-        i = plan.find(token, idx)
-        if i < 0:
-            return n
-        j = i + len(token)
-        line_end = plan.find("\n", j)
-        if line_end < 0:
-            line_end = len(plan)
-        depth = 1
-        first_arg_end = None
-        k = j
-        while k < line_end and depth > 0:
-            ch = plan[k]
-            if ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-                if depth == 0 and first_arg_end is None:
-                    first_arg_end = k
-            elif ch == "," and depth == 1 and first_arg_end is None:
-                first_arg_end = k
-            k += 1
-        if depth > 0 or first_arg_end is None:
-            raise ValueError(
-                "unclassifiable windowspecdefinition (truncated plan line?): "
-                + plan[i:line_end][:200]
-            )
-        first_arg = plan[j:first_arg_end]
-        if _ORDER_MARK.search(first_arg) or first_arg.startswith(
-            "specifiedwindowframe("
-        ):
-            n += 1
-        idx = j
+    itself (expression-valued order args included; ADVICE r05).  Parsing
+    is shared with the low-card metric (_window_specs)."""
+    return sum(1 for args in _window_specs(plan) if not _partition_args(args))
 
 
 def plan_shape_counts(
@@ -115,7 +175,7 @@ def plan_shape_counts(
 
     queries = all_queries()
     out: dict[str, dict[str, int]] = {}
-    derived = ("UnpartitionedWindow", "BroadcastHint")
+    derived = ("UnpartitionedWindow", "BroadcastHint", "LowCardPartitionWindow")
     for name in names if names is not None else sorted(queries):
         release_persisted_intermediates()
         spark.catalog.clearCache()
@@ -129,7 +189,13 @@ def plan_shape_counts(
         plan = buf.getvalue()
         counts = {k: plan.count(k) for k in SHAPE_KEYS if k not in derived}
         counts["UnpartitionedWindow"] = _count_unpartitioned_windows(plan)
-        counts["BroadcastHint"] = analyzed.count("ResolvedHint")
+        counts["LowCardPartitionWindow"] = _count_lowcard_partition_windows(plan)
+        # Strategy-matched (ADVICE r06): a future hint('merge') /
+        # hint('shuffle_hash') must not be tallied as a broadcast hint.
+        # Blind spot, by construction: hints upstream of an eager
+        # localCheckpoint are invisible here (the checkpoint cut their
+        # lineage) — noted in tests/test_plan_hygiene.py for reviewers.
+        counts["BroadcastHint"] = analyzed.count("ResolvedHint (strategy=broadcast")
         out[name] = counts
     return out
 

@@ -121,103 +121,96 @@ NO_ORACLE = frozenset()
 #: iteration order (a bounded window), so the dict is emitted with the
 #: 50 queries that most need a driver CORRECTNESS row first.
 #:
-#: Round-6 rotation (per the round-5 verdict; backlog after r05 =
-#: 202 never-checked of 445 declared):
-#: - x119/x120 re-enter as deliberate rechecks: both were named by
-#:   verdict tasks 2-3 and their code changed this round (x119's
-#:   pair-free tally rewrite; x120's forced doc→source broadcast
-#:   dropped).  x261 (driver-checked r05) also re-enters because its
-#:   grid gained a localCheckpoint this round.  These three are the
-#:   only overlap with CORRECTNESS_r01-r05.
-#: - Every never-checked query whose code moved this round gets its
-#:   hard row now (the r05 discipline): the ten unpartitioned-window
-#:   conversions/checkpoints (x150/x197/x200/x213/x261/x263/x267/
-#:   x286/x334/x360), the eleven broadcast-hint removals
-#:   (x123/x125/x139/x140/x141/x142/x144/x145/x149/x255/x330), and
-#:   x317 (top-5 window offender, justified in PERF.md rather than
-#:   converted).
-#: - The rest is the never-checked backlog, thinnest-module-first per
-#:   the r05 plan: the x7/x8 early tail (x78-x92), the x9 tail
-#:   (x110-x129), and the x10 tail (x101-x146).
+#: Round-7 rotation (per the round-6 verdict; backlog after r06 =
+#: 155 never-checked of 445 declared):
+#: - Nine rechecks, every one forced by a code move this round (the r05
+#:   discipline — hard rows land the same round the code moves):
+#:   x15 (verdict task 1: LSH verification rewritten to candidate-only
+#:   rescore), x29/x31/x42 (task 2: per-lang packing/budget windows
+#:   converted to grouped distributed cumsum), x18/x68/x208 (task 3
+#:   follow-through: the remaining full-rank corpus windows keyed by
+#:   3-5-value columns became grouped distributed ranks), x119
+#:   (ADVICE: Σ ct·ch now decimal-exact behind a bounds guard), x267
+#:   (ADVICE: rank keys gained deterministic tiebreakers).
+#: - x223 and x166 are never-checked AND named by verdict task 2:
+#:   x223's per-source rank/count windows became grouped distributed
+#:   ranks; x166 stays (its plan already IS the two-phase grouped
+#:   top-k — WindowGroupLimit Partial before the shuffle — pinned by a
+#:   plan test this round) and gets its first hard row.
+#: - The remaining 39 are the never-checked backlog in the r06 plan's
+#:   order: the x10 remnants (x143/x147/x148/x151-x163), then the x11
+#:   tail (x165-x193).
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries, serialization-strict
 #: like the driver's hash).  Queries not listed follow in stable module
 #: order; total set is 445 (query-count freeze HELD per verdict task 6:
-#: no new queries until driver coverage crosses 66%).
+#: no new queries until driver coverage crosses 75%).
 #:
-#: Round-7 rotation plan (for the next session): after r06 lands,
-#: driver coverage is ~291/445; fill the next window from the remaining
-#: never-checked ids, continuing thinnest-module-first — the x10
-#: remnants (x143, x147, x148, x151-x163), the x11 tail
-#: (x165-x214 not yet covered: x165, x166, x168, x169, x171-x175,
-#: x177-x204, x211, x214), the x14 tail (x238-x254), and the
-#: x250-x376 statistical tail (x264 onward).  Keep zero overlap with
-#: CORRECTNESS_r01-r06 unless code changes force rechecks.
+#: Round-8 rotation plan (for the next session): after r07 lands,
+#: driver coverage is ~331/445 (74%); fill the next window from the
+#: remaining never-checked ids — the x11/x12 remainder (x195-x204,
+#: x211, x214, x222-x245), then the statistical tail (x264 onward:
+#: x264, x265, x266, x268, x269, x271, x273-x278, x280, x281,
+#: x283-x285, x288-x299, x301-x376 gaps).  Keep zero overlap with
+#: CORRECTNESS_r01-r07 unless code changes force rechecks.
 CHECK_PRIORITY = (
     # rechecks (code changed this round, previously driver-checked):
-    # x119's leak count was rewritten to per-cluster tallies (no pair
-    # materialization — r05 verdict task 3); x120 lost its forced
-    # doc→source broadcast (verdict task 2's named site).
+    "x15_minhash_lsh_pairs",
+    "x29_sequence_packing",
+    "x31_full_pipeline",
+    "x42_budget_selection",
     "x119_split_leakage",
-    "x120_cross_source_dups",
-    # never-checked queries whose CODE CHANGED this round — the r05
-    # discipline: hard rows land the same round the code moves.
-    # Unpartitioned-window conversions / grid checkpoints (task 5):
-    "x150_change_point",
-    "x197_cross_correlation",
-    "x200_ransac_trend",
-    "x213_sequential_monitor",
-    "x261_acf_ljung_box",
-    "x263_changepoint",
     "x267_theil_sen",
-    "x286_ks_exponential",
-    "x334_shuffle_quality",
-    "x360_peak_nms",
-    # broadcast-hint removals (task 2 sweep):
-    "x123_popularity_hitrate",
-    "x125_deletion_impact",
-    "x139_cold_start_parts",
-    "x140_supplier_scorecard",
-    "x141_brand_type_share",
-    "x142_discount_elasticity",
-    "x144_trade_matrix",
-    "x145_price_realization",
-    "x149_item_item_cf",
-    "x255_ndcg_popularity",
-    "x330_medoid_canonicals",
-    # plus x317: top-5 window offender, justified (not converted) in
-    # PERF.md — gets its hard row alongside the converted four.
-    "x317_burn_rate",
-    # never-checked backlog, thinnest-module-first (the r05 plan):
-    # x7/x8-series early tail
-    "x78_char_profile",
-    "x82_mad_outliers",
-    "x88_corpus_card",
-    "x91_truncation_cost",
-    "x92_source_quality_gate",
-    # x9-series tail
-    "x110_embed_dim_health",
-    "x112_kmv_accuracy_sweep",
-    "x113_mixture_temperature",
-    "x116_blocklist_screen",
-    "x117_quality_by_length",
-    "x118_label_separability",
-    "x121_prefix_filter_pairs",
-    "x128_mutual_information",
-    "x129_vocab_churn",
-    # x10-series tail
-    "x101_sampled_stats",
-    "x102_revenue_tieout",
-    "x103_partition_balance",
-    "x105_seasonality_profile",
-    "x109_tokenizer_fertility",
-    "x126_join_cardinality_estimate",
-    "x127_sla_attainment",
-    "x131_fold_balance",
-    "x132_funnel_by_first_touch",
-    "x134_repeat_purchase_gaps",
-    "x135_trailing_anomalies",
-    "x146_session_depth_conversion",
+    # rechecks forced by the LowCardPartitionWindow conversions (task
+    # 2/3 follow-through: the remaining full-rank corpus windows keyed
+    # by 3-5-value columns became grouped distributed ranks):
+    "x18_distribution_windows",
+    "x68_quantile_sketch",
+    "x208_conformal",
+    # never-checked, named by verdict task 2 (code moved / plan pinned):
+    "x223_quantile_normalize",
+    "x166_stratified_weighted_sample",
+    # never-checked backlog: x10-series remnants
+    "x143_basket_economics",
+    "x147_activation_lag",
+    "x148_acctbal_risk",
+    "x151_triplet_mining",
+    "x152_curriculum_deciles",
+    "x153_multi_benchmark_decontamination",
+    "x154_consistent_hash_rebalance",
+    "x155_effective_tokens",
+    "x156_source_epochs",
+    "x157_burstiness",
+    "x158_session_type_lift",
+    "x159_signal_agreement",
+    "x160_k_anonymity",
+    "x161_pair_budget_forecast",
+    "x162_ann_bucket_budget",
+    "x163_error_budget",
+    # never-checked backlog: x11-series tail
+    "x165_mixed_language",
+    "x168_jackknife_sources",
+    "x169_effective_sample_size",
+    "x171_bpe_encode",
+    "x172_ks_drift",
+    "x173_jl_distortion",
+    "x174_user_typicality",
+    "x175_benford_audit",
+    "x177_langid_eval",
+    "x178_twopass_median",
+    "x179_subtree_rollup",
+    "x180_sorted_neighborhood",
+    "x181_budget_waterfill",
+    "x182_eb_shrinkage",
+    "x183_kaplan_meier",
+    "x184_rank_auc",
+    "x186_dp_noisy_counts",
+    "x187_heaps_law",
+    "x188_logreg_gd",
+    "x189_cohens_kappa",
+    "x190_skyline",
+    "x191_good_turing",
+    "x193_adjusted_rand",
 )
 
 #: The driver verifies a window of this size in iteration order; the

@@ -2514,11 +2514,22 @@ def x208_conformal(spark, sf_dir):
     mu = cal.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.count("*").alias("n_cal")
     )
+    # r07: per-type residual ranks as GROUPED distributed ranks —
+    # calibration events scale with SF and event_type has 5 values, so
+    # Window.partitionBy(event_type) was five single-task sorts at
+    # 100 TB.  q̂ picks the residual VALUE at a fixed order statistic
+    # (tie-insensitive); event_id joins the key only as the total-order
+    # tiebreaker the helper contract wants.
+    from social_warner_spark.operators.ordered import with_grouped_rank
+
     resid = cal.join(F.broadcast(mu), "event_type").select(
-        "event_type", "n_cal", "mu", F.abs(F.col("value") - F.col("mu")).alias("r")
+        "event_type",
+        "n_cal",
+        "mu",
+        F.abs(F.col("value") - F.col("mu")).alias("r"),
+        "event_id",
     )
-    wr = Window.partitionBy("event_type").orderBy("r")
-    ranked = resid.withColumn("rk", F.row_number().over(wr))
+    ranked = with_grouped_rank(resid, ["event_type"], ["r", "event_id"], rank_col="rk")
     qhat = ranked.where(
         F.col("rk") == F.ceil((F.col("n_cal") + 1) * (1 - CONF_ALPHA))
     ).select("event_type", "n_cal", "mu", F.col("r").alias("qhat"))

@@ -378,9 +378,8 @@ def x223_quantile_normalize(spark, sf_dir):
     the mappers; the exact form here is what makes the query
     hash-checkable end to end.
     """
-    from pyspark.sql import Window
-
     from social_warner_spark.functions.text import quality_score
+    from social_warner_spark.operators.ordered import with_grouped_rank
     from social_warner_spark.operators.transforms import global_index
 
     d = T(spark, sf_dir, "documents").select(
@@ -388,12 +387,14 @@ def x223_quantile_normalize(spark, sf_dir):
     )
     g = global_index(d, [F.col("q"), F.col("doc_id")], out_col="gidx")
     nrow = g.agg(F.count("*").alias("n"))
-    w = Window.partitionBy("source").orderBy("q", "doc_id")
-    ranked = (
-        d.withColumn("rn", F.row_number().over(w))
-        .withColumn("ns", F.count("*").over(Window.partitionBy("source")))
-        .crossJoin(F.broadcast(nrow))
-    )
+    # r07: within-source ranks via the GROUPED distributed rank —
+    # Window.partitionBy(source) is a per-source single-task corpus sort
+    # at 100 TB (r06 verdict); the per-source total rides the same
+    # boundary collect (count_col), so the count(*)-over-source window
+    # disappears too.
+    ranked = with_grouped_rank(
+        d, ["source"], ["q", "doc_id"], rank_col="rn", count_col="ns"
+    ).crossJoin(F.broadcast(nrow))
     p = (
         F.when(
             F.col("ns") > 1,

@@ -79,9 +79,11 @@ def x267_theil_sen(spark, sf_dir):
     aggregation, but the pair join is grid² — big enough at a
     decade-scale calendar (~6.6M pairs) that its median ranks run as
     DISTRIBUTED global ranks (operators/ordered.py two-pass layout,
-    r06), not a single-partition sort.  Ties in sl get arbitrary ranks
-    either way; the median averages the two middle VALUES, which is
-    tie-insensitive (sparkdet double-run gated)."""
+    r06), not a single-partition sort.  The rank keys carry the pair
+    indices / day index as tiebreakers (r07, ADVICE r06): the median
+    itself averages the two middle VALUES and is tie-insensitive, but
+    with_global_rank's contract wants a total order so the rank column
+    stays deterministic for any later consumer."""
     from social_warner_spark.operators.ordered import with_global_rank
 
     idx = _daily(spark, sf_dir)
@@ -89,10 +91,12 @@ def x267_theil_sen(spark, sf_dir):
     slopes = a.join(b, F.col("b.t") > F.col("a.t")).select(
         (
             (F.col("b.y") - F.col("a.y")) / (F.col("b.t") - F.col("a.t"))
-        ).alias("sl")
+        ).alias("sl"),
+        F.col("a.t").alias("_ti"),
+        F.col("b.t").alias("_tj"),
     )
     m = slopes.agg(F.count("*").alias("m"))
-    ranked = with_global_rank(slopes, ["sl"], "r")
+    ranked = with_global_rank(slopes, ["sl", "_ti", "_tj"], "r")
     slope = (
         ranked.crossJoin(F.broadcast(m))
         .where(
@@ -105,9 +109,10 @@ def x267_theil_sen(spark, sf_dir):
         "slope",
         "n_pairs",
         (F.col("y") - F.col("slope") * F.col("t")).alias("rs"),
+        "t",
     )
     n = idx.agg(F.count("*").alias("n_days"))
-    rr = with_global_rank(resid, ["rs"], "r").crossJoin(F.broadcast(n))
+    rr = with_global_rank(resid, ["rs", "t"], "r").crossJoin(F.broadcast(n))
     return (
         rr.where(
             (F.col("r") == F.floor((F.col("n_days") + 1) / 2))

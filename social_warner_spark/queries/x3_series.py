@@ -69,17 +69,58 @@ def x17_range_frame(spark, sf_dir):
 
 def x18_distribution_windows(spark, sf_dir):
     """ntile / percent_rank / cume_dist / first_value / nth_value over a
-    tie-free total order."""
-    o = T(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    tie-free total order, per order status.
+
+    r07: orders scale with SF and o_orderstatus has 3 values, so the
+    direct ``Window.partitionBy(o_orderstatus)`` form is three
+    single-task corpus sorts at 100 TB (the LowCardPartitionWindow
+    class).  All five distribution functions are CLOSED FORMS of the
+    grouped distributed rank + per-group total (with_grouped_rank,
+    operators/ordered.py): the order is tie-free, so rank == row_number,
+    percent_rank = (rn−1)/(n−1), cume_dist = rn/n, ntile by integer
+    arithmetic, and first/second keys come from a 2·|status|-row head
+    relation broadcast back (the default RANGE frame makes nth_value(2)
+    NULL on each group's first row — reproduced explicitly)."""
+    from social_warner_spark.operators.ordered import with_grouped_rank
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ranked = with_grouped_rank(
+        o,
+        ["o_orderstatus"],
+        ["o_totalprice", "o_orderkey"],
+        rank_col="rn",
+        count_col="n",
+    )
+    heads = (
+        ranked.where(F.col("rn") <= 2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("o_orderkey"))).alias("first_key"),
+            F.min(F.when(F.col("rn") == 2, F.col("o_orderkey"))).alias("_second"),
+        )
+    )
+    rn, n = F.col("rn"), F.col("n")
+    q, rem = F.floor(n / 4), n % 4
+    head = rem * (q + 1)
+    tile = (
+        F.when(q == 0, rn)
+        .when(rn <= head, F.floor((rn - 1) / (q + 1)) + 1)
+        .otherwise(rem + F.floor((rn - 1 - head) / q) + 1)
+    )
+    return ranked.join(F.broadcast(heads), "o_orderstatus").select(
         "o_orderkey",
         "o_orderstatus",
-        F.ntile(4).over(w).alias("quartile"),
-        r6(F.percent_rank().over(w)).alias("pct_rank"),
-        r6(F.cume_dist().over(w)).alias("cume"),
-        F.first_value("o_orderkey").over(w).alias("first_key"),
-        F.nth_value("o_orderkey", 2).over(w).alias("second_key"),
+        tile.cast("int").alias("quartile"),
+        r6(
+            F.when(n > 1, (rn - 1).cast("double") / (n - 1).cast("double")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("pct_rank"),
+        r6(rn.cast("double") / n.cast("double")).alias("cume"),
+        "first_key",
+        F.when(rn >= 2, F.col("_second")).alias("second_key"),
     )
 
 
@@ -256,18 +297,25 @@ def x29_sequence_packing(spark, sf_dir):
     """Offset-based sequence packing: per language stream, docs are laid
     out contiguously in doc_id order and each is assigned the fixed-size
     context window (pack) its start offset falls in — the deterministic
-    packing used to batch pre-training data.  Pure integer window math;
-    partitioning by lang is the scale shape (one packing stream per shard,
-    no global total order)."""
+    packing used to batch pre-training data.  Pure integer window math.
+
+    r07: the per-lang running sum runs as a GROUPED distributed cumsum
+    (operators/ordered.py with_grouped_cumsum) — lang has ~10 values, so
+    ``Window.partitionBy(lang)`` over the corpus is a handful of
+    single-task sorts at 100 TB (one dominant language ≈ the whole
+    corpus through one reducer; r06 verdict).  Range partitioning on
+    (lang, doc_id) keeps every task at ~|corpus|/P rows regardless of
+    the language mix."""
     from social_warner_spark.functions.text import token_count_ws
+    from social_warner_spark.operators.ordered import with_grouped_cumsum
 
     BUDGET = 512
     d = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", token_count_ws(F.col("text")).alias("n_tokens")
     )
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
-    return d.select(
+    cum = with_grouped_cumsum(d, ["lang"], ["doc_id"], {"_cum": "n_tokens"})
+    start = (F.col("_cum") - F.col("n_tokens")).cast("long")
+    return cum.select(
         "doc_id",
         "lang",
         F.col("n_tokens").cast("long").alias("n_tokens"),
@@ -348,9 +396,14 @@ def x31_full_pipeline(spark, sf_dir):
         contaminated, "doc_id", "left_anti"
     )
 
-    w = Window.partitionBy("lang").orderBy("doc_id")
-    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long")
-    return clean.select(
+    # r07: grouped distributed cumsum replaces Window.partitionBy(lang)
+    # for the same reason as x29 (low-cardinality key = single-task sort
+    # at 100 TB under a dominant language).
+    from social_warner_spark.operators.ordered import with_grouped_cumsum
+
+    cum = with_grouped_cumsum(clean, ["lang"], ["doc_id"], {"_cum": "n_tokens"})
+    start = (F.col("_cum") - F.col("n_tokens")).cast("long")
+    return cum.select(
         "doc_id",
         "lang",
         F.col("n_tokens").cast("long").alias("n_tokens"),

@@ -101,18 +101,24 @@ def x42_budget_selection(spark, sf_dir):
     """Data selection under a token budget: per language, take docs in
     (quality desc, doc_id) order until the 5000-token budget is spent —
     the deterministic greedy selection used to compose a training mix.
-    One shuffle on lang; the running sum rides the same sort."""
+
+    r07: the per-lang running sum is a GROUPED distributed cumsum
+    (operators/ordered.py) — ``Window.partitionBy(lang)`` is ~10
+    single-task corpus sorts at 100 TB; range partitioning on
+    (lang, q desc, doc_id) stays balanced under any language mix."""
+    from social_warner_spark.operators.ordered import with_grouped_cumsum
+
     d = T(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         token_count_ws(F.col("text")).alias("n_tokens"),
         r6(quality_score(F.col("text"))).alias("q"),
     )
-    w = Window.partitionBy("lang").orderBy(F.desc("q"), "doc_id")
-    return (
-        d.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
-        .where(F.col("cum_tokens") <= LANG_BUDGET)
-        .select("doc_id", "lang", "q", "cum_tokens")
+    cum = with_grouped_cumsum(
+        d, ["lang"], [F.desc("q"), "doc_id"], {"cum_tokens": "n_tokens"}
+    )
+    return cum.where(F.col("cum_tokens") <= LANG_BUDGET).select(
+        "doc_id", "lang", "q", "cum_tokens"
     )
 
 

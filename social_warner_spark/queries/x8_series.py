@@ -134,12 +134,24 @@ def x68_quantile_sketch(spark, sf_dir):
         li, "l_extendedprice", "l_returnflag", quantiles=HIST_QS, k=HIST_K
     )
 
-    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    ranked = li.select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy("l_returnflag")).alias("n"),
+    # r07: the exact-baseline ranks run as GROUPED distributed ranks —
+    # lineitem scales with SF and l_returnflag has 3 values, so the old
+    # Window.partitionBy(l_returnflag) was three single-task corpus
+    # sorts at 100 TB; the per-flag total rides the same boundary
+    # collect (count_col).  Selection picks values at fixed order
+    # statistics, so the (orderkey, linenumber) tiebreaker changes
+    # nothing but makes the rank a total order per the helper contract.
+    from social_warner_spark.operators.ordered import with_grouped_rank
+
+    li_keys = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    ranked = with_grouped_rank(
+        li_keys,
+        ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"],
+        rank_col="rn",
+        count_col="n",
     )
     qdf = spark.createDataFrame([(q,) for q in HIST_QS], "q double")
     exact = (

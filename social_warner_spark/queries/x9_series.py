@@ -1751,10 +1751,24 @@ def x119_split_leakage(spark, sf_dir):
         F.sum(F.col("_is_train").cast("long")).alias("n_train"),
         F.sum((~F.col("_is_train")).cast("long")).alias("n_heldout"),
     )
+    # Σ ct·ch in decimal(38,0): the docstring's boilerplate mega-cluster
+    # motivation makes a single cluster's ct·ch product exceed int64 at
+    # 100 TB, where long arithmetic would silently wrap (non-ANSI Spark;
+    # ADVICE r06).  The exact decimal sum is cast back to long — the
+    # declared output type — behind a loud bounds guard instead of a
+    # silent wrap.
+    _dec_sum = F.coalesce(
+        F.sum(F.col("ct").cast("decimal(19,0)") * F.col("ch").cast("decimal(19,0)")),
+        F.lit(0).cast("decimal(38,0)"),
+    )
+    _leak = F.when(
+        _dec_sum <= F.lit(9223372036854775807).cast("decimal(38,0)"),
+        _dec_sum.cast("long"),
+    ).otherwise(
+        F.raise_error(F.lit("x119 n_leaking_pairs exceeds int64 — widen the output type"))
+    )
     stats = per_cluster.agg(
-        F.coalesce(F.sum(F.col("ct") * F.col("ch")), F.lit(0)).alias(
-            "n_leaking_pairs"
-        ),
+        _leak.alias("n_leaking_pairs"),
         F.coalesce(
             F.sum(F.when(F.col("ct") > 0, F.col("ch")).otherwise(F.lit(0))),
             F.lit(0),

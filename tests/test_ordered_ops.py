@@ -183,3 +183,134 @@ def test_global_cummax_excl_all_null_partition(spark, p):
         r["id"]: r["pm"] for r in df.withColumn("pm", F.max("m").over(w)).collect()
     }
     assert got == want
+
+
+# ---- grouped primitives (r07: the low-cardinality-key counterparts) ----
+
+from social_warner_spark.operators.ordered import (  # noqa: E402
+    with_grouped_cumsum,
+    with_grouped_rank,
+)
+
+GROUP = ["g"]
+GORDER = ["v", "id"]
+
+
+@pytest.mark.parametrize("p", [1, 4, 16])
+def test_grouped_rank_matches_window(spark, p):
+    df = _corpus(spark)
+    got = {
+        r["id"]: (r["_grank"], r["_n"])
+        for r in with_grouped_rank(
+            df, GROUP, GORDER, count_col="_n", num_partitions=p
+        ).collect()
+    }
+    w = Window.partitionBy(*GROUP).orderBy(*GORDER)
+    want = {
+        r["id"]: (r["rk"], r["n"])
+        for r in df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count("*").over(Window.partitionBy(*GROUP)))
+        .collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("p", [1, 4, 16])
+def test_grouped_cumsum_matches_window(spark, p):
+    df = _corpus(spark).withColumn("c", (F.col("v") % 5 + 1).cast("long"))
+    got = {
+        r["id"]: r["cum_c"]
+        for r in with_grouped_cumsum(
+            df, GROUP, GORDER, {"cum_c": "c"}, num_partitions=p
+        ).collect()
+    }
+    w = (
+        Window.partitionBy(*GROUP)
+        .orderBy(*GORDER)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["cc"]
+        for r in df.withColumn("cc", F.sum("c").over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize("p", [4, 16])
+def test_grouped_cumsum_desc_order(spark, p):
+    """x42's (quality DESC, doc_id) selection order — sort expressions
+    must flow through the grouped range stage and window alike."""
+    df = _corpus(spark).withColumn("c", (F.col("v") % 5 + 1).cast("long"))
+    order = [F.desc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["cum_c"]
+        for r in with_grouped_cumsum(
+            df, GROUP, order, {"cum_c": "c"}, num_partitions=p
+        ).collect()
+    }
+    w = (
+        Window.partitionBy(*GROUP)
+        .orderBy(F.desc("v"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["cc"]
+        for r in df.withColumn("cc", F.sum("c").over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_grouped_ops_empty_and_single(spark):
+    empty = spark.createDataFrame([], "g INT, v INT, id INT")
+    assert with_grouped_rank(empty, GROUP, GORDER, num_partitions=4).count() == 0
+    one = spark.createDataFrame([(1, 1, 1)], "g INT, v INT, id INT")
+    rows = with_grouped_rank(
+        one, GROUP, GORDER, count_col="_n", num_partitions=4
+    ).collect()
+    assert [(r["_grank"], r["_n"]) for r in rows] == [(1, 1)]
+
+
+def test_grouped_cumsum_rejects_non_integral_sources(spark):
+    flt = spark.createDataFrame([(1, 1, 1)], "g INT, v INT, id INT").withColumn(
+        "f", F.col("v").cast("double")
+    )
+    with pytest.raises(TypeError, match="integral"):
+        with_grouped_cumsum(flt, GROUP, GORDER, {"cum": "f"}, num_partitions=4)
+
+
+def test_grouped_stage_balanced_under_dominant_group(spark):
+    """r06 verdict task 5 (skew-resilience fixture): one group holding
+    90% of rows must NOT concentrate on one task.  The grouped range
+    stage partitions on (group, order), so the dominant group splits
+    across partitions by the order key — assert no partition receives
+    more than 2x the mean row count (the hot-shingle-cap test pattern).
+    A Window.partitionBy(g) plan would put 90% of rows in ONE task."""
+    from social_warner_spark.operators.ordered import _grouped_staged
+
+    n = 4000
+    rows = [("en" if i % 10 != 0 else f"l{i % 7}", i * 37 % n, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "g STRING, v INT, id INT")
+    p = 16
+    staged = _grouped_staged(df, ["g"], ["v", "id"], num_partitions=p)
+    sizes = [r["c"] for r in staged.groupBy("_pid").agg(F.count("*").alias("c")).collect()]
+    assert sum(sizes) == n
+    mean = n / len(sizes)
+    assert max(sizes) <= 2 * mean, f"partition sizes skewed: max={max(sizes)} mean={mean:.0f} sizes={sorted(sizes, reverse=True)[:5]}"
+    # and the grouped cumsum built on that stage is still exact
+    dfc = df.withColumn("c", F.lit(1).cast("long"))
+    got = {
+        r["id"]: r["cum"]
+        for r in with_grouped_cumsum(
+            dfc, ["g"], ["v", "id"], {"cum": "c"}, num_partitions=p
+        ).collect()
+    }
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = {
+        r["id"]: r["cc"]
+        for r in dfc.withColumn("cc", F.sum("c").over(w).cast("long")).collect()
+    }
+    assert got == want

@@ -74,7 +74,75 @@ def test_unpartitioned_window_classifier():
     assert _count_unpartitioned_windows(part_expr) == 0
     assert _count_unpartitioned_windows(frame_only) == 1
     assert _count_unpartitioned_windows("\n".join([bare, expr, partitioned])) == 2
+    # ADVICE r06: a spec split across physical lines (a future Spark
+    # rendering change) is parsed, not a hard failure — only a spec whose
+    # parens never close raises.  Spark 4.x renders specs on one line;
+    # this keeps the audit alive if that assumption breaks.
+    assert _count_unpartitioned_windows(partitioned.replace(", x#3L", ",\n x#3L")) == 0
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unclassifiable"):
         _count_unpartitioned_windows("windowspecdefinition(x#3L ASC NULLS")
+
+
+def test_lowcard_partition_window_classifier():
+    """r07 metric: windows partitioned SOLELY by declared low-cardinality
+    columns are counted; any extra (high-card) key exempts the spec, and
+    expression-valued partition args are conservatively skipped."""
+    from social_warner_spark.planaudit import _count_lowcard_partition_windows
+
+    lang_only = (
+        "windowspecdefinition(lang#7, doc_id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    lang_source = (
+        "windowspecdefinition(lang#7, source#9, doc_id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    lang_plus_token = (
+        "windowspecdefinition(lang#7, tok#12, doc_id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    user_key = (
+        "windowspecdefinition(user_id#3L, ts#4 ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    unpartitioned = (
+        "windowspecdefinition(x#3L ASC NULLS FIRST, specifiedwindowframe("
+        "RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    expr_part = (
+        "windowspecdefinition(coalesce(lang#7, x), doc_id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$()))"
+    )
+    assert _count_lowcard_partition_windows(lang_only) == 1
+    assert _count_lowcard_partition_windows(lang_source) == 1
+    assert _count_lowcard_partition_windows(lang_plus_token) == 0
+    assert _count_lowcard_partition_windows(user_key) == 0
+    assert _count_lowcard_partition_windows(unpartitioned) == 0
+    assert _count_lowcard_partition_windows(expr_part) == 0
+    assert (
+        _count_lowcard_partition_windows("\n".join([lang_only, user_key, lang_source]))
+        == 2
+    )
+
+
+def test_broadcast_hint_counts_strategy_not_node():
+    """ADVICE r06: the BroadcastHint metric matches the broadcast
+    STRATEGY string, so a future hint('merge')/hint('shuffle_hash')
+    is not tallied as a broadcast hint.
+
+    Reviewer note (the metric's documented blind spot): hints inside an
+    eagerly localCheckpoint-ed sub-relation are invisible to this pin —
+    the checkpoint cuts the lineage before analysis.  Queries that
+    checkpoint sub-relations (neardup clusters, calendar grids, IVM
+    bases) must have their checkpointed subtrees' hints audited by hand
+    when they change."""
+    analyzed = (
+        "Project [a#1]\n"
+        "+- ResolvedHint (strategy=broadcast)\n"
+        "   +- ResolvedHint (strategy=merge)\n"
+        "      +- Relation [a#1] parquet\n"
+    )
+    assert analyzed.count("ResolvedHint (strategy=broadcast") == 1
+    assert analyzed.count("ResolvedHint") == 2  # the node count the old metric used
