@@ -365,6 +365,83 @@ def with_grouped_cumsum(
     return out.drop("_pid", *[f"_off_{c}" for c in srcs])
 
 
+def with_grouped_value_range(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    lower_offset: int,
+    agg_builders: dict,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-group RANGE-frame window aggregates (``RANGE BETWEEN
+    |lower_offset| PRECEDING AND CURRENT ROW`` over ``val_col``;
+    ``lower_offset`` is a negative INT — the PySpark rangeBetween API
+    takes integral offsets, value columns may be any numeric) without
+    routing each group through one reducer task — the value-frame
+    counterpart of with_grouped_rank/cumsum for LOW-CARDINALITY group
+    keys.  ``agg_builders`` maps output name → callable(WindowSpec) →
+    Column (e.g. ``lambda w: F.sum("x").over(w)``).
+
+    Layout (the x33 gap-fill HALO recipe applied to value frames):
+
+    1. Range-partition on (group, val) — balanced under any group mix.
+    2. Collect each partition's MIN (group, val) key (P rows).
+    3. HALO: every row of the boundary-straddling group whose value
+       falls in the ``|lower_offset|``-wide band below a partition's
+       min value is duplicated into that partition (broadcast band
+       join against the P-row boundary relation).  Only the group that
+       straddles the boundary can need earlier-partition rows: any
+       later group's rows all sort after the boundary key, so they are
+       never split backwards.
+    4. One balanced per-(partition, group) RANGE window; halo rows
+       contribute to real rows' frames and are dropped from the output.
+
+    Frame membership is VALUE-based on both sides, and t ↦ t+lower is
+    monotone under IEEE rounding, so the halo band is always a superset
+    of what any real row's frame needs — no epsilon slack required.
+    Halo volume is bounded by the value density of a band per boundary
+    (P bands total), the same assumption the gap-fill halo documents.
+    """
+    staged = _range_staged(df, [*group_cols, val_col], num_partitions)
+    mins = (
+        staged.groupBy("_pid")
+        .agg(F.min(F.struct(*group_cols, val_col)).alias("_k"))
+        .collect()
+    )
+    b_rows = [
+        (r["_pid"], *[r["_k"][c] for c in group_cols], r["_k"][val_col])
+        for r in mins
+    ]
+    b_schema = StructType(
+        [StructField("_bpid", IntegerType())]
+        + [StructField(f"_bg_{c}", df.schema[c].dataType) for c in group_cols]
+        + [StructField("_bvmin", df.schema[val_col].dataType)]
+    )
+    b = df.sparkSession.createDataFrame(b_rows or [], b_schema)
+    band_lo = F.col("_bvmin") + F.lit(lower_offset)
+    cond = F.lit(True)
+    for c in group_cols:
+        cond = cond & (F.col(c) == F.col(f"_bg_{c}"))
+    cond = cond & (F.col(val_col) >= band_lo) & (F.col(val_col) < F.col("_bvmin"))
+    cols = df.columns
+    halo = (
+        staged.drop("_pid")
+        .join(F.broadcast(b), cond)
+        .select(*cols, F.col("_bpid").alias("_pid"), F.lit(True).alias("_halo"))
+    )
+    base = staged.select(*cols, "_pid", F.lit(False).alias("_halo"))
+    all_rows = base.unionByName(halo)
+    w = (
+        Window.partitionBy("_pid", *group_cols)
+        .orderBy(val_col)
+        .rangeBetween(lower_offset, 0)
+    )
+    out = all_rows
+    for name, build in agg_builders.items():
+        out = out.withColumn(name, build(w))
+    return out.where(~F.col("_halo")).drop("_pid", "_halo")
+
+
 def with_global_lead_structs(
     df: DataFrame,
     order_cols: list,

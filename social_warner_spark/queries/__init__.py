@@ -123,13 +123,14 @@ NO_ORACLE = frozenset()
 #:
 #: Round-7 rotation (per the round-6 verdict; backlog after r06 =
 #: 155 never-checked of 445 declared):
-#: - Nine rechecks, every one forced by a code move this round (the r05
+#: - Ten rechecks, every one forced by a code move this round (the r05
 #:   discipline — hard rows land the same round the code moves):
 #:   x15 (verdict task 1: LSH verification rewritten to candidate-only
 #:   rescore), x29/x31/x42 (task 2: per-lang packing/budget windows
-#:   converted to grouped distributed cumsum), x18/x68/x208 (task 3
-#:   follow-through: the remaining full-rank corpus windows keyed by
-#:   3-5-value columns became grouped distributed ranks), x119
+#:   converted to grouped distributed cumsum), x17/x18/x68/x208 (task 3
+#:   follow-through: the remaining corpus-scale windows keyed by
+#:   3-5-value columns became grouped distributed ranks / the
+#:   value-halo range frame), x119
 #:   (ADVICE: Σ ct·ch now decimal-exact behind a bounds guard), x267
 #:   (ADVICE: rank keys gained deterministic tiebreakers).
 #: - x223 and x166 are never-checked AND named by verdict task 2:
@@ -137,9 +138,9 @@ NO_ORACLE = frozenset()
 #:   ranks; x166 stays (its plan already IS the two-phase grouped
 #:   top-k — WindowGroupLimit Partial before the shuffle — pinned by a
 #:   plan test this round) and gets its first hard row.
-#: - The remaining 39 are the never-checked backlog in the r06 plan's
+#: - The remaining 38 are the never-checked backlog in the r06 plan's
 #:   order: the x10 remnants (x143/x147/x148/x151-x163), then the x11
-#:   tail (x165-x193).
+#:   tail (x165-x191).
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries, serialization-strict
 #: like the driver's hash).  Queries not listed follow in stable module
@@ -164,6 +165,7 @@ CHECK_PRIORITY = (
     # rechecks forced by the LowCardPartitionWindow conversions (task
     # 2/3 follow-through: the remaining full-rank corpus windows keyed
     # by 3-5-value columns became grouped distributed ranks):
+    "x17_range_frame",
     "x18_distribution_windows",
     "x68_quantile_sketch",
     "x208_conformal",
@@ -210,7 +212,6 @@ CHECK_PRIORITY = (
     "x189_cohens_kappa",
     "x190_skyline",
     "x191_good_turing",
-    "x193_adjusted_rand",
 )
 
 #: The driver verifies a window of this size in iteration order; the

@@ -47,24 +47,37 @@ NEARDUP_CLUSTERS_CTE = """
 def x17_range_frame(spark, sf_dir):
     """RANGE frame (value-bounded, not row-bounded): sum of order totals
     within 10000 below each order's total, per status.  Value-defined
-    frames are tie-order-insensitive → deterministic without a unique key."""
-    o = T(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_orderstatus")
-        .orderBy("o_totalprice")
-        .rangeBetween(-10000, Window.currentRow)
+    frames are tie-order-insensitive → deterministic without a unique key.
+
+    r07: orders scale with SF and o_orderstatus has 3 values, so the
+    direct per-status window was three single-task corpus sorts at
+    100 TB (LowCardPartitionWindow).  Runs as the grouped VALUE-HALO
+    layout (operators/ordered.py with_grouped_value_range): range
+    partition on (status, totalprice), each boundary's trailing
+    10000-value band duplicated into the next partition, balanced
+    per-(partition, status) RANGE window, halo rows dropped."""
+    from social_warner_spark.operators.ordered import with_grouped_value_range
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
-    return o.select(
-        "o_orderkey",
-        "o_orderstatus",
-        # r2, not r6: the windowed sum reaches ~4e8 where a double's ulp
-        # (6e-8) is within a decade of the 1e-6 grid — the engines' ROUND
-        # implementations then emit DIFFERENT doubles for the same sum
-        # (surfaced by the sf0.1 strict mirror).  2dp follows the repo's
-        # large-sum convention; at 2dp both float paths are exact.
-        F.round(F.sum("o_totalprice").over(w), 2).alias("nearby_total"),
-        F.count("*").over(w).alias("nearby_cnt"),
+    out = with_grouped_value_range(
+        o,
+        ["o_orderstatus"],
+        "o_totalprice",
+        -10000,
+        {
+            # r2, not r6: the windowed sum reaches ~4e8 where a double's
+            # ulp (6e-8) is within a decade of the 1e-6 grid — the
+            # engines' ROUND implementations then emit DIFFERENT doubles
+            # for the same sum (surfaced by the sf0.1 strict mirror).
+            # 2dp follows the repo's large-sum convention; at 2dp both
+            # float paths are exact.
+            "nearby_total": lambda w: F.round(F.sum("o_totalprice").over(w), 2),
+            "nearby_cnt": lambda w: F.count("*").over(w),
+        },
     )
+    return out.select("o_orderkey", "o_orderstatus", "nearby_total", "nearby_cnt")
 
 
 def x18_distribution_windows(spark, sf_dir):

@@ -314,3 +314,61 @@ def test_grouped_stage_balanced_under_dominant_group(spark):
         for r in dfc.withColumn("cc", F.sum("c").over(w).cast("long")).collect()
     }
     assert got == want
+
+
+@pytest.mark.parametrize("p", [1, 4, 16])
+def test_grouped_value_range_matches_window(spark, p):
+    """with_grouped_value_range must equal the per-group RANGE-frame
+    window exactly — including frames that span MULTIPLE range-partition
+    boundaries (the halo band join is not limited to the immediate
+    predecessor partition)."""
+    from social_warner_spark.operators.ordered import with_grouped_value_range
+
+    n = 300
+    # dense value field so a 25-wide band crosses several of 16 partitions
+    rows = [((i * 7919) % 3, float((i * 37) % 100) + i * 0.001, i) for i in range(n)]
+    df = spark.createDataFrame(rows, "g INT, v DOUBLE, id INT")
+    got = {
+        (r["g"], r["id"]): (round(r["s"], 6), r["c"])
+        for r in with_grouped_value_range(
+            df,
+            ["g"],
+            "v",
+            -25,
+            {
+                "s": lambda w: F.sum("v").over(w),
+                "c": lambda w: F.count("*").over(w),
+            },
+            num_partitions=p,
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v").rangeBetween(-25, Window.currentRow)
+    want = {
+        (r["g"], r["id"]): (round(r["s"], 6), r["c"])
+        for r in df.select(
+            "g",
+            "id",
+            F.sum("v").over(w).alias("s"),
+            F.count("*").over(w).alias("c"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_grouped_value_range_empty_and_single(spark):
+    from social_warner_spark.operators.ordered import with_grouped_value_range
+
+    empty = spark.createDataFrame([], "g INT, v DOUBLE, id INT")
+    assert (
+        with_grouped_value_range(
+            empty, ["g"], "v", -5, {"c": lambda w: F.count("*").over(w)},
+            num_partitions=4,
+        ).count()
+        == 0
+    )
+    one = spark.createDataFrame([(1, 2.0, 1)], "g INT, v DOUBLE, id INT")
+    rows = with_grouped_value_range(
+        one, ["g"], "v", -5, {"c": lambda w: F.count("*").over(w)},
+        num_partitions=4,
+    ).collect()
+    assert [r["c"] for r in rows] == [1]

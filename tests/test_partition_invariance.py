@@ -36,6 +36,17 @@ SENSITIVE = [
     # r06 edge-incident propagation: singleton rejoin must not depend
     # on partitioning.
     "x27_neardup_clusters",
+    # r07 grouped ordered-op conversions: per-group rank/cumsum values
+    # must not depend on where the (group, order) range boundaries fall.
+    "x29_sequence_packing",   # grouped cumsum (packing offsets)
+    "x42_budget_selection",   # grouped cumsum under DESC order key
+    "x17_range_frame",        # value-halo grouped RANGE frame
+    "x18_distribution_windows",  # closed-form ntile/pct_rank/cume from grouped rank
+    "x68_quantile_sketch",    # exact quantile baseline via grouped rank
+    "x208_conformal",         # q-hat order statistic via grouped rank
+    # r07 LSH verification rewrite: candidate rescore must be
+    # partition-invariant end to end.
+    "x15_minhash_lsh_pairs",
 ]
 
 

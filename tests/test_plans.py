@@ -70,16 +70,16 @@ def test_decontamination_broadcasts_probe_set(spark, sf_smoke):
     assert "SortMergeJoin" not in p
 
 
-def test_sequence_packing_single_lang_shuffle(spark, sf_smoke):
-    """x29 must cost exactly one exchange (the per-lang window partition) —
-    the design explicitly avoids a global total order."""
-    import re
-
+def test_sequence_packing_grouped_range_stage(spark, sf_smoke):
+    """x29's per-lang cumsum must run on the grouped range stage (r07):
+    range partition on (lang, doc_id) — balanced under ANY language mix —
+    followed by the balanced (pid, lang) window hash.  A bare
+    hashpartitioning(lang) routes the corpus through ~|langs| reducer
+    tasks (one dominant language = a single-task sort), the
+    LowCardPartitionWindow class this conversion closed."""
     p = plan_of(spark, sf_smoke, "x29_sequence_packing")
-    exchanges = re.findall(r"^\(\d+\) Exchange", p, flags=re.MULTILINE)
-    assert len(exchanges) == 1, p
-    assert "hashpartitioning(lang" in p
-    assert "rangepartitioning" not in p  # no global sort
+    assert "rangepartitioning(lang" in p, p
+    assert "hashpartitioning(lang" not in p, p  # window hash leads with _pid
 
 
 def test_embed_neardup_no_nested_loop(spark, sf_smoke):
@@ -228,8 +228,15 @@ def test_dup_spans_hash_join_no_text_shuffle(spark, sf_smoke):
 
 
 def test_stratified_sample_window_group_limit(spark, sf_smoke):
-    """x166's per-source A-ES rank must push as WindowGroupLimit (k-row
-    heap per source per partition) — without it every stratum fully
-    sorts before the rn filter."""
+    """x166's per-source A-ES rank must push as WindowGroupLimit with a
+    PARTIAL (map-side, pre-shuffle) pass: each task keeps a k-row heap
+    per source BEFORE the exchange, so the source-keyed shuffle carries
+    <= k rows per (source, input partition) and the final per-source
+    sort sees <= k*P rows — the two-phase grouped top-k.  This is why
+    x166 stays a justified LowCardPartitionWindow survivor (r07): its
+    plan already IS the scale shape the grouped primitives build by
+    hand."""
     p = plan_of(spark, sf_smoke, "x166_stratified_weighted_sample")
     assert "WindowGroupLimit" in p, p
+    assert ", Partial" in p, p  # the map-side heap, upstream of the shuffle
+    assert ", Final" in p, p
