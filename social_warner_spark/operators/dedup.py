@@ -166,9 +166,15 @@ def exact_jaccard_pairs(
     from social_warner_spark.caching import register_persisted
 
     sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
+    # Per-doc sizes are a |docs|-row relation — CORPUS-sized at 100 TB,
+    # so the join side choice belongs to AQE (r07: the r06 forced-
+    # broadcast sweep missed these two hints; an explicit F.broadcast
+    # here would bypass autoBroadcastJoinThreshold and OOM where AQE
+    # would demote to a shuffle join.  At small SF AQE still broadcasts
+    # them on its own size estimate).
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    sz_a = F.broadcast(sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a")))
-    sz_b = F.broadcast(sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b")))
+    sz_a = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
     # necessary condition for J ≥ t (tiny epsilon only ever LOOSENS it, so
     # no boundary pair is lost to float representation of t·sz)
     ratio_ok = (

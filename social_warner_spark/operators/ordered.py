@@ -266,7 +266,13 @@ def _grouped_staged(df: DataFrame, group_cols: list[str], order_cols: list, num_
     order) keeps every partition at ~|corpus|/P rows NO MATTER how
     skewed the group mix is; the driver-side collect stays bounded by
     P + G − 1.  (For high-cardinality groups a plain hash-partitioned
-    window is already balanced — use that instead.)"""
+    window is already balanced — use that instead.)
+
+    Contract: group keys must be NON-NULL — the offset join downstream
+    is an equi-join, so a NULL group would silently drop its rows
+    (where the window form would have formed a NULL group).  Every
+    current consumer groups on non-null catalog columns
+    (lang/source/status/flag/type)."""
     return _range_staged(df, [*group_cols, *order_cols], num_partitions)
 
 
