@@ -39,6 +39,17 @@ grouped ordered-op primitives (operators/ordered.py
 with_grouped_cumsum/rank) are the scale-safe replacement; bounded
 survivors (vocab-keyed stat relations, WindowGroupLimit-capped top-k)
 are pinned with justifications in PERF.md.
+
+LowCardGroupedPandas (r07 addition) counts FlatMapGroupsInPandas
+nodes (applyInPandas) whose grouping keys are ENTIRELY declared
+low-cardinality columns — the same ~|key|-task funnel as the window
+class, with the extra hazard that applyInPandas MATERIALIZES the whole
+group in one pandas frame (a corpus-sized group is an OOM, not just a
+straggler).  x377's Misra–Gries moved off this shape in r07 (per-
+partition mapInPandas partials + a merge over the bounded partial
+relation — the one pinned survivor, ≤ partitions·k rows per group);
+the metric makes re-introducing a corpus-sized low-card pandas group a
+conscious baseline edit.
 """
 
 from __future__ import annotations
@@ -58,6 +69,7 @@ SHAPE_KEYS = (
     "UnpartitionedWindow",
     "BroadcastHint",
     "LowCardPartitionWindow",
+    "LowCardGroupedPandas",
 )
 
 #: Sort-order marker inside a windowspecdefinition argument.
@@ -155,6 +167,33 @@ def _count_lowcard_partition_windows(plan: str) -> int:
     return n
 
 
+#: A FlatMapGroupsInPandas node's detail section in a formatted plan:
+#: the FIRST bracketed Arguments list is the grouping-key expressions.
+#: (The tree section's bare "FlatMapGroupsInPandas (7)" lines have no
+#: Arguments and are not matched.)
+_FMGIP_ARGS = re.compile(
+    r"FlatMapGroupsInPandas\s*\nInput[^\n]*\nArguments: \[([^\]]*)\]"
+)
+
+
+def _count_lowcard_grouped_pandas(plan: str) -> int:
+    """Count applyInPandas (FlatMapGroupsInPandas) nodes grouped SOLELY
+    by declared low-cardinality columns (LOW_CARD_COLS) — the r07
+    metric.  Any other key in the set (a user id, a partition id, a
+    day) lifts the combined cardinality and the node is fine.
+    Expression-valued keys are not classified (conservative: the
+    declared queries group on bare attributes)."""
+    n = 0
+    for m in _FMGIP_ARGS.finditer(plan):
+        keys = [k.strip() for k in m.group(1).split(",") if k.strip()]
+        if not keys:
+            continue
+        bases = [_BARE_ATTR.match(k) for k in keys]
+        if all(b and b.group(1) in LOW_CARD_COLS for b in bases):
+            n += 1
+    return n
+
+
 def _count_unpartitioned_windows(plan: str) -> int:
     """Count windowspecdefinition specs with NO partition columns.
 
@@ -175,7 +214,12 @@ def plan_shape_counts(
 
     queries = all_queries()
     out: dict[str, dict[str, int]] = {}
-    derived = ("UnpartitionedWindow", "BroadcastHint", "LowCardPartitionWindow")
+    derived = (
+        "UnpartitionedWindow",
+        "BroadcastHint",
+        "LowCardPartitionWindow",
+        "LowCardGroupedPandas",
+    )
     for name in names if names is not None else sorted(queries):
         release_persisted_intermediates()
         spark.catalog.clearCache()
@@ -190,6 +234,7 @@ def plan_shape_counts(
         counts = {k: plan.count(k) for k in SHAPE_KEYS if k not in derived}
         counts["UnpartitionedWindow"] = _count_unpartitioned_windows(plan)
         counts["LowCardPartitionWindow"] = _count_lowcard_partition_windows(plan)
+        counts["LowCardGroupedPandas"] = _count_lowcard_grouped_pandas(plan)
         # Strategy-matched (ADVICE r06): a future hint('merge') /
         # hint('shuffle_hash') must not be tallied as a broadcast hint.
         # Blind spot, by construction: hints upstream of an eager

@@ -123,8 +123,8 @@ NO_ORACLE = frozenset()
 #:
 #: Round-7 rotation (per the round-6 verdict; backlog after r06 =
 #: 155 never-checked of 445 declared):
-#: - Ten rechecks, every one forced by a code move this round (the r05
-#:   discipline — hard rows land the same round the code moves):
+#: - Eleven rechecks, every one forced by a code move this round (the
+#:   r05 discipline — hard rows land the same round the code moves):
 #:   x15 (verdict task 1: LSH verification rewritten to candidate-only
 #:   rescore), x29/x31/x42 (task 2: per-lang packing/budget windows
 #:   converted to grouped distributed cumsum), x17/x18/x68/x208 (task 3
@@ -132,15 +132,20 @@ NO_ORACLE = frozenset()
 #:   3-5-value columns became grouped distributed ranks / the
 #:   value-halo range frame), x119
 #:   (ADVICE: Σ ct·ch now decimal-exact behind a bounds guard), x267
-#:   (ADVICE: rank keys gained deterministic tiebreakers).
+#:   (ADVICE: rank keys gained deterministic tiebreakers), x377 (the
+#:   Misra–Gries fold moved to the mergeable-summaries layout:
+#:   per-scan-partition mapInPandas partials + bounded PODS'12 merge —
+#:   same declared projection by theorem, no corpus-sized pandas
+#:   group; pinned by the new LowCardGroupedPandas ratchet metric).
 #: - x223 and x166 are never-checked AND named by verdict task 2:
 #:   x223's per-source rank/count windows became grouped distributed
 #:   ranks; x166 stays (its plan already IS the two-phase grouped
 #:   top-k — WindowGroupLimit Partial before the shuffle — pinned by a
 #:   plan test this round) and gets its first hard row.
-#: - The remaining 38 are the never-checked backlog in the r06 plan's
+#: - The remaining 37 are the never-checked backlog in the r06 plan's
 #:   order: the x10 remnants (x143/x147/x148/x151-x163), then the x11
-#:   tail (x165-x191).
+#:   tail (x165-x190; x191 moved to the r08 window when the x377
+#:   recheck took its slot).
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries, serialization-strict
 #: like the driver's hash).  Queries not listed follow in stable module
@@ -149,8 +154,8 @@ NO_ORACLE = frozenset()
 #:
 #: Round-8 rotation plan (for the next session): after r07 lands,
 #: driver coverage is ~331/445 (74%); fill the next window from the
-#: remaining never-checked ids — the x11/x12 remainder (x195-x204,
-#: x211, x214, x222-x245), then the statistical tail (x264 onward:
+#: remaining never-checked ids — x191, then the x11/x12 remainder
+#: (x195-x204, x211, x214, x222-x245), then the statistical tail (x264 onward:
 #: x264, x265, x266, x268, x269, x271, x273-x278, x280, x281,
 #: x283-x285, x288-x299, x301-x376 gaps).  Keep zero overlap with
 #: CORRECTNESS_r01-r07 unless code changes force rechecks.
@@ -169,6 +174,7 @@ CHECK_PRIORITY = (
     "x18_distribution_windows",
     "x68_quantile_sketch",
     "x208_conformal",
+    "x377_misra_gries_twin",
     # never-checked, named by verdict task 2 (code moved / plan pinned):
     "x223_quantile_normalize",
     "x166_stratified_weighted_sample",
@@ -211,7 +217,6 @@ CHECK_PRIORITY = (
     "x188_logreg_gd",
     "x189_cohens_kappa",
     "x190_skyline",
-    "x191_good_turing",
 )
 
 #: The driver verifies a window of this size in iteration order; the

@@ -33,11 +33,21 @@ Reference scope note: the reference ETL (main.py, data_*.py) has no
 streaming surface; these queries anchor the north-star C6 extension
 (SURVEY.md §2.c) exactly where Spark's built-in windows end.
 
-Scale: x377 state is O(k) per event_type and the fold touches each row
-once after an in-group sort (the group is one shuffle partition —
-event_type cardinality bounds parallelism, the operator's documented
-contract, same as the streaming twin).  x378 runs entirely on count
-cells — the only corpus-sized step is one map-side-combined groupBy.
+Scale: the DECLARED x377 runs the mergeable-summaries layout (Agarwal,
+Cormode, Huang, Phillips, Wei, Yi — "Mergeable Summaries", PODS 2012):
+a per-scan-partition Misra–Gries partial fold via ``mapInPandas`` (no
+shuffle, no corpus-sized group — parallelism is the scan's partition
+count, state O(k·|event_type|) per task) followed by one grouped merge
+over the BOUNDED partial-summary relation (≤ partitions·k rows per
+event_type).  Merged MG carries the same theorems as the sequential
+fold — every item with frequency > n/k is retained and
+0 ≤ exact − est ≤ n/k — so the declared guaranteed-set projection is
+bit-identical to the sequential fold's and invariant to partition
+layout, even though internal est_counts differ.  The k=20 sequential
+twin (`_mg_summary`) is kept solely as the streaming operator's parity
+anchor (one group per event_type IS that operator's state contract).
+x378 runs entirely on count cells — the only corpus-sized step is one
+map-side-combined groupBy.
 """
 
 from __future__ import annotations
@@ -129,6 +139,126 @@ def _mg_summary(spark, sf_dir, k: int = MG_K):
     )
 
 
+def _mg_summary_merged(spark, sf_dir, k: int = MG_DECLARED_K):
+    """Scale-path Misra–Gries: per-scan-partition partial folds merged
+    by the mergeable-summaries rule (Agarwal et al., PODS 2012, §3.1).
+
+    Stage 1 (``mapInPandas``, narrow — no shuffle): each scan partition
+    folds its rows in arrival order through the textbook MG update,
+    keeping one (k−1)-counter table per event_type seen in the
+    partition.  MG's guarantees are order-independent, and a scan
+    partition's row order is deterministic, so the partials are a pure
+    function of (data, partition layout).  Emits the counter rows plus
+    one NULL-user sentinel per (event_type, partition) carrying the
+    partition's row count (so n_processed is exact even when every
+    counter decremented away).
+
+    Stage 2 (grouped merge over the BOUNDED partial relation —
+    ≤ P·k counter rows per event_type): fold the per-partition tables
+    in partition-id order through the pairwise merge — sum counters,
+    and while more than k−1 remain subtract the k-th largest count
+    from all and drop the non-positive.  The PODS'12 theorem gives the
+    merged summary the SAME bounds as a sequential fold: every item
+    with frequency > n/k retained, 0 ≤ exact − est ≤ n/k.  Addition is
+    commutative and the subtraction constant depends only on counter
+    values, so the merge is deterministic given the partials.
+
+    The |docs|-scale work is therefore one embarrassingly-parallel scan
+    pass; nothing corpus-sized ever crosses into a single task (the
+    sequential `_mg_summary` routes each event_type's ENTIRE row set
+    through one pandas group — fine as the streaming twin's parity
+    anchor, wrong as a 100 TB layout).
+    """
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tables: dict[str, dict[int, int]] = {}
+        ns: dict[str, int] = {}
+        pid = -1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            for et, uid in zip(pdf["event_type"], pdf["user_id"]):
+                uid = int(uid)
+                t = tables.setdefault(et, {})
+                ns[et] = ns.get(et, 0) + 1
+                if uid in t:
+                    t[uid] += 1
+                elif len(t) < k - 1:
+                    t[uid] = 1
+                else:
+                    tables[et] = {u: c - 1 for u, c in t.items() if c > 1}
+        rows = []
+        for et, n in ns.items():
+            rows.append((et, pid, None, 0, n))  # sentinel: row count only
+            for uid in sorted(tables.get(et, {})):
+                rows.append((et, pid, uid, tables[et][uid], 0))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["event_type", "pid", "user_id", "est_count", "n_local"],
+            )
+
+    partials = ev.mapInPandas(
+        partial,
+        schema=(
+            "event_type string, pid int, user_id long, est_count long,"
+            " n_local long"
+        ),
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        et = pdf["event_type"].iloc[0]
+        n = int(pdf["n_local"].sum())
+        table: dict[int, int] = {}
+        counters = pdf[pdf["user_id"].notna()]
+        for _, sub in counters.groupby("pid", sort=True):
+            for uid, c in zip(sub["user_id"], sub["est_count"]):
+                uid = int(uid)
+                table[uid] = table.get(uid, 0) + int(c)
+            if len(table) > k - 1:
+                kth = sorted(table.values(), reverse=True)[k - 1]
+                table = {u: c - kth for u, c in table.items() if c > kth}
+        ids = sorted(table)
+        return pd.DataFrame(
+            {
+                "event_type": [et] * len(ids),
+                "user_id": ids,
+                "est_count": [table[u] for u in ids],
+                "n_processed": [n] * len(ids),
+            }
+        )
+
+    summary = partials.groupBy("event_type").applyInPandas(
+        merge,
+        schema=(
+            "event_type string, user_id long, est_count long,"
+            " n_processed long"
+        ),
+    )
+    exact = (
+        T(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        summary.join(exact, ["event_type", "user_id"])
+        .select(
+            "event_type",
+            "user_id",
+            "est_count",
+            "exact_count",
+            "n_processed",
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
 def x377_misra_gries_twin(spark, sf_dir):
     """Guaranteed heavy-hitter set from the Misra–Gries batch twin
     (r04-verdict reformulation: oracle-checkable while still running
@@ -144,12 +274,18 @@ def x377_misra_gries_twin(spark, sf_dir):
     any implementation defect in the stateful fold breaks the hash
     (missing row via the inner join, or a FALSE bound_ok).
 
-    Runs the fold at MG_DECLARED_K (1024, vs the streaming default 20)
-    so the guaranteed set is non-trivial at every test scale — see the
-    MG_DECLARED_K note; the k=20 twin parity with the streaming
-    operator is covered by tests/test_streaming_state.py.
+    Runs the MERGEABLE fold (`_mg_summary_merged`: per-scan-partition
+    partials + bounded PODS'12 merge — the 100 TB layout; no
+    corpus-sized pandas group) at MG_DECLARED_K (1024, vs the streaming
+    default 20) so the guaranteed set is non-trivial at every test
+    scale — see the MG_DECLARED_K note.  Merged est_counts differ from
+    the sequential fold's, but the declared projection is a theorem
+    invariant of BOTH (guaranteed set from exact counts; bound_ok holds
+    for any valid MG summary), so the oracle hash is unchanged and
+    partition-layout independent.  The k=20 sequential twin parity with
+    the streaming operator stays covered by tests/test_streaming_state.py.
     """
-    full = _mg_summary(spark, sf_dir, k=MG_DECLARED_K)
+    full = _mg_summary_merged(spark, sf_dir, k=MG_DECLARED_K)
     return (
         full.where(
             F.col("exact_count") * MG_DECLARED_K > F.col("n_processed")

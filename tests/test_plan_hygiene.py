@@ -146,3 +146,41 @@ def test_broadcast_hint_counts_strategy_not_node():
     )
     assert analyzed.count("ResolvedHint (strategy=broadcast") == 1
     assert analyzed.count("ResolvedHint") == 2  # the node count the old metric used
+
+
+def test_lowcard_grouped_pandas_classifier():
+    """r07 metric: applyInPandas (FlatMapGroupsInPandas) grouped SOLELY
+    by declared low-cardinality columns is counted — the ~|key|-task
+    funnel that also MATERIALIZES each group in one pandas frame.  A
+    high-card key in the set exempts the node; tree-section mentions
+    (no Arguments block) are ignored; expression keys are skipped."""
+    from social_warner_spark.planaudit import _count_lowcard_grouped_pandas
+
+    lowcard = (
+        "(7) FlatMapGroupsInPandas\n"
+        "Input [4]: [event_type#9, event_type#9, user_id#11L, v#12L]\n"
+        "Arguments: [event_type#9], fold(event_type#9, v#12L)#14, "
+        "[event_type#15, c#16L]"
+    )
+    highcard = (
+        "(7) FlatMapGroupsInPandas\n"
+        "Input [3]: [user_id#3L, user_id#3L, v#12L]\n"
+        "Arguments: [user_id#3L], fold(user_id#3L, v#12L)#14, [c#16L]"
+    )
+    mixed = (
+        "(7) FlatMapGroupsInPandas\n"
+        "Input [4]: [event_type#9, pid#2, user_id#11L, v#12L]\n"
+        "Arguments: [event_type#9, pid#2], fold(v#12L)#14, [c#16L]"
+    )
+    expr_key = (
+        "(7) FlatMapGroupsInPandas\n"
+        "Input [3]: [lang#7, v#12L, x#1]\n"
+        "Arguments: [coalesce(lang#7, und)], fold(v#12L)#14, [c#16L]"
+    )
+    tree_only = "   +- FlatMapGroupsInPandas (7)\n      +- Sort (6)"
+    assert _count_lowcard_grouped_pandas(lowcard) == 1
+    assert _count_lowcard_grouped_pandas(highcard) == 0
+    assert _count_lowcard_grouped_pandas(mixed) == 0
+    assert _count_lowcard_grouped_pandas(expr_key) == 0
+    assert _count_lowcard_grouped_pandas(tree_only) == 0
+    assert _count_lowcard_grouped_pandas(tree_only + "\n" + lowcard) == 1

@@ -261,3 +261,66 @@ def test_misra_gries_batch_twin_parity_and_guarantees(spark, sf_smoke, tmp_path)
         check_dtype=False,
     )
     assert len(declared) > 0  # the guaranteed set is non-trivial at smoke SF
+
+
+def test_misra_gries_merged_fold_guarantees(spark, sf_smoke):
+    """The mergeable-summaries layout (`_mg_summary_merged`: per-scan-
+    partition partial folds + the PODS'12 pairwise merge) must satisfy
+    the SAME Misra-Gries theorems as the sequential fold — every item
+    with frequency > n/k present, 0 <= exact - est <= n/k, <= k-1
+    counters per event_type — at a k small enough (20) that the partial
+    tables overflow and the merge's subtract-k-th-largest branch runs,
+    and independent of how many scan partitions feed the partials."""
+    from social_warner_spark.queries.x39_series import MG_K, _mg_summary_merged
+
+    exact = (
+        load_table(spark, sf_smoke, "events")
+        .groupBy("event_type", "user_id")
+        .count()
+        .toPandas()
+    )
+
+    merged = _mg_summary_merged(spark, sf_smoke, k=MG_K).toPandas()
+    for etype, grp in exact.groupby("event_type"):
+        n = int(grp["count"].sum())
+        bound = n / MG_K
+        summ = merged[merged["event_type"] == etype].set_index("user_id")
+        assert (summ["n_processed"] == n).all()
+        assert len(summ) <= MG_K - 1
+        true = dict(zip(grp["user_id"], grp["count"]))
+        for uid, c in true.items():
+            if c > bound:
+                assert uid in summ.index, (etype, uid, c, bound)
+        for uid, row in summ.iterrows():
+            t = true.get(uid, 0)
+            assert t - bound <= row["est_count"] <= t
+            assert row["exact_count"] == t
+
+    # partition-layout independence of the DECLARED projection: the
+    # guaranteed set + bound_ok must not move when the scan partitioning
+    # changes (est_counts may — they are not part of the declared output)
+    from social_warner_spark.queries.x39_series import (
+        MG_DECLARED_K,
+        x377_misra_gries_twin,
+    )
+
+    base = (
+        x377_misra_gries_twin(spark, sf_smoke)
+        .toPandas()
+        .sort_values(["event_type", "user_id"])
+        .reset_index(drop=True)
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        relaid = (
+            x377_misra_gries_twin(spark, sf_smoke)
+            .toPandas()
+            .sort_values(["event_type", "user_id"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(base, relaid, check_dtype=False)
