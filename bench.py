@@ -125,6 +125,11 @@ def _previous_round_medians() -> dict[str, float]:
     try:
         with open(arts[-1]) as f:
             data = json.load(f)
+        # The driver wraps the bench line: its artifact is
+        # {"n": ..., "tail": "<stdout tail>", "parsed": {<bench line>}}.
+        # A bare bench line (this script's own output) is also accepted.
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
         q = data.get("queries", {})
         return {k: float(v) for k, v in q.items()}
     except (OSError, ValueError, TypeError):
