@@ -166,7 +166,15 @@ def with_global_cumsum(
     would silently truncate and float sources would re-associate the
     summation across the partition boundary — both are rejected up
     front (ADVICE r05: the old docstring claimed decimal support the
-    long-typed offsets could not deliver)."""
+    long-typed offsets could not deliver).
+
+    NULL sources match the window form exactly (r07): ``sum() over``
+    is NULL only while the group prefix holds NO non-null value, so the
+    offsets also carry the prior partitions' non-null COUNT and the
+    local frame's ``count(src)`` (same window spec — merged into the
+    same Window node) decides NULL vs carried sum.  Without it, a
+    partition whose LOCAL prefix is all-NULL went NULL even when
+    earlier partitions had values."""
     srcs = sorted(set(sum_cols.values()))
     _require_integral(df, srcs, "with_global_cumsum")
     # the type check above needs only df.schema — running it first means
@@ -176,20 +184,28 @@ def with_global_cumsum(
     totals = {
         r["_pid"]: r
         for r in staged.groupBy("_pid")
-        .agg(*[F.sum(c).alias(c) for c in srcs])
+        .agg(
+            *[F.sum(c).alias(c) for c in srcs],
+            *[F.count(c).alias(f"_cnt_{c}") for c in srcs],
+        )
         .collect()
     }
     acc = {c: 0 for c in srcs}
+    cnt = {c: 0 for c in srcs}
     offsets = []
     for pid in sorted(totals):
-        offsets.append((pid, *[acc[c] for c in srcs]))
+        offsets.append((pid, *[acc[c] for c in srcs], *[cnt[c] for c in srcs]))
         for c in srcs:
             acc[c] += totals[pid][c] or 0
+            cnt[c] += totals[pid][f"_cnt_{c}"]
     off_schema = StructType(
         [StructField("_pid", IntegerType())]
         + [StructField(f"_off_{c}", LongType()) for c in srcs]
+        + [StructField(f"_offcnt_{c}", LongType()) for c in srcs]
     )
-    off = df.sparkSession.createDataFrame(offsets or [(0, *[0] * len(srcs))], off_schema)
+    off = df.sparkSession.createDataFrame(
+        offsets or [(0, *[0] * (2 * len(srcs)))], off_schema
+    )
     w = (
         Window.partitionBy("_pid")
         .orderBy(*order_cols)
@@ -198,9 +214,18 @@ def with_global_cumsum(
     out = staged.join(F.broadcast(off), "_pid")
     for name, src in sum_cols.items():
         out = out.withColumn(
-            name, F.sum(src).over(w).cast("long") + F.col(f"_off_{src}")
+            name,
+            F.when(
+                F.count(src).over(w) + F.col(f"_offcnt_{src}") > 0,
+                F.coalesce(F.sum(src).over(w).cast("long"), F.lit(0))
+                + F.col(f"_off_{src}"),
+            ),
         )
-    return out.drop("_pid", *[f"_off_{c}" for c in srcs])
+    return out.drop(
+        "_pid",
+        *[f"_off_{c}" for c in srcs],
+        *[f"_offcnt_{c}" for c in srcs],
+    )
 
 
 def with_global_cummax_excl(
@@ -337,25 +362,35 @@ def with_grouped_cumsum(
     per-(partition, group) prefix totals (≤(P+G−1)-row collect).
 
     EXACT for INTEGRAL sources only, same contract (and reason) as
-    with_global_cumsum."""
+    with_global_cumsum — including the NULL-prefix parity rule (r07):
+    the offsets carry the prior partitions' per-group non-null COUNT so
+    a row goes NULL exactly when its whole GROUP prefix is non-null-free,
+    matching ``sum() over`` bit-for-bit on nullable sources."""
     srcs = sorted(set(sum_cols.values()))
     _require_integral(df, srcs, "with_grouped_cumsum")
     staged = _grouped_staged(df, group_cols, order_cols, num_partitions)
     rows = staged.groupBy("_pid", *group_cols).agg(
-        *[F.sum(c).alias(c) for c in srcs]
+        *[F.sum(c).alias(c) for c in srcs],
+        *[F.count(c).alias(f"_cnt_{c}") for c in srcs],
     ).collect()
     acc: dict[tuple, dict[str, int]] = {}
+    cnts: dict[tuple, dict[str, int]] = {}
     offsets = []
     for r in sorted(rows, key=lambda r: r["_pid"]):
         g = tuple(r[c] for c in group_cols)
         cur = acc.setdefault(g, {c: 0 for c in srcs})
-        offsets.append((r["_pid"], *g, *[cur[c] for c in srcs]))
+        ccur = cnts.setdefault(g, {c: 0 for c in srcs})
+        offsets.append(
+            (r["_pid"], *g, *[cur[c] for c in srcs], *[ccur[c] for c in srcs])
+        )
         for c in srcs:
             cur[c] += r[c] or 0
+            ccur[c] += r[f"_cnt_{c}"]
     gtypes = [StructField(c, df.schema[c].dataType) for c in group_cols]
     off_schema = StructType(
         [StructField("_pid", IntegerType()), *gtypes]
         + [StructField(f"_off_{c}", LongType()) for c in srcs]
+        + [StructField(f"_offcnt_{c}", LongType()) for c in srcs]
     )
     off = df.sparkSession.createDataFrame(offsets or [], off_schema)
     w = (
@@ -366,9 +401,18 @@ def with_grouped_cumsum(
     out = staged.join(F.broadcast(off), ["_pid", *group_cols])
     for name, src in sum_cols.items():
         out = out.withColumn(
-            name, F.sum(src).over(w).cast("long") + F.col(f"_off_{src}")
+            name,
+            F.when(
+                F.count(src).over(w) + F.col(f"_offcnt_{src}") > 0,
+                F.coalesce(F.sum(src).over(w).cast("long"), F.lit(0))
+                + F.col(f"_off_{src}"),
+            ),
         )
-    return out.drop("_pid", *[f"_off_{c}" for c in srcs])
+    return out.drop(
+        "_pid",
+        *[f"_off_{c}" for c in srcs],
+        *[f"_offcnt_{c}" for c in srcs],
+    )
 
 
 def with_grouped_value_range(

@@ -372,3 +372,85 @@ def test_grouped_value_range_empty_and_single(spark):
         num_partitions=4,
     ).collect()
     assert [r["c"] for r in rows] == [1]
+
+
+# ---- property-based equivalence (r07): random skew, ties, NULL sums ----
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_rand_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),      # group (skewable)
+        st.integers(min_value=0, max_value=6),      # order value (ties)
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=9)),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rand_rows, p=st.sampled_from([1, 3, 8]))
+def test_grouped_primitives_random_equivalence(spark, rows, p):
+    """with_grouped_rank / with_grouped_cumsum ≡ the Window forms on
+    RANDOM inputs: arbitrary group skew (including one group holding
+    everything and absent groups), order-value ties broken by the
+    unique id, NULL sum sources (the r07 null-prefix parity rule), and
+    partition counts below/above the group count."""
+    data = [(f"g{g}", v, i, c) for i, (g, v, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v int, id int, c long")
+
+    got = {
+        r["id"]: (r["rk"], r["n"], r["cum"])
+        for r in with_grouped_cumsum(
+            with_grouped_rank(
+                df, ["g"], ["v", "id"], rank_col="rk", count_col="n",
+                num_partitions=p,
+            ),
+            ["g"],
+            ["v", "id"],
+            {"cum": "c"},
+            num_partitions=p,
+        ).collect()
+    }
+    wr = Window.partitionBy("g").orderBy("v", "id")
+    wc = wr.rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: (r["rk"], r["n"], r["cum"])
+        for r in df.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .withColumn("n", F.count("*").over(Window.partitionBy("g")))
+        .withColumn("cum", F.sum("c").over(wc).cast("long"))
+        .collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=_rand_rows, p=st.sampled_from([1, 4, 16]))
+def test_global_cumsum_random_equivalence_with_nulls(spark, rows, p):
+    """with_global_cumsum ≡ sum() over (ORDER BY) on random inputs with
+    NULL runs anywhere — including an all-NULL prefix spanning several
+    range partitions (the case the r07 parity rule fixed)."""
+    data = [(v * 7 + g, i, c) for i, (g, v, c) in enumerate(rows)]
+    df = spark.createDataFrame(data, "v int, id int, c long")
+    got = {
+        r["id"]: r["cum"]
+        for r in with_global_cumsum(
+            df, ["v", "id"], {"cum": "c"}, num_partitions=p
+        ).collect()
+    }
+    w = Window.orderBy("v", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r["id"]: r["cc"]
+        for r in df.withColumn("cc", F.sum("c").over(w).cast("long")).collect()
+    }
+    assert got == want
