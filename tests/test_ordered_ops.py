@@ -454,3 +454,85 @@ def test_global_cumsum_random_equivalence_with_nulls(spark, rows, p):
         for r in df.withColumn("cc", F.sum("c").over(w).cast("long")).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # group
+            st.integers(min_value=0, max_value=15),  # value (heavy ties)
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    p=st.sampled_from([1, 4, 16]),
+    off=st.sampled_from([-1, -3, -7]),
+)
+def test_grouped_value_range_random_equivalence(spark, rows, p, off):
+    """The value-halo RANGE layout ≡ the per-group RANGE window on
+    random inputs: duplicate values (RANGE ties share frames), groups
+    that vanish, offsets smaller/larger than the value spacing, and
+    partition counts far above the row count."""
+    from social_warner_spark.operators.ordered import with_grouped_value_range
+
+    data = [(f"g{g}", float(v), i) for i, (g, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g string, v double, id int")
+    got = {
+        r["id"]: (round(r["s"], 6) if r["s"] is not None else None, r["c"])
+        for r in with_grouped_value_range(
+            df,
+            ["g"],
+            "v",
+            off,
+            {
+                "s": lambda w: F.sum("v").over(w),
+                "c": lambda w: F.count("*").over(w),
+            },
+            num_partitions=p,
+        ).collect()
+    }
+    w = Window.partitionBy("g").orderBy("v").rangeBetween(off, Window.currentRow)
+    want = {
+        r["id"]: (round(r["s"], 6) if r["s"] is not None else None, r["c"])
+        for r in df.select(
+            "id", F.sum("v").over(w).alias("s"), F.count("*").over(w).alias("c")
+        ).collect()
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    n=st.integers(min_value=0, max_value=50),
+    buckets=st.sampled_from([1, 2, 3, 7, 50, 64]),
+    p=st.sampled_from([1, 4, 16]),
+)
+def test_global_ntile_random_equivalence(spark, n, buckets, p):
+    """The closed-form ntile bucket ≡ Spark's ntile() for random row
+    counts around and below the bucket count (the q == 0 branch) and
+    partition counts above the row count."""
+    from social_warner_spark.operators.ordered import with_global_ntile
+
+    df = spark.createDataFrame(
+        [((i * 13) % 97, i) for i in range(n)], "v int, id int"
+    )
+    got = {
+        r["id"]: r["_tile"]
+        for r in with_global_ntile(
+            df, ["v", "id"], buckets, num_partitions=p
+        ).collect()
+    }
+    w = Window.orderBy("v", "id")
+    want = {
+        r["id"]: r["t"] for r in df.withColumn("t", F.ntile(buckets).over(w)).collect()
+    }
+    assert got == want
