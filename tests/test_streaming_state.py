@@ -263,14 +263,21 @@ def test_misra_gries_batch_twin_parity_and_guarantees(spark, sf_smoke, tmp_path)
     assert len(declared) > 0  # the guaranteed set is non-trivial at smoke SF
 
 
-def test_misra_gries_merged_fold_guarantees(spark, sf_smoke):
+def test_misra_gries_merged_fold_guarantees(spark, sf_smoke, tmp_path):
     """The mergeable-summaries layout (`_mg_summary_merged`: per-scan-
     partition partial folds + the PODS'12 pairwise merge) must satisfy
     the SAME Misra-Gries theorems as the sequential fold — every item
     with frequency > n/k present, 0 <= exact - est <= n/k, <= k-1
     counters per event_type — at a k small enough (20) that the partial
     tables overflow and the merge's subtract-k-th-largest branch runs,
-    and independent of how many scan partitions feed the partials."""
+    and independent of how many scan partitions feed the partials.
+
+    The smoke events parquet is ONE row group, so reading it in place
+    folds everything into a single partial and the merge never merges
+    (splitting by maxPartitionBytes only makes empty partitions).  The
+    fold therefore runs against an 8-FILE copy of the same rows — 8
+    real partials per event_type, so the pairwise merge and its
+    subtract-k-th-largest step execute for real."""
     from social_warner_spark.queries.x39_series import MG_K, _mg_summary_merged
 
     exact = (
@@ -280,7 +287,13 @@ def test_misra_gries_merged_fold_guarantees(spark, sf_smoke):
         .toPandas()
     )
 
-    merged = _mg_summary_merged(spark, sf_smoke, k=MG_K).toPandas()
+    multi = str(tmp_path / "mg_multi")
+    load_table(spark, sf_smoke, "events").repartition(8).write.parquet(
+        f"{multi}/events.parquet"
+    )
+    n_parts = load_table(spark, multi, "events").rdd.getNumPartitions()
+    assert n_parts > 1, "multi-file copy failed: merge path not exercised"
+    merged = _mg_summary_merged(spark, multi, k=MG_K).toPandas()
     for etype, grp in exact.groupby("event_type"):
         n = int(grp["count"].sum())
         bound = n / MG_K
@@ -297,12 +310,10 @@ def test_misra_gries_merged_fold_guarantees(spark, sf_smoke):
             assert row["exact_count"] == t
 
     # partition-layout independence of the DECLARED projection: the
-    # guaranteed set + bound_ok must not move when the scan partitioning
-    # changes (est_counts may — they are not part of the declared output)
-    from social_warner_spark.queries.x39_series import (
-        MG_DECLARED_K,
-        x377_misra_gries_twin,
-    )
+    # guaranteed set + bound_ok must not move between the in-place read
+    # (ONE partial per event_type) and the 8-file copy (8 partials) —
+    # est_counts may differ between the two, they are not declared
+    from social_warner_spark.queries.x39_series import x377_misra_gries_twin
 
     base = (
         x377_misra_gries_twin(spark, sf_smoke)
@@ -310,17 +321,12 @@ def test_misra_gries_merged_fold_guarantees(spark, sf_smoke):
         .sort_values(["event_type", "user_id"])
         .reset_index(drop=True)
     )
-    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
-    try:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
-        relaid = (
-            x377_misra_gries_twin(spark, sf_smoke)
-            .toPandas()
-            .sort_values(["event_type", "user_id"])
-            .reset_index(drop=True)
-        )
-    finally:
-        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    relaid = (
+        x377_misra_gries_twin(spark, multi)
+        .toPandas()
+        .sort_values(["event_type", "user_id"])
+        .reset_index(drop=True)
+    )
     import pandas as pd
 
     pd.testing.assert_frame_equal(base, relaid, check_dtype=False)
