@@ -296,6 +296,11 @@ def neardup_clusters(
             .groupBy("src")
             .agg(F.min("lab").alias("nlab"))
         )
+        # r08: the convergence flag is derived IN the update select —
+        # nlab < lab is exactly "this row's label improved" — so the
+        # old separate labels⋈labels changed-check (a shuffle join of
+        # two edge-incident-scale relations PER ROUND at 100 TB) is
+        # gone; the flag probe reads the already-checkpointed rows.
         updated = (
             labels.alias("l")
             .join(neigh.alias("n"), F.col("l.id") == F.col("n.src"), "left")
@@ -304,17 +309,12 @@ def neardup_clusters(
                 F.least(
                     F.col("l.lab"), F.coalesce(F.col("n.nlab"), F.col("l.lab"))
                 ).alias("lab"),
+                (F.col("n.nlab") < F.col("l.lab")).alias("_chg"),
             )
         )
         updated = updated.localCheckpoint(eager=True)
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("o"), "id")
-            .where(F.col("u.lab") < F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
+        changed = updated.where(F.col("_chg")).limit(1).count()
+        labels = updated.select("id", "lab")
         if changed == 0:
             break
     else:
