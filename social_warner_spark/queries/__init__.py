@@ -121,102 +121,93 @@ NO_ORACLE = frozenset()
 #: iteration order (a bounded window), so the dict is emitted with the
 #: 50 queries that most need a driver CORRECTNESS row first.
 #:
-#: Round-7 rotation (per the round-6 verdict; backlog after r06 =
-#: 155 never-checked of 445 declared):
-#: - Eleven rechecks, every one forced by a code move this round (the
-#:   r05 discipline — hard rows land the same round the code moves):
-#:   x15 (verdict task 1: LSH verification rewritten to candidate-only
-#:   rescore), x29/x31/x42 (task 2: per-lang packing/budget windows
-#:   converted to grouped distributed cumsum), x17/x18/x68/x208 (task 3
-#:   follow-through: the remaining corpus-scale windows keyed by
-#:   3-5-value columns became grouped distributed ranks / the
-#:   value-halo range frame), x119
-#:   (ADVICE: Σ ct·ch now decimal-exact behind a bounds guard), x267
-#:   (ADVICE: rank keys gained deterministic tiebreakers), x377 (the
-#:   Misra–Gries fold moved to the mergeable-summaries layout:
-#:   per-scan-partition mapInPandas partials + bounded PODS'12 merge —
-#:   same declared projection by theorem, no corpus-sized pandas
-#:   group; pinned by the new LowCardGroupedPandas ratchet metric).
-#: - x223 and x166 are never-checked AND named by verdict task 2:
-#:   x223's per-source rank/count windows became grouped distributed
-#:   ranks; x166 stays (its plan already IS the two-phase grouped
-#:   top-k — WindowGroupLimit Partial before the shuffle — pinned by a
-#:   plan test this round) and gets its first hard row.
-#: - The remaining 37 are the never-checked backlog in the r06 plan's
-#:   order: the x10 remnants (x143/x147/x148/x151-x163), then the x11
-#:   tail (x165-x190; x191 moved to the r08 window when the x377
-#:   recheck took its slot).
+#: Round-8 rotation (per the round-7 verdict; backlog after r07 =
+#: 116 never-checked of 445 declared):
+#: - Ten rechecks, every one forced by a code move this round (the r05
+#:   discipline — hard rows land the same round the code moves):
+#:   x27/x77/x119/x138/x155/x256/x330/x362 — the eight
+#:   neardup_clusters consumers (verdict task 1: the propagation
+#:   changed-check labels⋈labels shuffle join is replaced by a _chg
+#:   flag derived in the update select; verified by call-site scan —
+#:   x31's prepare_corpus does NOT flow through neardup_clusters, so
+#:   it is not re-listed); x119 additionally carries the decimal(38,0)
+#:   leak-count fix (task 3); x267 (task 4: unique rank tiebreaker);
+#:   x377 (ADVICE: Misra–Gries merge keeps counter ids int64 via
+#:   nullable Int64 instead of float64-coercing NULL sentinels).
+#: - The remaining 40 are the never-checked backlog in the documented
+#:   r08 order (task 2): x191, then the x11/x12 remainder
+#:   (x193–x245 gaps), then the statistical tail from x248 onward.
+#:   Cumulative driver coverage after this window: 369/445 (83%).
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries, serialization-strict
 #: like the driver's hash).  Queries not listed follow in stable module
 #: order; total set is 445 (query-count freeze HELD per verdict task 6:
-#: no new queries until driver coverage crosses 75%).
+#: the freeze lifts only for queries that pin an uncovered operator
+#: class, not for count).
 #:
-#: Round-8 rotation plan (for the next session): after r07 lands,
-#: driver coverage is ~331/445 (74%); fill the next window from the
-#: remaining never-checked ids — x191, then the x11/x12 remainder
-#: (x195-x204, x211, x214, x222-x245), then the statistical tail (x264 onward:
-#: x264, x265, x266, x268, x269, x271, x273-x278, x280, x281,
-#: x283-x285, x288-x299, x301-x376 gaps).  Keep zero overlap with
-#: CORRECTNESS_r01-r07 unless code changes force rechecks.
+#: Round-9 rotation plan (for the next session): after r08 lands,
+#: driver coverage is ~369/445 (83%); fill the next window from the
+#: remaining never-checked ids in x-number order — x276, x277, x278,
+#: x280, x281, x283, x284, x285, x288–x299 gaps, x301–x376 gaps
+#: (x276–x345 first, then the x348+ tail; ~76 remain, so two more
+#: windows finish the corpus).  Keep zero overlap with
+#: CORRECTNESS_r01–r08 unless code changes force rechecks.
 CHECK_PRIORITY = (
     # rechecks (code changed this round, previously driver-checked):
-    "x15_minhash_lsh_pairs",
-    "x29_sequence_packing",
-    "x31_full_pipeline",
-    "x42_budget_selection",
+    # the eight neardup_clusters consumers (propagation _chg flag):
+    "x27_neardup_clusters",
+    "x77_cluster_survivors",
     "x119_split_leakage",
-    "x267_theil_sen",
-    # rechecks forced by the LowCardPartitionWindow conversions (task
-    # 2/3 follow-through: the remaining full-rank corpus windows keyed
-    # by 3-5-value columns became grouped distributed ranks):
-    "x17_range_frame",
-    "x18_distribution_windows",
-    "x68_quantile_sketch",
-    "x208_conformal",
-    "x377_misra_gries_twin",
-    # never-checked, named by verdict task 2 (code moved / plan pinned):
-    "x223_quantile_normalize",
-    "x166_stratified_weighted_sample",
-    # never-checked backlog: x10-series remnants
-    "x143_basket_economics",
-    "x147_activation_lag",
-    "x148_acctbal_risk",
-    "x151_triplet_mining",
-    "x152_curriculum_deciles",
-    "x153_multi_benchmark_decontamination",
-    "x154_consistent_hash_rebalance",
+    "x138_cluster_size_histogram",
     "x155_effective_tokens",
-    "x156_source_epochs",
-    "x157_burstiness",
-    "x158_session_type_lift",
-    "x159_signal_agreement",
-    "x160_k_anonymity",
-    "x161_pair_budget_forecast",
-    "x162_ann_bucket_budget",
-    "x163_error_budget",
-    # never-checked backlog: x11-series tail
-    "x165_mixed_language",
-    "x168_jackknife_sources",
-    "x169_effective_sample_size",
-    "x171_bpe_encode",
-    "x172_ks_drift",
-    "x173_jl_distortion",
-    "x174_user_typicality",
-    "x175_benford_audit",
-    "x177_langid_eval",
-    "x178_twopass_median",
-    "x179_subtree_rollup",
-    "x180_sorted_neighborhood",
-    "x181_budget_waterfill",
-    "x182_eb_shrinkage",
-    "x183_kaplan_meier",
-    "x184_rank_auc",
-    "x186_dp_noisy_counts",
-    "x187_heaps_law",
-    "x188_logreg_gd",
-    "x189_cohens_kappa",
-    "x190_skyline",
+    "x256_bcubed_dedup_eval",
+    "x330_medoid_canonicals",
+    "x362_dedup_waterfall",
+    # rechecks forced by this round's ADVICE fixes:
+    "x267_theil_sen",
+    "x377_misra_gries_twin",
+    # never-checked backlog: x11/x12 remainder in x-number order
+    "x191_good_turing",
+    "x193_adjusted_rand",
+    "x195_forecast_backtest",
+    "x198_priority_sample",
+    "x199_capture_recapture",
+    "x201_fdr_correction",
+    "x202_cuped",
+    "x203_kcore",
+    "x204_span_corruption",
+    "x211_dedup_lm_impact",
+    "x214_crossfit_oof",
+    "x222_label_noise_screen",
+    "x224_hard_negative_mining",
+    "x225_doremi_weights",
+    "x227_dsir_selection",
+    "x228_padding_efficiency",
+    "x230_vocab_budget_sweep",
+    "x231_hits_scores",
+    "x233_scaling_curve",
+    "x234_uncertainty_sampling",
+    "x238_holt_smoothing",
+    "x239_label_propagation",
+    "x240_l_diversity",
+    "x242_mcnemar",
+    "x244_naive_bayes",
+    "x245_chi2_tokens",
+    # never-checked backlog: statistical tail
+    "x248_welch_ttest",
+    "x249_cusum_drift",
+    "x251_propensity_matching",
+    "x252_dirichlet_ql",
+    "x254_gini_sources",
+    "x264_permutation_test",
+    "x265_powerlaw_degree",
+    "x266_matryoshka_recall",
+    "x268_mann_kendall",
+    "x269_cluster_quality",
+    "x271_harmonic_regression",
+    "x273_item_item_cf",
+    "x274_kruskal_wallis",
+    "x275_brown_forsythe",
 )
 
 #: The driver verifies a window of this size in iteration order; the
