@@ -1751,12 +1751,18 @@ def x119_split_leakage(spark, sf_dir):
         F.sum(F.col("_is_train").cast("long")).alias("n_train"),
         F.sum((~F.col("_is_train")).cast("long")).alias("n_heldout"),
     )
-    # Σ ct·ch in decimal(38,0): the docstring's boilerplate mega-cluster
-    # motivation makes a single cluster's ct·ch product exceed int64 at
-    # 100 TB, where long arithmetic would silently wrap (non-ANSI Spark;
-    # ADVICE r06).  The exact decimal sum is cast back to long — the
-    # declared output type — behind a loud bounds guard instead of a
-    # silent wrap.
+    return sizes.crossJoin(_leakage_stats(per_cluster))
+
+
+def _leakage_stats(per_cluster):
+    """Fold per-cluster (ct, ch) train/heldout tallies into the leakage
+    verdict columns.  Σ ct·ch runs in decimal(38,0): the boilerplate
+    mega-cluster motivation makes a single cluster's ct·ch product
+    exceed int64 at 100 TB, where long arithmetic would silently wrap
+    (non-ANSI Spark; ADVICE r06).  The exact decimal sum is cast back
+    to long — the declared output type — behind a loud bounds guard
+    instead of a silent wrap (overflow-regression-tested against a
+    synthetic mega-cluster in tests/test_x119_overflow.py)."""
     _dec_sum = F.coalesce(
         F.sum(F.col("ct").cast("decimal(19,0)") * F.col("ch").cast("decimal(19,0)")),
         F.lit(0).cast("decimal(38,0)"),
@@ -1767,14 +1773,13 @@ def x119_split_leakage(spark, sf_dir):
     ).otherwise(
         F.raise_error(F.lit("x119 n_leaking_pairs exceeds int64 — widen the output type"))
     )
-    stats = per_cluster.agg(
+    return per_cluster.agg(
         _leak.alias("n_leaking_pairs"),
         F.coalesce(
             F.sum(F.when(F.col("ct") > 0, F.col("ch")).otherwise(F.lit(0))),
             F.lit(0),
         ).alias("n_compromised_heldout"),
     )
-    return sizes.crossJoin(stats)
 
 
 def x120_cross_source_dups(spark, sf_dir):
