@@ -149,7 +149,7 @@ def _mg_summary_merged(spark, sf_dir, k: int = MG_DECLARED_K):
     partition.  MG's guarantees are order-independent, and a scan
     partition's row order is deterministic, so the partials are a pure
     function of (data, partition layout).  Emits the counter rows plus
-    one NULL-user sentinel per (event_type, partition) carrying the
+    one flagged sentinel row per (event_type, partition) carrying the
     partition's row count (so n_processed is exact even when every
     counter decremented away).
 
@@ -195,20 +195,29 @@ def _mg_summary_merged(spark, sf_dir, k: int = MG_DECLARED_K):
                     tables[et] = {u: c - 1 for u, c in t.items() if c > 1}
         rows = []
         for et, n in ns.items():
-            rows.append((et, pid, None, 0, n))  # sentinel: row count only
+            # Sentinel rows are FLAGGED, not NULL-keyed: a NULL in the
+            # long user_id column would make Arrow hand the whole
+            # column to pandas as float64, where ids ≥ 2^53 are already
+            # rounded before any astype could save them (ADVICE r07,
+            # verified against a 2^62-range id) — snowflake-style
+            # 64-bit ids would silently collide in the merge.
+            rows.append((et, pid, 0, 0, n, True))  # sentinel: row count only
             for uid in sorted(tables.get(et, {})):
-                rows.append((et, pid, uid, tables[et][uid], 0))
+                rows.append((et, pid, uid, tables[et][uid], 0, False))
         if rows:
             yield pd.DataFrame(
                 rows,
-                columns=["event_type", "pid", "user_id", "est_count", "n_local"],
+                columns=[
+                    "event_type", "pid", "user_id", "est_count",
+                    "n_local", "_sentinel",
+                ],
             )
 
     partials = ev.mapInPandas(
         partial,
         schema=(
             "event_type string, pid int, user_id long, est_count long,"
-            " n_local long"
+            " n_local long, _sentinel boolean"
         ),
     )
 
@@ -216,7 +225,10 @@ def _mg_summary_merged(spark, sf_dir, k: int = MG_DECLARED_K):
         et = pdf["event_type"].iloc[0]
         n = int(pdf["n_local"].sum())
         table: dict[int, int] = {}
-        counters = pdf[pdf["user_id"].notna()]
+        # user_id is never NULL (sentinels are flagged), so the column
+        # arrives as true int64 and every id round-trips bit-exactly.
+        assert str(pdf["user_id"].dtype) == "int64", pdf["user_id"].dtype
+        counters = pdf[~pdf["_sentinel"]]
         for _, sub in counters.groupby("pid", sort=True):
             for uid, c in zip(sub["user_id"], sub["est_count"]):
                 uid = int(uid)
