@@ -44,13 +44,19 @@ _STATUS_LINE = {
 
 def _read_body(environ: Mapping[str, Any]) -> bytes:
     """The WSGI input rule: read exactly CONTENT_LENGTH bytes (servers
-    need not signal EOF on ``wsgi.input``); absent/garbage length reads
-    as an empty body."""
+    need not signal EOF on ``wsgi.input``).  A missing length normally
+    reads as an empty body — EXCEPT when the host advertises
+    ``wsgi.input_terminated`` (gunicorn et al. for chunked
+    transfer-encoding, which has no CONTENT_LENGTH): then the stream is
+    EOF-safe and must be drained, or a chunked POST's dates would be
+    silently ignored in favor of the default batch (ADVICE r07)."""
     try:
         n = int(environ.get("CONTENT_LENGTH") or 0)
     except (TypeError, ValueError):
         n = 0
     if n <= 0:
+        if environ.get("wsgi.input_terminated"):
+            return environ["wsgi.input"].read()
         return b""
     return environ["wsgi.input"].read(n)
 
@@ -96,12 +102,17 @@ def make_wsgi_app(
             else:
                 body, status = handle_request(None, configs, extract, load, anchor)
         data = json.dumps(body).encode("utf-8")
+        headers = [
+            ("Content-Type", "application/json"),
+            ("Content-Length", str(len(data))),
+        ]
+        if status == 405:
+            # RFC 7231 §6.5.5: a 405 MUST advertise the allowed methods.
+            headers.append(("Allow", "GET, POST"))
+        # An unmapped status from handle_request must not turn into an
+        # opaque host 500 via KeyError — fall back to a bare reason.
         start_response(
-            _STATUS_LINE[status],
-            [
-                ("Content-Type", "application/json"),
-                ("Content-Length", str(len(data))),
-            ],
+            _STATUS_LINE.get(status, f"{status} Unknown"), headers
         )
         return [data]
 

@@ -47,7 +47,10 @@ def _app(spark, fail_ids=()):
     )
 
 
-def _call(app, method="POST", body=None, content_length=None):
+def _call(
+    app, method="POST", body=None, content_length=None, extra_environ=None,
+    validate=True,
+):
     """Drive the (PEP-3333-validated) app with a synthetic environ."""
     if body is None:
         raw = b""
@@ -72,13 +75,19 @@ def _call(app, method="POST", body=None, content_length=None):
         "wsgi.multiprocess": False,
         "wsgi.run_once": False,
     }
+    if extra_environ:
+        environ.update(extra_environ)
+        for k, v in list(environ.items()):
+            if v is None:
+                del environ[k]
     out = {}
 
     def start_response(status, headers):
         out["status"] = int(status.split()[0])
         out["headers"] = dict(headers)
 
-    chunks = list(validator(app)(environ, start_response))
+    wrapped = validator(app) if validate else app
+    chunks = list(wrapped(environ, start_response))
     out["body"] = json.loads(b"".join(chunks)) if chunks else None
     return out
 
@@ -134,6 +143,52 @@ def test_wsgi_bad_macro_is_400(spark):
 def test_wsgi_method_not_allowed(spark):
     r = _call(_app(spark), method="DELETE", body={"start_date": "2024-01-01"})
     assert r["status"] == 405
+    # RFC 7231 §6.5.5 (ADVICE r07): the 405 must advertise the methods
+    assert r["headers"]["Allow"] == "GET, POST"
+
+
+def test_wsgi_chunked_body_is_read(spark):
+    """gunicorn-style chunked POST: no CONTENT_LENGTH, but the host sets
+    wsgi.input_terminated — the supplied dates must be honored, not
+    silently swapped for the default batch (ADVICE r07)."""
+    # unvalidated drive: wsgi.input_terminated is exactly the host
+    # extension that legalizes the argless read() the PEP-3333
+    # validator forbids.
+    r = _call(
+        _app(spark),
+        body={"start_date": "2023-06-01", "end_date": "2023-06-03"},
+        extra_environ={"CONTENT_LENGTH": None, "wsgi.input_terminated": True},
+        validate=False,
+    )
+    assert r["status"] == 200
+    assert r["body"]["start_date"] == "2023-06-01"
+    assert r["body"]["end_date"] == "2023-06-03"
+
+
+def test_wsgi_missing_length_without_termination_is_default_batch(spark):
+    # without the host's EOF guarantee the adapter must NOT read() —
+    # PEP-3333 says the stream may block — so the empty-body path runs
+    r = _call(
+        _app(spark),
+        body={"start_date": "2023-06-01"},
+        extra_environ={"CONTENT_LENGTH": None},
+    )
+    assert r["status"] == 200
+    assert r["body"]["start_date"] == "2024-01-01"  # anchor default, body ignored
+
+
+def test_wsgi_unmapped_status_gets_fallback_reason(spark, monkeypatch):
+    """A status outside the mapped set must serialize as '<code> Unknown',
+    not explode into an opaque host 500 via KeyError (ADVICE r07)."""
+    import social_warner_spark.service as service
+
+    monkeypatch.setattr(
+        service, "handle_request", lambda *a, **k: ({"status": "odd"}, 299)
+    )
+    app = make_wsgi_app(_configs(), lambda *a: None, load=lambda df, c: 0, anchor=ANCHOR)
+    r = _call(app, body=None)
+    assert r["status"] == 299
+    assert r["body"] == {"status": "odd"}
 
 
 def test_wsgi_real_http_round_trip(spark):
