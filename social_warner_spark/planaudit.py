@@ -171,9 +171,45 @@ def _count_lowcard_partition_windows(plan: str) -> int:
 #: the FIRST bracketed Arguments list is the grouping-key expressions.
 #: (The tree section's bare "FlatMapGroupsInPandas (7)" lines have no
 #: Arguments and are not matched.)
-_FMGIP_ARGS = re.compile(
-    r"FlatMapGroupsInPandas\s*\nInput[^\n]*\nArguments: \[([^\]]*)\]"
+_FMGIP_HEADER = re.compile(
+    r"FlatMapGroupsInPandas\s*\nInput[^\n]*\nArguments: \["
 )
+
+
+def _fmgip_key_lists(plan: str) -> list[list[str]]:
+    """Every FlatMapGroupsInPandas grouping-key list, split at TOP-LEVEL
+    commas with balanced ()/[] tracking — the same approach as
+    _window_specs (ADVICE r07: the old flat ``[^\\]]*`` capture
+    truncated at the first ']' inside a nested-bracket key expression,
+    silently shrinking the key set the ratchet classifies).  A list
+    whose brackets never close (a genuinely truncated plan) raises."""
+    lists: list[list[str]] = []
+    for m in _FMGIP_HEADER.finditer(plan):
+        j = m.end()
+        depth = 1  # inside the Arguments '['
+        keys: list[str] = []
+        start = j
+        k = j
+        end = len(plan)
+        while k < end and depth > 0:
+            ch = plan[k]
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                depth -= 1
+                if depth == 0:
+                    keys.append(plan[start:k].strip())
+            elif ch == "," and depth == 1:
+                keys.append(plan[start:k].strip())
+                start = k + 1
+            k += 1
+        if depth > 0:
+            raise ValueError(
+                "unclassifiable FlatMapGroupsInPandas arguments "
+                "(truncated plan?): " + plan[m.start() : m.start() + 200]
+            )
+        lists.append([k for k in keys if k])
+    return lists
 
 
 def _count_lowcard_grouped_pandas(plan: str) -> int:
@@ -184,8 +220,7 @@ def _count_lowcard_grouped_pandas(plan: str) -> int:
     Expression-valued keys are not classified (conservative: the
     declared queries group on bare attributes)."""
     n = 0
-    for m in _FMGIP_ARGS.finditer(plan):
-        keys = [k.strip() for k in m.group(1).split(",") if k.strip()]
+    for keys in _fmgip_key_lists(plan):
         if not keys:
             continue
         bases = [_BARE_ATTR.match(k) for k in keys]

@@ -178,9 +178,20 @@ def test_lowcard_grouped_pandas_classifier():
         "Arguments: [coalesce(lang#7, und)], fold(v#12L)#14, [c#16L]"
     )
     tree_only = "   +- FlatMapGroupsInPandas (7)\n      +- Sort (6)"
+    # ADVICE r07: a ']' INSIDE a nested-bracket key expression must not
+    # truncate the captured key list — here the nested array literal
+    # would have made the old flat capture see only the low-card prefix
+    # and miscount the node as low-card.
+    nested_bracket = (
+        "(7) FlatMapGroupsInPandas\n"
+        "Input [3]: [event_type#9, user_id#11L, v#12L]\n"
+        "Arguments: [event_type#9, element_at(array(user_id#11L)[0], 1)], "
+        "fold(v#12L)#14, [c#16L]"
+    )
     assert _count_lowcard_grouped_pandas(lowcard) == 1
     assert _count_lowcard_grouped_pandas(highcard) == 0
     assert _count_lowcard_grouped_pandas(mixed) == 0
     assert _count_lowcard_grouped_pandas(expr_key) == 0
     assert _count_lowcard_grouped_pandas(tree_only) == 0
     assert _count_lowcard_grouped_pandas(tree_only + "\n" + lowcard) == 1
+    assert _count_lowcard_grouped_pandas(nested_bracket) == 0
