@@ -87,7 +87,13 @@ def _call(
         out["headers"] = dict(headers)
 
     wrapped = validator(app) if validate else app
-    chunks = list(wrapped(environ, start_response))
+    it = wrapped(environ, start_response)
+    try:
+        chunks = list(it)
+    finally:
+        close = getattr(it, "close", None)
+        if close is not None:
+            close()
     out["body"] = json.loads(b"".join(chunks)) if chunks else None
     return out
 
