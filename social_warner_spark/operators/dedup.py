@@ -277,11 +277,33 @@ def neardup_clusters(
     pairs = exact_jaccard_pairs(df, threshold, text_col, id_col, n).select(
         "doc_id_a", "doc_id_b"
     )
-    edges = (
-        pairs.toDF("src", "dst")
-        .unionByName(pairs.toDF("dst", "src"))
-        .localCheckpoint(eager=True)
+    labels = propagate_min_labels(pairs, max_iters)
+
+    # labels is materialized by the final round's localCheckpoint (or the
+    # initial one when there are no edges); singleton docs — never in any
+    # pair — are their own cluster and rejoin with one left join.
+    return df.select(F.col(id_col).alias("id")).join(labels, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.coalesce(F.col("lab"), F.col("id")).alias("cluster_id"),
     )
+
+
+def propagate_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected-component labels over an undirected pair relation:
+    ``(id, lab)`` for every EDGE-INCIDENT node, where ``lab`` is the
+    component's minimum id.  The min-label propagation core of
+    `neardup_clusters`, shared here so arbitrary-topology inputs
+    (cycles, stars, multi-component — tests/test_property.py's
+    union-find sweep) can drive it without synthesizing document text.
+
+    ``pairs`` is any 2-column (a, b) edge relation; both orientations
+    are added internally.  Raises RuntimeError if ``max_iters`` rounds
+    pass without convergence (round count = component diameter)."""
+    a_col, b_col = pairs.columns[:2]
+    und = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
     # Both directions are present, so src alone covers every incident node.
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -319,14 +341,7 @@ def neardup_clusters(
             break
     else:
         raise RuntimeError(f"label propagation did not converge in {max_iters} rounds")
-
-    # labels is materialized by the final round's localCheckpoint (or the
-    # initial one when there are no edges); singleton docs — never in any
-    # pair — are their own cluster and rejoin with one left join.
-    return df.select(F.col(id_col).alias("id")).join(labels, "id", "left").select(
-        F.col("id").alias(id_col),
-        F.coalesce(F.col("lab"), F.col("id")).alias("cluster_id"),
-    )
+    return labels
 
 
 def minhash_signature_cols(num_hashes: int) -> list[Column]:

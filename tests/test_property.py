@@ -480,3 +480,50 @@ def test_gif_lzw_roundtrip_property(seq, mcs):
     alphabet = 1 << mcs
     seq = [v % alphabet for v in seq]
     assert _gif_lzw_decode(_gif_lzw_encode(seq, mcs), mcs) == seq
+
+
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=18),
+        st.integers(min_value=1, max_value=18),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(edges=edge_lists)
+def test_propagate_min_labels_matches_union_find(spark, edges):
+    """Arbitrary-topology pin for the propagation core (r08: the
+    convergence probe is a checkpointed flag, not a labels join): on
+    random edge lists — cycles, stars, self-loops, duplicates, multiple
+    components — every edge-incident node's label must equal its
+    component's minimum id, per a plain union-find oracle."""
+    from social_warner_spark.operators.dedup import propagate_min_labels
+
+    edges = [e for e in edges if e[0] != e[1]]  # self-loops carry no info
+    if not edges:
+        return
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {node: find(node) for node in parent}
+
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.id: r.lab for r in propagate_min_labels(df).collect()}
+    assert got == expected
