@@ -2210,11 +2210,25 @@ def x138_cluster_size_histogram(spark, sf_dir):
     aggregate over the propagation labels."""
     from social_warner_spark.operators.dedup import neardup_clusters
 
+    from social_warner_spark.caching import register_persisted
+
     clusters = neardup_clusters(T(spark, sf_dir, "documents"), threshold=0.5)
     sizes = clusters.groupBy("cluster_id").agg(F.count("*").alias("sz"))
-    hist = sizes.groupBy("sz").agg(F.count("*").alias("n_clusters"))
-    totals = sizes.agg(
-        F.sum("sz").alias("_docs"), F.count("*").alias("_cl")
+    # r08: totals derive FROM the bounded histogram (Σ sz·n_clusters ≡
+    # Σ sz, Σ n_clusters ≡ |clusters|; every product counts docs, so
+    # nothing exceeds |docs|) — previously `sizes` fed hist AND a
+    # separate totals aggregate: a second |clusters|-row aggregate pass
+    # whose shared join lineage was only deduplicated IF AQE's runtime
+    # stage reuse fired (the static plan carried both branches — 18
+    # Exchanges, 4 scans — and reuse is an optimizer courtesy, not a
+    # contract).  Single evaluation is now structural; hist is
+    # |distinct sizes| rows, so its persist is O(100), not corpus-scale.
+    hist = register_persisted(
+        sizes.groupBy("sz").agg(F.count("*").alias("n_clusters")).persist()
+    )
+    totals = hist.agg(
+        F.sum(F.col("sz") * F.col("n_clusters")).alias("_docs"),
+        F.sum("n_clusters").alias("_cl"),
     )
     return hist.crossJoin(F.broadcast(totals)).select(
         F.col("sz").alias("cluster_size"),
