@@ -34,6 +34,18 @@ def r6(c) -> F.Column:
     return F.round(c, 6)
 
 
+def r2t(c) -> F.Column:
+    """Tie-nudged 2dp round, the r6t discipline one grid coarser: for
+    2dp outputs whose exact value is a FINER decimal rational (e.g.
+    revenue Σ price(2dp)·(1−disc(2dp)) — exact 4dp terms — landing on
+    xxx.xx5), where the two engines' float summation order decides the
+    rounding direction (found by the r08 sf0.001 sweep: x144's revenue
+    753930.795 rendered .79 in Spark and .8 in DuckDB).  The 1e-6 nudge
+    is ≫ big-sum float noise (~1e-8 at 1e6-scale sums) and ≪ the 5e-3
+    half-grid; the oracle applies the identical ROUND(x + 1e-6, 2)."""
+    return F.round(c + F.lit(1e-6), 2)
+
+
 def r6t(c) -> F.Column:
     """Tie-nudged 6dp round for outputs that are EXACT DECIMAL RATIONALS
     finer than 6dp (e.g. sums of 6dp-rounded terms scaled by a 1-decimal

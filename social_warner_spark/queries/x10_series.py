@@ -19,7 +19,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Window
 
-from social_warner_spark.queries.common import T, r6, r6t
+from social_warner_spark.queries.common import T, r2t, r6, r6t
 
 #: x93 — the ordered stages.
 FUNNEL_STAGES = ("view", "click", "purchase")
@@ -2356,7 +2356,10 @@ def x144_trade_matrix(spark, sf_dir):
             "s_nationkey",
         )
         .groupBy("cust_nation", "supp_nation")
-        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+        # r2t (r08): Σ of exact-4dp terms lands on the 2dp half-grid —
+        # the sf0.001 sweep caught 753930.795 rounding .79/.8 across
+        # engines; the nudge (mirrored in the oracle) fixes the side.
+        .agg(r2t(F.sum("_rev")).alias("revenue"))
     )
     w = Window.partitionBy("cust_nation")
     return flows.select(
@@ -2407,7 +2410,7 @@ ORACLES.update(
         "x144_trade_matrix": """
         WITH flows AS (
             SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
-                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+                   ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)) + 1e-6, 2) AS revenue
             FROM lineitem l
             JOIN orders o ON o.o_orderkey = l.l_orderkey
             JOIN customer c ON c.c_custkey = o.o_custkey

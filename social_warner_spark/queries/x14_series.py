@@ -1288,8 +1288,11 @@ def x249_cusum_drift(spark, sf_dir):
     )
     ys = F.transform(F.col("s"), lambda e: e["y"])
     cal = F.slice(ys, 1, CUSUM_CAL_N)
+    # mu is Σ(6dp)/10 — an exact 7dp rational, tie-nudged like the fold.
     mu = F.round(
-        F.aggregate(cal, F.lit(0.0), lambda a, y: a + y) / CUSUM_CAL_N, 6
+        F.aggregate(cal, F.lit(0.0), lambda a, y: a + y) / CUSUM_CAL_N
+        + F.lit(1e-9),
+        6,
     )
     sigma = F.round(
         F.sqrt(
@@ -1307,6 +1310,37 @@ def x249_cusum_drift(spark, sf_dir):
     )
     k = CUSUM_KS * F.col("sigma")
     h = CUSUM_HS * F.col("sigma")
+    def _step(acc, i):
+        # r6t-nudged fold rounds (r08): the update terms are exact
+        # 7dp rationals (y/mu 6dp, k = 0.5·sigma ends in 5), so every
+        # round can land EXACTLY on the 6dp half-grid where the two
+        # engines' float paths disagree (the sf0.001 sweep caught
+        # max_sp 34.9337465 rendering ...47/...46).  The 1e-9 nudge
+        # (mirrored in the oracle's recursive CTE) resolves every tie
+        # upward in both engines — the x39 per-iteration-rounding
+        # discipline, tie-hardened.
+        y = F.element_at(F.col("ev"), i)
+        sp_new = F.round(
+            F.greatest(F.lit(0.0), acc["sp"] + (y - F.col("mu") - k))
+            + F.lit(1e-9),
+            6,
+        )
+        sn_new = F.round(
+            F.greatest(F.lit(0.0), acc["sn"] + (F.col("mu") - y - k))
+            + F.lit(1e-9),
+            6,
+        )
+        alarm = (sp_new > h) | (sn_new > h)
+        return F.struct(
+            sp_new.alias("sp"),
+            sn_new.alias("sn"),
+            (acc["alarms"] + F.when(alarm, 1).otherwise(0)).alias("alarms"),
+            F.when((acc["first_idx"] == 0) & alarm, i)
+            .otherwise(acc["first_idx"])
+            .alias("first_idx"),
+            F.greatest(acc["max_sp"], sp_new).alias("max_sp"),
+        )
+
     st = F.aggregate(
         F.expr("sequence(1, size(ev))"),
         F.struct(
@@ -1316,109 +1350,7 @@ def x249_cusum_drift(spark, sf_dir):
             F.lit(0).alias("first_idx"),
             F.lit(0.0).alias("max_sp"),
         ),
-        lambda acc, i: F.struct(
-            F.round(
-                F.greatest(
-                    F.lit(0.0),
-                    acc["sp"]
-                    + (F.element_at(F.col("ev"), i) - F.col("mu") - k),
-                ),
-                6,
-            ).alias("sp"),
-            F.round(
-                F.greatest(
-                    F.lit(0.0),
-                    acc["sn"]
-                    + (F.col("mu") - F.element_at(F.col("ev"), i) - k),
-                ),
-                6,
-            ).alias("sn"),
-            (
-                acc["alarms"]
-                + F.when(
-                    (
-                        F.round(
-                            F.greatest(
-                                F.lit(0.0),
-                                acc["sp"]
-                                + (
-                                    F.element_at(F.col("ev"), i)
-                                    - F.col("mu")
-                                    - k
-                                ),
-                            ),
-                            6,
-                        )
-                        > h
-                    )
-                    | (
-                        F.round(
-                            F.greatest(
-                                F.lit(0.0),
-                                acc["sn"]
-                                + (
-                                    F.col("mu")
-                                    - F.element_at(F.col("ev"), i)
-                                    - k
-                                ),
-                            ),
-                            6,
-                        )
-                        > h
-                    ),
-                    1,
-                ).otherwise(0)
-            ).alias("alarms"),
-            F.when(
-                (acc["first_idx"] == 0)
-                & (
-                    (
-                        F.round(
-                            F.greatest(
-                                F.lit(0.0),
-                                acc["sp"]
-                                + (
-                                    F.element_at(F.col("ev"), i)
-                                    - F.col("mu")
-                                    - k
-                                ),
-                            ),
-                            6,
-                        )
-                        > h
-                    )
-                    | (
-                        F.round(
-                            F.greatest(
-                                F.lit(0.0),
-                                acc["sn"]
-                                + (
-                                    F.col("mu")
-                                    - F.element_at(F.col("ev"), i)
-                                    - k
-                                ),
-                            ),
-                            6,
-                        )
-                        > h
-                    )
-                ),
-                i,
-            )
-            .otherwise(acc["first_idx"])
-            .alias("first_idx"),
-            F.greatest(
-                acc["max_sp"],
-                F.round(
-                    F.greatest(
-                        F.lit(0.0),
-                        acc["sp"]
-                        + (F.element_at(F.col("ev"), i) - F.col("mu") - k),
-                    ),
-                    6,
-                ),
-            ).alias("max_sp"),
-        ),
+        _step,
     )
     return staged.select(
         "event_type",
@@ -1679,18 +1611,18 @@ ORACLES.update({
             FROM params
             UNION ALL
             SELECT cs.event_type, cs.t + 1,
-                   ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)), 6),
-                   ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)), 6),
+                   ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)) + 1e-9, 6),
+                   ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)) + 1e-9, 6),
                    cs.alarms + CASE WHEN
-                       ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)), 6) > p.h
-                       OR ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)), 6) > p.h
+                       ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)) + 1e-9, 6) > p.h
+                       OR ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)) + 1e-9, 6) > p.h
                    THEN 1 ELSE 0 END,
                    CASE WHEN cs.first_idx = 0 AND (
-                       ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)), 6) > p.h
-                       OR ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)), 6) > p.h
+                       ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)) + 1e-9, 6) > p.h
+                       OR ROUND(GREATEST(0.0, cs.sn + (p.mu - o.y - p.k)) + 1e-9, 6) > p.h
                    ) THEN cs.t - {CUSUM_CAL_N} ELSE cs.first_idx END,
                    GREATEST(cs.max_sp,
-                            ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)), 6))
+                            ROUND(GREATEST(0.0, cs.sp + (o.y - p.mu - p.k)) + 1e-9, 6))
             FROM cs
             JOIN ord o ON o.event_type = cs.event_type AND o.t = cs.t
             JOIN params p ON p.event_type = cs.event_type

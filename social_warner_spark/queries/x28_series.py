@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Window
 
 from social_warner_spark.functions.text import tokens
-from social_warner_spark.queries.common import T, r6
+from social_warner_spark.queries.common import T, r6, r6t
 from social_warner_spark.queries.x16_series import CP_MIN_SEG
 
 #: x322 — a child split must remove at least this share of its
@@ -209,9 +209,13 @@ def x323_power_planner(spark, sf_dir):
     per_day = F.col("n_events") / F.col("n_days") / 2.0
     return j.select(
         "mde",
-        r6(F.col("mde") * F.col("mu")).alias("abs_delta"),
+        # r6t (r08): mde·mu and ceil/per_day are exact rationals (value
+        # is 2dp, counts are ints) that can land on the 6dp half-grid —
+        # the sf0.001 sweep caught abs_delta 2.5025095 rendering
+        # .50251/.502509 across engines; nudges mirrored in the oracle.
+        r6t(F.col("mde") * F.col("mu")).alias("abs_delta"),
         F.ceil(need).cast("long").alias("n_per_arm"),
-        r6(F.ceil(need) / per_day).alias("days_needed"),
+        r6t(F.ceil(need) / per_day).alias("days_needed"),
     ).orderBy("mde")
 
 
@@ -490,12 +494,12 @@ ORACLES = {
             SELECT UNNEST([{", ".join(str(m) for m in PW_MDES)}]) AS mde
         )
         SELECT mde,
-               ROUND(mde * mu, 6) AS abs_delta,
+               ROUND(mde * mu + 1e-9, 6) AS abs_delta,
                CAST(ceil(2.0 * {(PW_Z_ALPHA + PW_Z_BETA) ** 2!r} * var
                          / pow(mde * mu, 2)) AS BIGINT) AS n_per_arm,
                ROUND(ceil(2.0 * {(PW_Z_ALPHA + PW_Z_BETA) ** 2!r} * var
                           / pow(mde * mu, 2))
-                     / (n_events * 1.0 / n_days / 2.0), 6) AS days_needed
+                     / (n_events * 1.0 / n_days / 2.0) + 1e-9, 6) AS days_needed
         FROM mdes CROSS JOIN st
         ORDER BY mde
     """,
