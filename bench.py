@@ -111,6 +111,33 @@ HEADLINE = [
 ]
 
 
+#: Keys bench.py itself produces on every run.  Anything ELSE found in an
+#: existing bench_runs_detail.json (manual quiet re-measure records like
+#: "quiet_rechecks_r08", per-round isolated snapshots, ...) is preserved
+#: across runs — the r08 driver bench truncated the file and destroyed
+#: the quiet_rechecks_r08 record PERF.md pointed at (r08 verdict item 1).
+_RUN_KEYS = frozenset(
+    (
+        "metric", "value", "unit", "queries", "sf", "runs",
+        "queries_all_runs", "loadavg", "queries_loadavg",
+        "isolated_rechecks",
+    )
+)
+
+
+def merge_detail(existing: object, record: dict) -> dict:
+    """Overlay this run's ``record`` on ``existing``, keeping every key a
+    bench run does not itself produce (read-modify-write, not truncate).
+    A missing/corrupt existing file degrades to just the new record."""
+    merged: dict = {}
+    if isinstance(existing, dict):
+        merged.update(
+            (k, v) for k, v in existing.items() if k not in _RUN_KEYS
+        )
+    merged.update(record)
+    return merged
+
+
 def _previous_round_medians() -> dict[str, float]:
     """Per-query medians from the most recent BENCH_r*.json artifact
     (the driver records one per round) — the round-over-round reference
@@ -213,9 +240,14 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_runs_detail.json"
     )
+    try:
+        with open(detail_path) as f:
+            existing: object = json.load(f)
+    except (OSError, ValueError):
+        existing = None
     with open(detail_path, "w") as f:
         json.dump(
-            {
+            merge_detail(existing, {
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
@@ -226,7 +258,7 @@ def main() -> None:
                 "loadavg": [round(x, 2) for x in (*load_before, *load_after)],
                 "queries_loadavg": query_loadavg,
                 "isolated_rechecks": isolated,
-            },
+            }),
             f,
             indent=1,
         )

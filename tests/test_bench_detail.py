@@ -1,0 +1,50 @@
+"""bench_runs_detail.json must be merged, not truncated (r08 verdict:
+the driver's r08 bench run destroyed the manual ``quiet_rechecks_r08``
+record PERF.md pointed at).  ``bench.merge_detail`` is the
+read-modify-write helper every bench run now goes through."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import _RUN_KEYS, merge_detail
+
+
+def test_auxiliary_keys_survive_a_run():
+    existing = {
+        "metric": "headline_queries_wall_clock",
+        "queries": {"c1_scan_filter": 9.9},
+        "isolated_rechecks": {"x999": {"median": 1.0}},
+        "quiet_rechecks_r08": {"note": "manual"},
+        "quiet_rechecks_r09": {"x239_label_propagation": {"median": 4.0}},
+    }
+    record = {
+        "metric": "headline_queries_wall_clock",
+        "queries": {"c1_scan_filter": 0.5},
+        "isolated_rechecks": {},
+    }
+    merged = merge_detail(existing, record)
+    # run-produced keys come from the NEW record...
+    assert merged["queries"] == {"c1_scan_filter": 0.5}
+    assert merged["isolated_rechecks"] == {}
+    # ...auxiliary keys are preserved verbatim
+    assert merged["quiet_rechecks_r08"] == {"note": "manual"}
+    assert merged["quiet_rechecks_r09"] == existing["quiet_rechecks_r09"]
+
+
+def test_missing_or_corrupt_existing_degrades_to_record():
+    record = {"metric": "m", "queries": {}}
+    assert merge_detail(None, record) == record
+    assert merge_detail("not a dict", record) == record
+    assert merge_detail([1, 2], record) == record
+
+
+def test_run_keys_cover_everything_a_run_writes():
+    # The keys bench.main() writes each run; drift here would silently
+    # turn a run-produced key into a "preserved" stale one.
+    assert _RUN_KEYS == {
+        "metric", "value", "unit", "queries", "sf", "runs",
+        "queries_all_runs", "loadavg", "queries_loadavg",
+        "isolated_rechecks",
+    }
