@@ -71,13 +71,20 @@ def resolve_callable(ref: str) -> Callable:
 
 def parquet_loader(out_dir: str) -> Callable:
     """Built-in load: write each config's frame under ``out_dir`` using
-    the reference's sink table naming; returns the written row count
-    (counted BEFORE the write so the sink is never re-scanned)."""
+    the reference's sink table naming; returns the written row count.
+    The frame is persisted around count+write so the extract lineage is
+    evaluated ONCE and the reported count is the count that was written
+    (ADVICE r08 — a nondeterministic extract would otherwise report a
+    different count than the sink received)."""
 
     def load(df, config) -> int:
-        n = df.count()
-        path = f"{out_dir.rstrip('/')}/{config.sink_table_name}"
-        df.write.mode("append").parquet(path)
+        df = df.persist()
+        try:
+            n = df.count()
+            path = f"{out_dir.rstrip('/')}/{config.sink_table_name}"
+            df.write.mode("append").parquet(path)
+        finally:
+            df.unpersist()
         logu.info("parquet load", config_id=config.config_id, path=path, rows=n)
         return n
 

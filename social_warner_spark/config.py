@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Mapping
+from typing import Any, Iterable, Mapping
 
 REQUIRED_FIELDS = ("dataset_id", "metrics", "group_by", "meta_dimensions", "brands")
 
@@ -68,7 +68,27 @@ def parse_config(config_id: str, doc: Mapping[str, Any]) -> ExportConfig:
         raise ValueError(
             f"config {config_id!r} missing required field(s): {missing}"
         )
+    if not isinstance(doc["dataset_id"], str):
+        raise ValueError(
+            f"config {config_id!r}: dataset_id must be a string, got "
+            f"{type(doc['dataset_id']).__name__}"
+        )
+    if isinstance(doc["brands"], (str, bytes)) or not isinstance(
+        doc["brands"], Iterable
+    ):
+        raise ValueError(
+            f"config {config_id!r}: brands must be a list of ids, got "
+            f"{type(doc['brands']).__name__}"
+        )
     for section in ("metrics", "group_by", "meta_dimensions"):
+        if not isinstance(doc[section], Mapping):
+            # A wrong-typed section (e.g. "metrics": []) must surface as
+            # the documented config ValueError, not an AttributeError
+            # escaping the CLI/service as a raw traceback (ADVICE r08).
+            raise ValueError(
+                f"config {config_id!r}: section {section!r} must be a "
+                f"{{column: dtype}} object, got {type(doc[section]).__name__}"
+            )
         for col, dtype in doc[section].items():
             if dtype not in VALID_DTYPES:
                 raise ValueError(
@@ -90,4 +110,14 @@ def parse_config_document(text: str) -> dict[str, ExportConfig]:
     """Parse the whole config blob (reference: GCS JSON, utils.py:94-125 +
     main.py:50).  Source-agnostic: pass the text however it was fetched."""
     raw = json.loads(text)
+    if not isinstance(raw, dict):
+        raise ValueError(
+            f"config document must be a {{config_id: config}} object, "
+            f"got {type(raw).__name__}"
+        )
+    for cid, doc in raw.items():
+        if not isinstance(doc, Mapping):
+            raise ValueError(
+                f"config {cid!r} must be an object, got {type(doc).__name__}"
+            )
     return {cid: parse_config(cid, doc) for cid, doc in raw.items()}

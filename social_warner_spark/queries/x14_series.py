@@ -1590,8 +1590,12 @@ ORACLES.update({
         ), nn AS (
             SELECT event_type, MAX(t) AS n_days FROM ord GROUP BY 1
         ), cal AS (
+            -- mu is tie-nudged EXACTLY like the Spark side (+1e-9 before
+            -- ROUND): Sum(6dp)/10 is an exact 7dp rational, so a half-grid
+            -- mu would otherwise round differently per engine (ADVICE r08;
+            -- the r8 sweep nudged the fold but missed mu).
             SELECT event_type,
-                   ROUND(SUM(y) / {CUSUM_CAL_N}, 6) AS mu
+                   ROUND(SUM(y) / {CUSUM_CAL_N} + 1e-9, 6) AS mu
             FROM ord WHERE t <= {CUSUM_CAL_N} GROUP BY 1
         ), sg AS (
             SELECT o.event_type,

@@ -227,7 +227,13 @@ def _mg_summary_merged(spark, sf_dir, k: int = MG_DECLARED_K):
         table: dict[int, int] = {}
         # user_id is never NULL (sentinels are flagged), so the column
         # arrives as true int64 and every id round-trips bit-exactly.
-        assert str(pdf["user_id"].dtype) == "int64", pdf["user_id"].dtype
+        # Raise (not assert — stripped under python -O) if Arrow ever
+        # hands float64: ids >= 2^53 would already be silently rounded.
+        if str(pdf["user_id"].dtype) != "int64":
+            raise TypeError(
+                f"Misra-Gries merge needs int64 user_id, got "
+                f"{pdf['user_id'].dtype} — NULLs leaked into the column?"
+            )
         counters = pdf[~pdf["_sentinel"]]
         for _, sub in counters.groupby("pid", sort=True):
             for uid, c in zip(sub["user_id"], sub["est_count"]):

@@ -131,6 +131,22 @@ def test_wiring_errors_exit_2(tmp_path, capsys):
     assert rc == 2
 
 
+def test_wrong_typed_config_section_exits_2(tmp_path, capsys):
+    """ADVICE r08: "metrics": [] used to escape main() as a raw
+    AttributeError traceback; config-shape errors are now ValueError
+    from parse_config, so the CLI reports the documented exit-2 JSON."""
+    bad = {"a": dict(CONFIG_DOC["a"], metrics=[])}
+    rc = main([
+        "batch", "--configs", _write_configs(tmp_path, bad),
+        "--extract", "tests.test_cli:demo_extract",
+        "--load", "tests.test_cli:demo_load",
+    ])
+    body = json.loads(capsys.readouterr().out.strip())
+    assert rc == 2
+    assert body["status"] == "error"
+    assert "section 'metrics'" in body["message"]
+
+
 def test_serve_wires_the_wsgi_app(tmp_path, monkeypatch):
     """The serve branch must hand make_wsgi_app's app to the server
     factory with the parsed host/port; the real socket path is covered

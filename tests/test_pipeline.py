@@ -49,6 +49,28 @@ def test_config_validation_bad_dtype():
         parse_config("cfg1", doc)
 
 
+def test_config_validation_wrong_typed_sections():
+    # ADVICE r08: a wrong-typed section must raise the documented
+    # ValueError (CLI exit-code-2 JSON), never AttributeError/TypeError.
+    with pytest.raises(ValueError, match="section 'metrics' must be a"):
+        parse_config("cfg1", dict(CONFIG_DOC, metrics=[]))
+    with pytest.raises(ValueError, match="brands must be a list"):
+        parse_config("cfg1", dict(CONFIG_DOC, brands=7))
+    with pytest.raises(ValueError, match="brands must be a list"):
+        parse_config("cfg1", dict(CONFIG_DOC, brands="101"))
+    with pytest.raises(ValueError, match="dataset_id must be a string"):
+        parse_config("cfg1", dict(CONFIG_DOC, dataset_id=["d"]))
+
+
+def test_config_document_wrong_shapes():
+    import json
+
+    with pytest.raises(ValueError, match="must be a .config_id: config."):
+        parse_config_document(json.dumps([CONFIG_DOC]))
+    with pytest.raises(ValueError, match="config 'cfg1' must be an object"):
+        parse_config_document(json.dumps({"cfg1": ["not", "a", "config"]}))
+
+
 def test_config_document_roundtrip():
     import json
 
