@@ -121,93 +121,93 @@ NO_ORACLE = frozenset()
 #: iteration order (a bounded window), so the dict is emitted with the
 #: 50 queries that most need a driver CORRECTNESS row first.
 #:
-#: Round-8 rotation (per the round-7 verdict; backlog after r07 =
-#: 116 never-checked of 445 declared):
-#: - Ten rechecks, every one forced by a code move this round (the r05
+#: Round-9 rotation (per the round-8 verdict task 1; backlog after
+#: r08 = 76 never-checked of 445 declared):
+#: - Two rechecks, both forced by this round's ADVICE fixes (the r05
 #:   discipline — hard rows land the same round the code moves):
-#:   x27/x77/x119/x138/x155/x256/x330/x362 — the eight
-#:   neardup_clusters consumers (verdict task 1: the propagation
-#:   changed-check labels⋈labels shuffle join is replaced by a _chg
-#:   flag derived in the update select; verified by call-site scan —
-#:   x31's prepare_corpus does NOT flow through neardup_clusters, so
-#:   it is not re-listed); x119 additionally carries the decimal(38,0)
-#:   leak-count fix (task 3); x267 (task 4: unique rank tiebreaker);
-#:   x377 (ADVICE: Misra–Gries merge keeps counter ids int64 via
-#:   nullable Int64 instead of float64-coercing NULL sentinels).
-#: - The remaining 40 are the never-checked backlog in the documented
-#:   r08 order (task 2): x191, then the x11/x12 remainder
-#:   (x193–x245 gaps), then the statistical tail from x248 onward.
-#:   Cumulative driver coverage after this window: 369/445 (83%).
+#:   x249 (the oracle's cal-CTE mu now carries the same +1e-9 tie-nudge
+#:   as the Spark side — the r8 sweep nudged the fold but missed mu)
+#:   and x377 (the Misra-Gries merge's int64 dtype tripwire is an
+#:   explicit TypeError instead of an assert).  Both mirror-verified at
+#:   sf0.001/sf0.01/sf0.1 before listing.
+#: - The remaining 48 are the never-checked backlog in x-number order
+#:   from x276 (the documented r9 window): x276-x339.  Cumulative
+#:   driver coverage after this window: 417/445 (94%).
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries, serialization-strict
 #: like the driver's hash).  Queries not listed follow in stable module
-#: order; total set is 445 (query-count freeze HELD per verdict task 6:
+#: order; total set is 445 (query-count freeze HELD per verdict task 7:
 #: the freeze lifts only for queries that pin an uncovered operator
 #: class, not for count).
 #:
-#: Round-9 rotation plan (for the next session): after r08 lands,
-#: driver coverage is ~369/445 (83%); fill the next window from the
-#: remaining never-checked ids in x-number order — x276, x277, x278,
-#: x280, x281, x283, x284, x285, x288–x299 gaps, x301–x376 gaps
-#: (x276–x345 first, then the x348+ tail; ~76 remain, so two more
-#: windows finish the corpus).  Keep zero overlap with
-#: CORRECTNESS_r01–r08 unless code changes force rechecks.
+#: Round-10 rotation plan (for the next session): after r09 lands,
+#: driver coverage is ~417/445 (94%); the remaining 28 never-checked
+#: ids in x-number order finish the corpus — x340_subsequence_mining,
+#: x342_rank_aggregation, x343_term_burstiness, x344_histogram_design,
+#: x345_session_gap_planner, x348_design_effect, x349_fpc_ci,
+#: x350_knn_ood, x351_quantile_effects, x353_salt_planner,
+#: x354_ivm_merge, x355_join_order_advisor, x356_bloom_planner,
+#: x357_randomized_response, x358_weighted_jaccard, x361_churn_sweep,
+#: x363_chunking_planner, x364_temperature_scaling,
+#: x365_behavioral_unicity, x366_winnowing_density, x367_rank_movers,
+#: x369_doc_typicality, x370_stopword_discovery, x371_label_budget_curve,
+#: x372_lww_vs_arrival, x373_ratio_bridge, x374_birthday_audit,
+#: x376_raking; the other 22 slots go to rechecks forced by r10 code
+#: moves, else to re-confirming the oldest r01-era rows.  Keep zero
+#: overlap with CORRECTNESS_r01-r09 otherwise.
 CHECK_PRIORITY = (
-    # rechecks (code changed this round, previously driver-checked):
-    # the eight neardup_clusters consumers (propagation _chg flag):
-    "x27_neardup_clusters",
-    "x77_cluster_survivors",
-    "x119_split_leakage",
-    "x138_cluster_size_histogram",
-    "x155_effective_tokens",
-    "x256_bcubed_dedup_eval",
-    "x330_medoid_canonicals",
-    "x362_dedup_waterfall",
-    # rechecks forced by this round's ADVICE fixes:
-    "x267_theil_sen",
-    "x377_misra_gries_twin",
-    # never-checked backlog: x11/x12 remainder in x-number order
-    "x191_good_turing",
-    "x193_adjusted_rand",
-    "x195_forecast_backtest",
-    "x198_priority_sample",
-    "x199_capture_recapture",
-    "x201_fdr_correction",
-    "x202_cuped",
-    "x203_kcore",
-    "x204_span_corruption",
-    "x211_dedup_lm_impact",
-    "x214_crossfit_oof",
-    "x222_label_noise_screen",
-    "x224_hard_negative_mining",
-    "x225_doremi_weights",
-    "x227_dsir_selection",
-    "x228_padding_efficiency",
-    "x230_vocab_budget_sweep",
-    "x231_hits_scores",
-    "x233_scaling_curve",
-    "x234_uncertainty_sampling",
-    "x238_holt_smoothing",
-    "x239_label_propagation",
-    "x240_l_diversity",
-    "x242_mcnemar",
-    "x244_naive_bayes",
-    "x245_chi2_tokens",
-    # never-checked backlog: statistical tail
-    "x248_welch_ttest",
+    # rechecks (oracle/code changed this round, previously driver-checked):
     "x249_cusum_drift",
-    "x251_propensity_matching",
-    "x252_dirichlet_ql",
-    "x254_gini_sources",
-    "x264_permutation_test",
-    "x265_powerlaw_degree",
-    "x266_matryoshka_recall",
-    "x268_mann_kendall",
-    "x269_cluster_quality",
-    "x271_harmonic_regression",
-    "x273_item_item_cf",
-    "x274_kruskal_wallis",
-    "x275_brown_forsythe",
+    "x377_misra_gries_twin",
+    # never-checked backlog, x-number order from x276:
+    "x276_friedman",
+    "x277_rouge_pairs",
+    "x278_logrank_test",
+    "x280_gains_table",
+    "x281_cochran_armitage",
+    "x283_daily_correlation",
+    "x284_diff_in_diffs",
+    "x285_nelson_aalen",
+    "x288_rm3_expansion",
+    "x289_alignment_uniformity",
+    "x290_chi2_homogeneity",
+    "x291_jsd_source_matrix",
+    "x292_readability",
+    "x294_fano_burstiness",
+    "x295_weibull_fit",
+    "x296_powerlaw_gof",
+    "x297_circular_hours",
+    "x298_decision_stump",
+    "x299_brier_decomposition",
+    "x301_stl_strengths",
+    "x303_wasserstein_sources",
+    "x304_lexical_diversity",
+    "x305_block_bootstrap",
+    "x306_roc_youden",
+    "x308_rich_club",
+    "x309_psi",
+    "x310_g_test",
+    "x311_eigen_gap",
+    "x313_temporal_motifs",
+    "x314_granger_precedence",
+    "x315_rec_coverage",
+    "x316_burst_detection",
+    "x319_simhash_audit",
+    "x320_feature_mi",
+    "x321_bitemporal_asof",
+    "x323_power_planner",
+    "x324_chao1_richness",
+    "x325_merkle_root",
+    "x326_quantile_ci",
+    "x327_forecast_reconcile",
+    "x328_shesd_anomalies",
+    "x329_target_encoding",
+    "x332_join_advisor",
+    "x333_wilson_ci",
+    "x336_crosssource_dups",
+    "x337_anisotropy",
+    "x338_hubness",
+    "x339_positivity_check",
 )
 
 #: The driver verifies a window of this size in iteration order; the
