@@ -13,7 +13,14 @@ sparkdet  every Spark query run twice, rendered canonically and
           diffed — catches partition-order float instability the
           driver would see as a one-shot hash mismatch.
 
-Usage: python -m tests.run_strict_mirror [mirror|duckdet|sparkdet] [sf_dir]
+mirror3   the mirror at ALL THREE scales (sf0.001, sf0.01, sf0.1) in
+          one command — the standing pre-close form since round 9.
+          sf0.001 is a first-class gate scale: the r08 sweep there
+          caught three rounding-half-grid divergences (x144/x249/x323)
+          that sf0.01/sf0.1 never exposed — tiny groups make exact
+          decimal rationals land on the rounding grid's midpoints.
+
+Usage: python -m tests.run_strict_mirror [mirror|mirror3|duckdet|sparkdet] [sf_dir]
 Exit code 0 = clean; 1 = at least one failure (each printed as it lands).
 """
 
@@ -115,12 +122,31 @@ def run_sparkdet(sf_dir: str) -> int:
     return 1 if fails else 0
 
 
+#: The standing gate scales (round-9 promotion of sf0.001; see module
+#: docstring).  Order: cheapest first so a systematic break fails fast.
+GATE_SCALES = (
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+)
+
+
+def run_mirror3(_sf_dir_ignored: str) -> int:
+    rc = 0
+    for d in GATE_SCALES:
+        rc |= run_mirror(d)
+    return rc
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "mirror"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
-    return {"mirror": run_mirror, "duckdet": run_duckdet, "sparkdet": run_sparkdet}[
-        mode
-    ](sf_dir)
+    return {
+        "mirror": run_mirror,
+        "mirror3": run_mirror3,
+        "duckdet": run_duckdet,
+        "sparkdet": run_sparkdet,
+    }[mode](sf_dir)
 
 
 if __name__ == "__main__":
