@@ -427,7 +427,12 @@ def test_welch_matches_statistics_module(spark, sf_smoke):
 
 def test_cusum_matches_pure_python_recursion(spark, sf_smoke):
     """x249: replay the calibrate-then-fold CUSUM recursion in Python on
-    the same 6dp grid; all outputs must agree exactly."""
+    the same TIE-NUDGED 6dp grid the query uses (mu and every fold round
+    carry the +1e-9 nudge — k = 0.5*sigma makes each update an exact 7dp
+    rational, so un-nudged rounding sits on the half-grid where float
+    representation error picks the side; the r08 nudge commit moved the
+    Spark fold onto the nudged grid but left this replay on the raw one,
+    off by one 6dp step in max_sp).  All outputs must agree exactly."""
     from social_warner_spark.queries.x14_series import (
         CUSUM_CAL_N,
         CUSUM_HS,
@@ -447,7 +452,7 @@ def test_cusum_matches_pure_python_recursion(spark, sf_smoke):
             assert etype not in got
             continue
         cal = ys[:CUSUM_CAL_N]
-        mu = round(sum(cal) / CUSUM_CAL_N, 6)
+        mu = round(sum(cal) / CUSUM_CAL_N + 1e-9, 6)
         sigma = round(
             math.sqrt(
                 sum((y - mu) * (y - mu) for y in cal) / (CUSUM_CAL_N - 1)
@@ -458,8 +463,8 @@ def test_cusum_matches_pure_python_recursion(spark, sf_smoke):
         sp = sn = max_sp = 0.0
         alarms, first = 0, 0
         for i, y in enumerate(ys[CUSUM_CAL_N:], start=1):
-            sp = round(max(0.0, sp + (y - mu - k)), 6)
-            sn = round(max(0.0, sn + (mu - y - k)), 6)
+            sp = round(max(0.0, sp + (y - mu - k)) + 1e-9, 6)
+            sn = round(max(0.0, sn + (mu - y - k)) + 1e-9, 6)
             if sp > h or sn > h:
                 alarms += 1
                 if first == 0:
