@@ -13,6 +13,14 @@ Tie semantics: right.ts == left.ts matches (<=), and right rows order
 before left rows at equal ts via a side tag sort key.  NULL right values
 are bridged with last_value(ignoreNulls) — gaps carry the previous
 observation, matching ASOF JOIN semantics in DuckDB/kdb.
+
+Duplicate right rows at the SAME (key, ts) are totally ordered by their
+value tuple and the GREATEST one wins.  Without this the window sort is
+not total and the carried value depends on partitioning/union order —
+found by a round-9 partitioning-invariance probe (6 repartitionings of
+a duplicate-ts fixture returned 2 distinct outputs); pinned by a
+hypothesis brute-force property and a repartitioning regression test in
+tests/test_property.py.
 """
 
 from __future__ import annotations
@@ -55,9 +63,15 @@ def asof_join(
         *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     )
     unioned = l_tag.unionByName(r_tag)
+    # The value-tuple tiebreaker makes the sort TOTAL among duplicate
+    # right rows at one (key, ts): last() then deterministically carries
+    # the greatest tuple instead of whichever row the union/partitioning
+    # happened to order last.  Left rows (all-NULL tuple) still sort
+    # after right rows at equal ts via _side.
+    _rtb = F.struct(*[F.col(f"_r_{c}") for c in value_cols])
     w = (
         Window.partitionBy(on)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", _rtb)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(

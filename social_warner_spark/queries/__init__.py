@@ -123,16 +123,20 @@ NO_ORACLE = frozenset()
 #:
 #: Round-9 rotation (per the round-8 verdict task 1; backlog after
 #: r08 = 76 never-checked of 445 declared):
-#: - Two rechecks, both forced by this round's ADVICE fixes (the r05
+#: - Three rechecks, all forced by this round's code moves (the r05
 #:   discipline — hard rows land the same round the code moves):
 #:   x249 (the oracle's cal-CTE mu now carries the same +1e-9 tie-nudge
-#:   as the Spark side — the r8 sweep nudged the fold but missed mu)
-#:   and x377 (the Misra-Gries merge's int64 dtype tripwire is an
-#:   explicit TypeError instead of an assert).  Both mirror-verified at
-#:   sf0.001/sf0.01/sf0.1 before listing.
-#: - The remaining 48 are the never-checked backlog in x-number order
-#:   from x276 (the documented r9 window): x276-x339.  Cumulative
-#:   driver coverage after this window: 417/445 (94%).
+#:   as the Spark side — the r8 sweep nudged the fold but missed mu),
+#:   x377 (the Misra-Gries merge's int64 dtype tripwire is an explicit
+#:   TypeError instead of an assert), and x10_asof_join (asof_join's
+#:   window sort gained a value-tuple tiebreaker: duplicate right rows
+#:   at one (key, ts) made the sort non-total, so the carried value
+#:   depended on partitioning — found by a property probe, pinned by a
+#:   hypothesis brute-force sweep in tests/test_property.py).  All
+#:   mirror-verified at sf0.001/sf0.01/sf0.1 before listing.
+#: - The remaining 47 are the never-checked backlog in x-number order
+#:   from x276 (the documented r9 window): x276-x338.  Cumulative
+#:   driver coverage after this window: 416/445 (93.5%).
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries, serialization-strict
 #: like the driver's hash).  Queries not listed follow in stable module
@@ -141,8 +145,9 @@ NO_ORACLE = frozenset()
 #: class, not for count).
 #:
 #: Round-10 rotation plan (for the next session): after r09 lands,
-#: driver coverage is ~417/445 (94%); the remaining 28 never-checked
-#: ids in x-number order finish the corpus — x340_subsequence_mining,
+#: driver coverage is ~416/445 (93.5%); the remaining 29 never-checked
+#: ids in x-number order finish the corpus — x339_positivity_check,
+#: x340_subsequence_mining,
 #: x342_rank_aggregation, x343_term_burstiness, x344_histogram_design,
 #: x345_session_gap_planner, x348_design_effect, x349_fpc_ci,
 #: x350_knn_ood, x351_quantile_effects, x353_salt_planner,
@@ -159,6 +164,7 @@ CHECK_PRIORITY = (
     # rechecks (oracle/code changed this round, previously driver-checked):
     "x249_cusum_drift",
     "x377_misra_gries_twin",
+    "x10_asof_join",
     # never-checked backlog, x-number order from x276:
     "x276_friedman",
     "x277_rouge_pairs",
@@ -207,7 +213,6 @@ CHECK_PRIORITY = (
     "x336_crosssource_dups",
     "x337_anisotropy",
     "x338_hubness",
-    "x339_positivity_check",
 )
 
 #: The driver verifies a window of this size in iteration order; the

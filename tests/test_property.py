@@ -527,3 +527,93 @@ def test_propagate_min_labels_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "a long, b long")
     got = {r.id: r.lab for r in propagate_min_labels(df).collect()}
     assert got == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lrows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=12),   # ts (seconds)
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    rrows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # key
+            st.integers(min_value=0, max_value=12),   # ts — DUPLICATES LIKELY
+            st.integers(min_value=0, max_value=9),    # value
+        ),
+        min_size=0,
+        max_size=15,
+    ),
+    nparts=st.integers(min_value=1, max_value=5),
+)
+def test_asof_join_matches_bruteforce_with_duplicate_ts(spark, lrows, rrows, nparts):
+    """asof_join vs a brute-force reference on random keys/timestamps
+    INCLUDING duplicate right rows at one (key, ts) — the documented tie
+    semantic is 'greatest value tuple wins'.  Before the round-9 fix the
+    window sort was not total and the carried value depended on
+    partitioning (this test flushed it out 6/6 repartitionings)."""
+    from social_warner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lrows)],
+        "event_id long, user_id long, t long",
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds(F.col("t")).alias("ts")
+    ).repartition(nparts)
+    right = spark.createDataFrame(
+        [(k, t, float(v)) for (k, t, v) in rrows] or [],
+        "user_id long, t long, v double",
+    ).select(
+        "user_id", F.timestamp_seconds(F.col("t")).alias("ts"), "v"
+    ).repartition(max(1, 6 - nparts))
+
+    got = {
+        r.event_id: r.v_asof
+        for r in asof_join(left, right, "user_id").collect()
+    }
+    for i, (k, t) in enumerate(lrows):
+        eligible = [v for (rk, rt, v) in rrows if rk == k and rt <= t]
+        if not eligible:
+            assert got[i] is None, (i, got[i])
+        else:
+            best_ts = max(rt for (rk, rt, _) in rrows if rk == k and rt <= t)
+            want = float(max(v for (rk, rt, v) in rrows
+                             if rk == k and rt == best_ts))
+            assert got[i] == want, (i, got[i], want)
+
+
+def test_asof_join_partitioning_invariant(spark):
+    """Regression for the round-9 find: 6 different (left, right)
+    repartitionings of a duplicate-ts fixture must produce ONE output."""
+    from social_warner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(i, 1, i % 7) for i in range(20)], "event_id long, user_id long, t long"
+    ).select("event_id", "user_id", F.timestamp_seconds(F.col("t")).alias("ts"))
+    right = spark.createDataFrame(
+        [(1, t, float(t * 10 + dup)) for t in range(7) for dup in range(3)],
+        "user_id long, t long, v double",
+    ).select("user_id", F.timestamp_seconds(F.col("t")).alias("ts"), "v")
+    outs = {
+        tuple(sorted(
+            (r.event_id, r.v_asof)
+            for r in asof_join(
+                left.repartition(rep % 4 + 1),
+                right.repartition((rep * 2) % 5 + 1),
+                "user_id",
+            ).collect()
+        ))
+        for rep in range(6)
+    }
+    assert len(outs) == 1
+    # and the documented tie semantic: the greatest duplicate (dup=2) wins
+    final = dict(next(iter(outs)))
+    assert final[6] == 62.0 and final[0] == 2.0
