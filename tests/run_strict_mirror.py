@@ -138,6 +138,58 @@ def run_mirror3(_sf_dir_ignored: str) -> int:
     return rc
 
 
+def run_sparkparts(sf_dir: str) -> int:
+    """Partitioning-invariance sweep (round 9): render every query under
+    TWO different partitioning regimes and diff.  sparkdet double-runs
+    inside ONE session, so it can never see order-dependence that only
+    surfaces when union/shuffle/scan partitioning changes — the class
+    the asof_join duplicate-ts defect belonged to (a window sort that
+    is not total lets the carried value follow partitioning order).
+    Regime A: the standard session (local core count, 32 shuffle
+    partitions).  Regime B: 7 shuffle partitions, 5 cores, 1 MiB scan
+    splits — different scan partitioning, shuffle fan-in, AQE choices.
+    A diff here is ALWAYS a real defect: declared queries must be
+    functions of the data, not the physical plan."""
+    from social_warner_spark.caching import release_persisted_intermediates
+    from social_warner_spark.queries import all_queries
+    from social_warner_spark.session import get_spark
+
+    def render_all(session_kwargs: dict) -> dict[str, list[str]]:
+        spark = get_spark(**session_kwargs)
+        spark.sparkContext.setLogLevel("ERROR")
+        queries = all_queries()
+        out: dict[str, list[str]] = {}
+        for i, name in enumerate(sorted(queries)):
+            release_persisted_intermediates()
+            spark.catalog.clearCache()
+            try:
+                out[name] = _render_frame(queries[name](spark, sf_dir).toPandas())
+            except Exception as e:  # noqa: BLE001
+                out[name] = [f"EXC {type(e).__name__}: {e}"]
+            if (i + 1) % 50 == 0:
+                print(f"... {i + 1}/{len(queries)}", flush=True)
+        spark.stop()
+        return out
+
+    a = render_all({"app_name": "sparkparts-a"})
+    print("regime A rendered; starting regime B", flush=True)
+    b = render_all(
+        {
+            "app_name": "sparkparts-b",
+            "master": "local[5]",
+            "shuffle_partitions": 7,
+            "extra_conf": {"spark.sql.files.maxPartitionBytes": "1m"},
+        }
+    )
+    fails = 0
+    for name in sorted(a):
+        if a[name] != b[name]:
+            fails += 1
+            print(f"FLAP {name} (partitioning-dependent output)", flush=True)
+    print(f"sparkparts {sf_dir}: {len(a)} queries, {fails} flaps", flush=True)
+    return 1 if fails else 0
+
+
 def main() -> int:
     mode = sys.argv[1] if len(sys.argv) > 1 else "mirror"
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -146,6 +198,7 @@ def main() -> int:
         "mirror3": run_mirror3,
         "duckdet": run_duckdet,
         "sparkdet": run_sparkdet,
+        "sparkparts": run_sparkparts,
     }[mode](sf_dir)
 
 
