@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from typing import Any, Iterable, Mapping
+from typing import Any, Mapping
 
 REQUIRED_FIELDS = ("dataset_id", "metrics", "group_by", "meta_dimensions", "brands")
 
@@ -73,9 +73,11 @@ def parse_config(config_id: str, doc: Mapping[str, Any]) -> ExportConfig:
             f"config {config_id!r}: dataset_id must be a string, got "
             f"{type(doc['dataset_id']).__name__}"
         )
-    if isinstance(doc["brands"], (str, bytes)) or not isinstance(
-        doc["brands"], Iterable
-    ):
+    # Exactly (list, tuple), matching the "must be a list of ids" error
+    # text: a dict is Iterable but iterates over keys, and a one-shot
+    # generator would be silently consumed — both previously slipped
+    # through and produced surprising downstream behavior (ADVICE r9).
+    if not isinstance(doc["brands"], (list, tuple)):
         raise ValueError(
             f"config {config_id!r}: brands must be a list of ids, got "
             f"{type(doc['brands']).__name__}"

@@ -121,98 +121,84 @@ NO_ORACLE = frozenset()
 #: iteration order (a bounded window), so the dict is emitted with the
 #: 50 queries that most need a driver CORRECTNESS row first.
 #:
-#: Round-9 rotation (per the round-8 verdict task 1; backlog after
-#: r08 = 76 never-checked of 445 declared):
-#: - Three rechecks, all forced by this round's code moves (the r05
-#:   discipline — hard rows land the same round the code moves):
-#:   x249 (the oracle's cal-CTE mu now carries the same +1e-9 tie-nudge
-#:   as the Spark side — the r8 sweep nudged the fold but missed mu),
-#:   x377 (the Misra-Gries merge's int64 dtype tripwire is an explicit
-#:   TypeError instead of an assert), and x10_asof_join (asof_join's
-#:   window sort gained a value-tuple tiebreaker: duplicate right rows
-#:   at one (key, ts) made the sort non-total, so the carried value
-#:   depended on partitioning — found by a property probe, pinned by a
-#:   hypothesis brute-force sweep in tests/test_property.py).  All
-#:   mirror-verified at sf0.001/sf0.01/sf0.1 before listing.
-#: - The remaining 47 are the never-checked backlog in x-number order
-#:   from x276 (the documented r9 window): x276-x338.  Cumulative
-#:   driver coverage after this window: 416/445 (93.5%).
+#: Round-10 rotation (per the round-9 verdict task 1; backlog after
+#: r09 = 29 never-checked of 445 declared):
+#: - ONE recheck forced by this round's code moves (the r05 discipline —
+#:   hard rows land the same round the code moves): x10_asof_join.  The
+#:   asof operator now carries the value columns as ONE struct through
+#:   the carry-forward window (row atomicity: a matched row's NULL
+#:   columns stay NULL instead of per-column bridging from older rows —
+#:   ADVICE r9), and the oracle pins the duplicate-(key, ts) tie by
+#:   pre-aggregating purchases to MAX(value) per (user_id, ts).
+#: - The final 29 never-checked ids in x-number order, x339 → x376 —
+#:   this window FINISHES the corpus: cumulative driver coverage after
+#:   it is 445/445 (100%).  x365 is in this set and its code+oracle
+#:   moved this round too (the BU_CAP=512 per-user state cap, mirrored
+#:   in the oracle; r9 verdict task 5), so its first driver row checks
+#:   the capped contract.
+#: - The remaining 20 slots re-confirm the OLDEST driver rows (r01-era,
+#:   in their r01 order) per the documented fallback: no other code
+#:   moved this round, so there are no further forced rechecks.
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py, all queries, serialization-strict
 #: like the driver's hash).  Queries not listed follow in stable module
-#: order; total set is 445 (query-count freeze HELD per verdict task 7:
+#: order; total set is 445 (query-count freeze HELD per verdict task 6:
 #: the freeze lifts only for queries that pin an uncovered operator
 #: class, not for count).
-#:
-#: Round-10 rotation plan (for the next session): after r09 lands,
-#: driver coverage is ~416/445 (93.5%); the remaining 29 never-checked
-#: ids in x-number order finish the corpus — x339_positivity_check,
-#: x340_subsequence_mining,
-#: x342_rank_aggregation, x343_term_burstiness, x344_histogram_design,
-#: x345_session_gap_planner, x348_design_effect, x349_fpc_ci,
-#: x350_knn_ood, x351_quantile_effects, x353_salt_planner,
-#: x354_ivm_merge, x355_join_order_advisor, x356_bloom_planner,
-#: x357_randomized_response, x358_weighted_jaccard, x361_churn_sweep,
-#: x363_chunking_planner, x364_temperature_scaling,
-#: x365_behavioral_unicity, x366_winnowing_density, x367_rank_movers,
-#: x369_doc_typicality, x370_stopword_discovery, x371_label_budget_curve,
-#: x372_lww_vs_arrival, x373_ratio_bridge, x374_birthday_audit,
-#: x376_raking; the other 22 slots go to rechecks forced by r10 code
-#: moves, else to re-confirming the oldest r01-era rows.  Keep zero
-#: overlap with CORRECTNESS_r01-r09 otherwise.
 CHECK_PRIORITY = (
-    # rechecks (oracle/code changed this round, previously driver-checked):
-    "x249_cusum_drift",
-    "x377_misra_gries_twin",
+    # recheck (operator + oracle changed this round, previously checked):
     "x10_asof_join",
-    # never-checked backlog, x-number order from x276:
-    "x276_friedman",
-    "x277_rouge_pairs",
-    "x278_logrank_test",
-    "x280_gains_table",
-    "x281_cochran_armitage",
-    "x283_daily_correlation",
-    "x284_diff_in_diffs",
-    "x285_nelson_aalen",
-    "x288_rm3_expansion",
-    "x289_alignment_uniformity",
-    "x290_chi2_homogeneity",
-    "x291_jsd_source_matrix",
-    "x292_readability",
-    "x294_fano_burstiness",
-    "x295_weibull_fit",
-    "x296_powerlaw_gof",
-    "x297_circular_hours",
-    "x298_decision_stump",
-    "x299_brier_decomposition",
-    "x301_stl_strengths",
-    "x303_wasserstein_sources",
-    "x304_lexical_diversity",
-    "x305_block_bootstrap",
-    "x306_roc_youden",
-    "x308_rich_club",
-    "x309_psi",
-    "x310_g_test",
-    "x311_eigen_gap",
-    "x313_temporal_motifs",
-    "x314_granger_precedence",
-    "x315_rec_coverage",
-    "x316_burst_detection",
-    "x319_simhash_audit",
-    "x320_feature_mi",
-    "x321_bitemporal_asof",
-    "x323_power_planner",
-    "x324_chao1_richness",
-    "x325_merkle_root",
-    "x326_quantile_ci",
-    "x327_forecast_reconcile",
-    "x328_shesd_anomalies",
-    "x329_target_encoding",
-    "x332_join_advisor",
-    "x333_wilson_ci",
-    "x336_crosssource_dups",
-    "x337_anisotropy",
-    "x338_hubness",
+    # the final 29 never-checked ids, x-number order — corpus completion:
+    "x339_positivity_check",
+    "x340_subsequence_mining",
+    "x342_rank_aggregation",
+    "x343_term_burstiness",
+    "x344_histogram_design",
+    "x345_session_gap_planner",
+    "x348_design_effect",
+    "x349_fpc_ci",
+    "x350_knn_ood",
+    "x351_quantile_effects",
+    "x353_salt_planner",
+    "x354_ivm_merge",
+    "x355_join_order_advisor",
+    "x356_bloom_planner",
+    "x357_randomized_response",
+    "x358_weighted_jaccard",
+    "x361_churn_sweep",
+    "x363_chunking_planner",
+    "x364_temperature_scaling",
+    "x365_behavioral_unicity",
+    "x366_winnowing_density",
+    "x367_rank_movers",
+    "x369_doc_typicality",
+    "x370_stopword_discovery",
+    "x371_label_budget_curve",
+    "x372_lww_vs_arrival",
+    "x373_ratio_bridge",
+    "x374_birthday_audit",
+    "x376_raking",
+    # oldest-row re-confirmations (r01-era, r01 order):
+    "r1_scrub_project",
+    "r2_cast_fill",
+    "r3_pivot",
+    "r4_datefmt",
+    "r5_datemacro",
+    "r6_in_between_agg",
+    "r7_meta_dimensions",
+    "r8_union_pages",
+    "c1_scan_filter",
+    "c2_inner_join",
+    "c3_star_join",
+    "c4_left_outer",
+    "c5_semi_join",
+    "c6_anti_join",
+    "c7_range_join",
+    "c8_hash_agg",
+    "c9_count_distinct",
+    "c10_rollup",
+    "c11_cube",
+    "c12_having",
 )
 
 #: The driver verifies a window of this size in iteration order; the

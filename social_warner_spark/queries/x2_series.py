@@ -174,8 +174,13 @@ ORACLES = {
         WITH clicks AS (
             SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
         ), purchases AS (
-            SELECT user_id, ts, value AS purchase_value FROM events
+            -- Tie pinned to the Spark side's documented semantic (ADVICE
+            -- r9): duplicate purchases at one (user_id, ts) → greatest
+            -- value tuple wins.  DuckDB's native ASOF leaves the choice
+            -- among equal-ts duplicates unspecified, so pre-aggregate.
+            SELECT user_id, ts, MAX(value) AS purchase_value FROM events
             WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
         )
         SELECT c.event_id, c.user_id,
                strftime(c.ts, '{TS_FMT_MICRO_DUCK}') AS click_ts,

@@ -40,6 +40,15 @@ TS_BINS = 10
 TS_LANG = "en"
 #: x365 — n-gram granularities of the behavioral fingerprint.
 BU_NS = (1, 2, 3)
+#: x365 — per-user state cap: each user's fingerprint stream is the
+#: FIRST BU_CAP events by (ts, event_id).  Part of the query contract
+#: (mirrored in the oracle), not an approximation knob: it bounds the
+#: collect_list buffer so a bot-grade power user on a 100 TB corpus
+#: cannot inflate one grouped row to hundreds of MB (r9 verdict item 2).
+#: 512 events is far above the human traces the measure is about (the
+#: driver testdata maxes at 99 events/user at sf0.1, so results are
+#: unchanged at every test scale).
+BU_CAP = 512
 
 
 def x362_dedup_waterfall(spark, sf_dir):
@@ -236,9 +245,25 @@ def x365_behavioral_unicity(spark, sf_dir):
     sequences.
 
     Scale: per-user n-gram sets via one ordered collect per
-    granularity; uniqueness is a fingerprint histogram."""
+    granularity; uniqueness is a fingerprint histogram.  Per-user state
+    is BOUNDED: a row_number pre-filter keeps only each user's first
+    BU_CAP events (by ts, event_id — a total order), so the
+    collect_list buffer and the fingerprint string are capped BEFORE
+    the aggregate, not truncated after it (r10; contract mirrored in
+    the oracle's rn <= BU_CAP filter)."""
     ev = T(spark, sf_dir, "events")
-    seq = ev.groupBy("user_id").agg(
+    wcap = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.row_number().over(wcap).alias("_rn"),
+        )
+        .where(F.col("_rn") <= BU_CAP)
+    )
+    seq = capped.groupBy("user_id").agg(
         F.concat_ws(
             "",
             F.transform(
@@ -487,11 +512,22 @@ ORACLES = {
         ORDER BY temperature
     """,
     "x365_behavioral_unicity": f"""
-        WITH seq AS MATERIALIZED (
+        WITH capped AS (
+            -- per-user state cap, mirroring the Spark side's row_number
+            -- pre-filter (BU_CAP={BU_CAP}; (ts, event_id) is total)
+            SELECT user_id, ts, event_id, event_type
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= {BU_CAP}
+        ), seq AS MATERIALIZED (
             SELECT user_id,
                    string_agg(substr(event_type, 1, 1), ''
                               ORDER BY ts, event_id) AS s
-            FROM events GROUP BY user_id
+            FROM capped GROUP BY user_id
         )
         SELECT * FROM ({_BU_ROWS})
         ORDER BY ngram

@@ -182,12 +182,24 @@ def run_sparkparts(sf_dir: str) -> int:
         }
     )
     fails = 0
+    excs = 0
     for name in sorted(a):
         if a[name] != b[name]:
             fails += 1
             print(f"FLAP {name} (partitioning-dependent output)", flush=True)
-    print(f"sparkparts {sf_dir}: {len(a)} queries, {fails} flaps", flush=True)
-    return 1 if fails else 0
+        # An exception — even one identical under both regimes — means the
+        # query never executed, so it proved nothing about invariance.
+        # Count it as a failure or the mode could exit 0 with broken
+        # queries (ADVICE r9).
+        elif a[name] and a[name][0].startswith("EXC "):
+            excs += 1
+            print(f"EXC  {name}: {a[name][0][4:]}", flush=True)
+    print(
+        f"sparkparts {sf_dir}: {len(a)} queries, {fails} flaps, "
+        f"{excs} exceptions",
+        flush=True,
+    )
+    return 1 if fails or excs else 0
 
 
 def main() -> int:

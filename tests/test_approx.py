@@ -52,6 +52,45 @@ def test_asof_join_equal_ts_matches(spark):
     assert asof_join(left, right, "user_id").first().v_asof == 7.5
 
 
+def test_asof_join_carries_one_whole_row(spark):
+    """Row atomicity (ADVICE r9, fixed r10): the carried values must come
+    from ONE right row.  Two duplicates at the same (key, ts) with
+    complementary NULL columns used to bridge per-column into a mixed
+    tuple (a=1, b=20) that exists in neither row; the struct carry must
+    return exactly the greatest whole tuple — (1, NULL), since the
+    struct comparison orders NULL fields first within equal prefixes."""
+    from social_warner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "2024-01-01 00:00:09")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(5, "2024-01-01 00:00:03", 1.0, None),
+         (5, "2024-01-01 00:00:03", None, 20.0)],
+        "user_id long, ts_s string, a double, b double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "a", "b")
+    row = asof_join(left, right, "user_id").first()
+    assert (row.a_asof, row.b_asof) == (1.0, None)
+
+
+def test_asof_join_matched_row_nulls_stay_null(spark):
+    """DuckDB/kdb ASOF row semantics: the join picks the LATEST eligible
+    row and you get that row's values, NULLs included — a NULL in the
+    matched row must not be bridged from an older non-null row."""
+    from social_warner_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 5, "2024-01-01 00:00:09")],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(5, "2024-01-01 00:00:01", 7.5), (5, "2024-01-01 00:00:03", None)],
+        "user_id long, ts_s string, v double",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+    assert asof_join(left, right, "user_id").first().v_asof is None
+
+
 def test_log_histogram_quantiles_within_design_bound(spark, sf_smoke):
     """DDSketch-style bound: in-bucket interpolation keeps every estimate
     within the e^(1/k)-1 relative bucket width of the exact rank-based

@@ -46,5 +46,42 @@ def test_run_keys_cover_everything_a_run_writes():
     assert _RUN_KEYS == {
         "metric", "value", "unit", "queries", "sf", "runs",
         "queries_all_runs", "loadavg", "queries_loadavg",
-        "isolated_rechecks",
+        "isolated_rechecks", "load_polluted",
     }
+
+
+def test_load_guard_quiet_host_passes_without_sleeping():
+    from bench import load_guard
+
+    sleeps = []
+    polluted, la = load_guard(
+        threshold=2.0, getload=lambda: (0.7, 0.5, 0.4),
+        sleep=sleeps.append,
+    )
+    assert (polluted, la) == (False, 0.7)
+    assert sleeps == []  # no wait on a quiet host
+
+
+def test_load_guard_recovers_after_one_wait():
+    from bench import load_guard
+
+    reads = iter([(6.1, 5.0, 4.0), (1.2, 2.0, 3.0)])
+    sleeps = []
+    polluted, la = load_guard(
+        threshold=2.0, getload=lambda: next(reads),
+        sleep=sleeps.append, wait_s=60.0,
+    )
+    assert (polluted, la) == (False, 1.2)
+    assert sleeps == [60.0]  # exactly one sleep-retry
+
+
+def test_load_guard_still_busy_marks_polluted():
+    # r9 verdict task 4: a sweep that starts on a busy host must
+    # self-describe as polluted instead of reading as a regression.
+    from bench import load_guard
+
+    polluted, la = load_guard(
+        threshold=2.0, getload=lambda: (6.1, 5.0, 4.0),
+        sleep=lambda s: None, max_waits=1,
+    )
+    assert (polluted, la) == (True, 6.1)

@@ -58,6 +58,18 @@ def test_config_validation_wrong_typed_sections():
         parse_config("cfg1", dict(CONFIG_DOC, brands=7))
     with pytest.raises(ValueError, match="brands must be a list"):
         parse_config("cfg1", dict(CONFIG_DOC, brands="101"))
+    # ADVICE r09: non-list/tuple Iterables must ALSO raise — a dict
+    # iterates over its keys and a generator is one-shot-consumed, so
+    # both previously produced surprising downstream behavior instead
+    # of the documented ValueError.
+    with pytest.raises(ValueError, match="brands must be a list"):
+        parse_config("cfg1", dict(CONFIG_DOC, brands={101: "x"}))
+    with pytest.raises(ValueError, match="brands must be a list"):
+        parse_config("cfg1", dict(CONFIG_DOC, brands=(b for b in [101])))
+    with pytest.raises(ValueError, match="brands must be a list"):
+        parse_config("cfg1", dict(CONFIG_DOC, brands={101, 102}))
+    # list and tuple both stay accepted
+    assert parse_config("cfg1", dict(CONFIG_DOC, brands=(5, 6))).brands == (5, 6)
     with pytest.raises(ValueError, match="dataset_id must be a string"):
         parse_config("cfg1", dict(CONFIG_DOC, dataset_id=["d"]))
 
