@@ -89,7 +89,9 @@ def test_propagate_min_labels_hot_hub_star(spark):
     from social_warner_spark.operators.dedup import propagate_min_labels
 
     star = [(0, i) for i in range(100, 160)]  # hub 0 ~ 10% of 600 ids
-    chains = [(i, i + 1) for i in range(200, 230)]
+    # chain diameter stays under the operator's default 20-round budget
+    # (round count = component diameter, documented contract)
+    chains = [(i, i + 1) for i in range(200, 215)]
     pairs_py = star + chains + [(300, 301), (302, 303)]
     ids = sorted({x for p in pairs_py for x in p})
     want = _union_find_components(ids, pairs_py)
