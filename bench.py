@@ -27,6 +27,14 @@ headline set changes):
   evaluation without driver-side result materialization dominating);
   persisted intermediates are released between runs so run k+1 never
   reads run k's cache.
+- r10: the detail artifact records PER-QUERY HYPERVISOR STEAL TICKS
+  ("queries_steal", /proc/stat cpu col 8 delta across the query's runs;
+  also per isolated recheck).  Loadavg cannot distinguish the sweep's
+  OWN 32-thread work from a co-tenant burst — steal can: it only rises
+  when the hypervisor runs someone else on our vCPUs.  The r10 host
+  showed 14.9 CPU-hours of cumulative steal over 22h uptime in bursts
+  that uniformly inflated three whole builder sweeps (quiet starts!)
+  while isolated re-measures landed back on historical values.
 """
 
 from __future__ import annotations
@@ -120,9 +128,23 @@ _RUN_KEYS = frozenset(
     (
         "metric", "value", "unit", "queries", "sf", "runs",
         "queries_all_runs", "loadavg", "queries_loadavg",
-        "isolated_rechecks", "load_polluted",
+        "isolated_rechecks", "load_polluted", "queries_steal",
     )
 )
+
+
+def steal_ticks(path: str = "/proc/stat") -> int | None:
+    """Cumulative hypervisor-steal ticks (``cpu`` line, 8th value) or
+    None where unreadable (non-Linux, masked /proc).  Deltas of this
+    counter during a query are time STOLEN by co-tenants — the only
+    cheap signal that separates "our own 32 threads" from "noisy
+    neighbor", which loadavg structurally cannot."""
+    try:
+        with open(path) as f:
+            fields = f.readline().split()
+        return int(fields[8]) if fields and fields[0] == "cpu" else None
+    except (OSError, IndexError, ValueError):
+        return None
 
 #: Load guard (r9 verdict task 4): sweeps repeatedly started on a busy
 #: host (r9: loadavg 6.1 right after the 30-min test suite) and every
@@ -218,14 +240,18 @@ def main() -> None:
     load_before = os.getloadavg()
     all_runs: dict[str, list[float]] = {}
     query_loadavg: dict[str, float] = {}
+    query_steal: dict[str, int | None] = {}
     for name in HEADLINE:
         query_loadavg[name] = round(os.getloadavg()[0], 2)
+        s0 = steal_ticks()
         runs: list[float] = []
         for _ in range(n_runs):
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             runs.append(round(time.perf_counter() - t0, 3))
             release_persisted_intermediates()  # no cross-run/query cache reuse
+        s1 = steal_ticks()
+        query_steal[name] = (s1 - s0) if (s0 is not None and s1 is not None) else None
         all_runs[name] = runs
     load_after = os.getloadavg()
 
@@ -248,18 +274,23 @@ def main() -> None:
         ratio = med / p
         if ratio > 1.5 or ratio < 1 / 1.5:
             la = round(os.getloadavg()[0], 2)
+            s0 = steal_ticks()
             runs = []
             for _ in range(5):
                 t0 = time.perf_counter()
                 queries[name](spark, sf_dir).count()
                 runs.append(round(time.perf_counter() - t0, 3))
                 release_persisted_intermediates()
+            s1 = steal_ticks()
             isolated[name] = {
                 "prev_median": p,
                 "sweep_median": med,
                 "runs": runs,
                 "median": round(statistics.median(runs), 3),
                 "loadavg_start": la,
+                "steal_ticks": (s1 - s0)
+                if (s0 is not None and s1 is not None)
+                else None,
             }
     # Full 3-run detail goes to a repo artifact (the driver's stdout tail
     # keeps only the last ~2000 chars, which truncated the r02/r03
@@ -286,6 +317,7 @@ def main() -> None:
                 "queries_all_runs": all_runs,
                 "loadavg": [round(x, 2) for x in (*load_before, *load_after)],
                 "queries_loadavg": query_loadavg,
+                "queries_steal": query_steal,
                 "isolated_rechecks": isolated,
                 "load_polluted": load_polluted,
             }),

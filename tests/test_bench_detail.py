@@ -46,8 +46,36 @@ def test_run_keys_cover_everything_a_run_writes():
     assert _RUN_KEYS == {
         "metric", "value", "unit", "queries", "sf", "runs",
         "queries_all_runs", "loadavg", "queries_loadavg",
-        "isolated_rechecks", "load_polluted",
+        "isolated_rechecks", "load_polluted", "queries_steal",
     }
+
+
+def test_steal_ticks_parses_proc_stat(tmp_path):
+    from bench import steal_ticks
+
+    p = tmp_path / "stat"
+    p.write_text("cpu  100 0 50 9000 10 0 5 4242 0 0\n23 0 1 2 3 4 5 6 7 8\n")
+    assert steal_ticks(str(p)) == 4242
+
+
+def test_steal_ticks_unreadable_or_malformed_is_none(tmp_path):
+    # Non-Linux / masked /proc must degrade to None, never fail a sweep.
+    from bench import steal_ticks
+
+    assert steal_ticks(str(tmp_path / "missing")) is None
+    bad = tmp_path / "stat"
+    bad.write_text("intr 12 34\n")  # first line isn't the cpu summary
+    assert steal_ticks(str(bad)) is None
+    bad.write_text("cpu  1 2 3\n")  # too few fields for a steal column
+    assert steal_ticks(str(bad)) is None
+
+
+def test_steal_ticks_live_host_monotone():
+    # On this Linux host the counter exists and never decreases.
+    from bench import steal_ticks
+
+    a, b = steal_ticks(), steal_ticks()
+    assert a is not None and b is not None and b >= a
 
 
 def test_load_guard_quiet_host_passes_without_sleeping():
