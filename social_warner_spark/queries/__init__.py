@@ -123,13 +123,16 @@ NO_ORACLE = frozenset()
 #:
 #: Round-10 rotation (per the round-9 verdict task 1; backlog after
 #: r09 = 29 never-checked of 445 declared):
-#: - ONE recheck forced by this round's code moves (the r05 discipline —
-#:   hard rows land the same round the code moves): x10_asof_join.  The
+#: - TWO rechecks forced by this round's code moves (the r05 discipline —
+#:   hard rows land the same round the code moves): x10_asof_join (the
 #:   asof operator now carries the value columns as ONE struct through
-#:   the carry-forward window (row atomicity: a matched row's NULL
-#:   columns stay NULL instead of per-column bridging from older rows —
-#:   ADVICE r9), and the oracle pins the duplicate-(key, ts) tie by
-#:   pre-aggregating purchases to MAX(value) per (user_id, ts).
+#:   the carry-forward window — row atomicity: a matched row's NULL
+#:   columns stay NULL instead of per-column bridging from older rows,
+#:   ADVICE r9 — and the oracle pins the duplicate-(key, ts) tie by
+#:   pre-aggregating purchases to MAX(value) per (user_id, ts)), and
+#:   x318_sequence_pattern (SEQ_CAP per-user state bound, the x365
+#:   BU_CAP device, mirrored in the oracle; listed at the tail in
+#:   c12_having's slot).
 #: - The final 29 never-checked ids in x-number order, x339 → x376 —
 #:   this window FINISHES the corpus: cumulative driver coverage after
 #:   it is 445/445 (100%).  x365 is in this set and its code+oracle
@@ -198,7 +201,12 @@ CHECK_PRIORITY = (
     "c9_count_distinct",
     "c10_rollup",
     "c11_cube",
-    "c12_having",
+    # second forced recheck (r05 discipline — hard rows land the same
+    # round the code moves): x318 gained the SEQ_CAP per-user state
+    # bound (the x365 BU_CAP device), mirrored in its oracle; it takes
+    # the oldest-row slot c12_having held (c12 stays green via the
+    # local mirrors and rotates back next round).
+    "x318_sequence_pattern",
 )
 
 #: The driver verifies a window of this size in iteration order; the

@@ -43,6 +43,14 @@ SEQ_PATTERNS = (
     ("error_free_convert", "v[csv]*p"),
     ("error_then_recover", "e[^p]*p"),
 )
+#: x318 per-user state cap (same contract device as x365's BU_CAP):
+#: each user's journey string is built from their FIRST SEQ_CAP events
+#: by (ts, event_id) — a total order — filtered BEFORE the collect, so
+#: the aggregation buffer is bounded; a bot-grade power user on a
+#: 100 TB corpus cannot inflate one grouped row without bound.  Part of
+#: the query contract, mirrored in the oracle; driver testdata maxes at
+#: 99 events/user (sf0.1), so results are unchanged at every test scale.
+SEQ_CAP = 512
 #: x319 — pair sample floor (the x312 band) and simhash width.
 SH_SAMPLE_MIN = 0.3
 SH_BITS = 16
@@ -127,11 +135,24 @@ def x318_sequence_pattern(spark, sf_dir):
     SQL:2016 standardizes, expressed with two primitives every engine
     already has (ordered collect + regex).
 
-    Scale: one per-user collect (the per-entity event string is
-    bounded by per-user density); patterns are narrow maps over
-    |users| rows."""
+    Scale: one per-user collect whose buffer is HARD-bounded — each
+    user contributes their first SEQ_CAP events by (ts, event_id), a
+    total order, filtered before the aggregate (the x365 BU_CAP
+    device; mirrored in the oracle's rn <= SEQ_CAP filter); patterns
+    are narrow maps over |users| rows."""
     ev = T(spark, sf_dir, "events")
-    seq = ev.groupBy("user_id").agg(
+    wcap = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    capped = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "event_type",
+            F.row_number().over(wcap).alias("_rn"),
+        )
+        .where(F.col("_rn") <= SEQ_CAP)
+    )
+    seq = capped.groupBy("user_id").agg(
         F.concat_ws(
             "",
             F.transform(
@@ -402,11 +423,22 @@ ORACLES = {
         LIMIT 10
     """,
     "x318_sequence_pattern": f"""
-        WITH seq AS MATERIALIZED (
+        WITH capped AS (
+            -- per-user state cap, mirroring the Spark side's row_number
+            -- pre-filter (SEQ_CAP={SEQ_CAP}; (ts, event_id) is total)
+            SELECT user_id, ts, event_id, event_type
+            FROM (
+                SELECT user_id, ts, event_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= {SEQ_CAP}
+        ), seq AS MATERIALIZED (
             SELECT user_id,
                    string_agg(substr(event_type, 1, 1), ''
                               ORDER BY ts, event_id) AS s
-            FROM events GROUP BY user_id
+            FROM capped GROUP BY user_id
         )
         SELECT * FROM ({_SEQ_ROWS})
         ORDER BY pattern

@@ -77,6 +77,55 @@ def test_sequence_pattern_matches_pure_python(spark, sf_smoke):
         assert abs(r.matches_per_user - round(sum(cs) / denom, 6)) < 1e-6
 
 
+def test_sequence_pattern_cap_bites_and_oracle_mirrors(spark, tmp_path):
+    """x318's SEQ_CAP contract on a >cap user: the driver testdata never
+    exceeds 512 events/user, so this synthesizes the case — a power user
+    whose only purchase sits BEYOND the first 512 events (capped journey
+    has no 'p', so view_to_purchase must NOT match) plus a control user
+    converting within the cap.  Spark and the DuckDB oracle must agree
+    row-for-row on the same parquet, proving the cap is mirrored."""
+    import duckdb
+
+    from social_warner_spark.queries.x27_series import (
+        ORACLES,
+        SEQ_CAP,
+        x318_sequence_pattern,
+    )
+
+    base = pd.Timestamp("2024-01-01", tz=None)
+    rows = []
+    # power user 1: SEQ_CAP+87 views, then the purchase — outside the cap
+    for i in range(SEQ_CAP + 87):
+        rows.append((1, base + pd.Timedelta(seconds=i), i, "view"))
+    rows.append((1, base + pd.Timedelta(seconds=10_000), 10_000, "purchase"))
+    # control user 2: view -> click -> purchase, all inside the cap
+    for i, et in enumerate(["view", "click", "purchase"]):
+        rows.append((2, base + pd.Timedelta(seconds=i), 20_000 + i, et))
+    pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "event_type"]
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = {
+        r.pattern: r
+        for r in x318_sequence_pattern(spark, str(tmp_path)).collect()
+    }
+    # the cap bit: only the control user converts
+    assert got["view_to_purchase"].n_users_matched == 1
+    assert got["view_to_purchase"].total_matches == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    want = con.execute(ORACLES["x318_sequence_pattern"]).fetchall()
+    spark_rows = sorted(
+        (r.pattern, r.n_users_matched, r.total_matches, r.matches_per_user)
+        for r in got.values()
+    )
+    assert spark_rows == sorted(tuple(r) for r in want)
+
+
 def test_simhash_audit_matches_pure_python(spark, sf_smoke):
     """x319: recompute fingerprints and hamming distances; the
     fidelity direction (dup pairs closer in hamming) must hold."""
