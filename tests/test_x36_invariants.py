@@ -132,6 +132,54 @@ def test_behavioral_unicity_matches_pure_python(spark, sf_smoke):
         prev = r.unicity
 
 
+def test_behavioral_unicity_cap_bites_and_oracle_mirrors(spark, tmp_path):
+    """x365's BU_CAP contract on a >cap user (the x318 bite-test
+    pattern): user 1's only purchase sits beyond event BU_CAP, so the
+    capped fingerprint ("v"*512 initials) collides with user 2's exact
+    512-view stream — n_unique must be 0 at every n.  Uncapped, user
+    1's purchase-bearing n-grams would make both users unique, so a
+    broken cap on EITHER engine flips the result; Spark and the DuckDB
+    oracle must also agree row-for-row on the same parquet."""
+    import duckdb
+
+    from social_warner_spark.queries.x36_series import (
+        BU_CAP,
+        BU_NS,
+        ORACLES,
+        x365_behavioral_unicity,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    for i in range(BU_CAP):
+        rows.append((1, base + pd.Timedelta(seconds=i), i, "view"))
+    rows.append((1, base + pd.Timedelta(seconds=9_999), 9_999, "purchase"))
+    for i in range(BU_CAP):
+        rows.append((2, base + pd.Timedelta(seconds=i), 20_000 + i, "view"))
+    pd.DataFrame(
+        rows, columns=["user_id", "ts", "event_id", "event_type"]
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = {
+        r.ngram: r
+        for r in x365_behavioral_unicity(spark, str(tmp_path)).collect()
+    }
+    for n in BU_NS:
+        assert got[n].n_users == 2
+        assert got[n].n_unique == 0, f"cap leaked at n={n}"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path / 'events.parquet'}')"
+    )
+    want = con.execute(ORACLES["x365_behavioral_unicity"]).fetchall()
+    spark_rows = sorted(
+        (r.ngram, r.n_users, r.n_unique, r.unicity) for r in got.values()
+    )
+    assert spark_rows == sorted(tuple(r) for r in want)
+
+
 def test_winnowing_density_near_theory(spark, sf_smoke):
     """x366: replay per-doc densities; the observed mean must sit
     within 50% of the 2/(w+1) theory (distinct-fingerprint collapsing
