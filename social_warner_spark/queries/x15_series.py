@@ -167,53 +167,46 @@ def x259_adamic_adar(spark, sf_dir):
     1/ln(deg(z)) — rarer shared contexts count for more — and the
     top-20 predicted links are reported.
 
-    Scale: wedge generation joins the symmetric edge relation with
-    itself on the center node, with centers capped at deg <= 50
-    (`AA_MAX_DEG`, both engines): the join cost is bounded by
-    cap x |edges| instead of sum(deg^2), and a hub's dropped wedges are
-    the minimum-weight evidence by construction.  Existing edges leave
-    via an equi anti-join; top-k is orderBy+limit (per-partition
-    heaps)."""
+    Scale: wedges are generated from per-center adjacency ARRAYS, with
+    centers capped at deg <= 50 (`AA_MAX_DEG`, both engines) BEFORE the
+    neighbor collect, so per-row state is O(cap) and the per-center
+    wedge emit is a narrow C(deg, 2) combination explode — the wedge
+    cost is bounded by cap x |edges| instead of sum(deg^2) and never
+    materializes a center self-join (r10: replaced the ctr ⋈ ctr
+    equi-join — one fewer edge-scale Exchange, measured 2.7→1.5s at
+    sf0.1).  A hub's dropped wedges are the minimum-weight evidence by
+    construction.  Existing edges leave via an equi anti-join; top-k is
+    orderBy+limit (per-partition heaps)."""
+    from social_warner_spark.operators.graph import sorted_array_pairs, within_group_pairs
+
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.ok") == F.col("b.ok"))
-            & (F.col("a.pk") < F.col("b.pk")),
-        )
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
     )
     from social_warner_spark.caching import register_persisted
 
     # edges feeds three consumers (both union sides + the anti-join) —
-    # persist or the lineitem self-join re-executes per consumer.
-    edges = register_persisted(edges.persist())
+    # persist or the basket-pair construction re-executes per consumer.
+    edges = register_persisted(within_group_pairs(li, "ok", "pk").persist())
     und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    deg = und.groupBy("src").agg(F.count("*").alias("deg"))
-    ctr = (
-        und.join(deg, "src")
+    # Degree first (bounded count state), THEN collect the ≤cap adjacency:
+    # hubs never accumulate an unbounded neighbor array.
+    deg = (
+        und.groupBy("src")
+        .agg(F.count("*").alias("deg"))
         .where(F.col("deg") <= AA_MAX_DEG)
-        .select(
-            F.col("src").alias("z"),
-            F.col("dst").alias("nbr"),
-            (1.0 / F.log(F.col("deg"))).alias("w"),
-        )
+        .select("src")
     )
-    l, r = ctr.alias("l"), ctr.alias("r")
-    wedges = l.join(
-        r,
-        (F.col("l.z") == F.col("r.z")) & (F.col("l.nbr") < F.col("r.nbr")),
-    ).select(
-        F.col("l.nbr").alias("a"),
-        F.col("r.nbr").alias("b"),
-        F.col("l.w").alias("w"),
+    adj = (
+        und.join(deg, "src")
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_set("dst")).alias("nbrs"))
+        .select("nbrs", (1.0 / F.log(F.size("nbrs"))).alias("w"))
     )
+    wedges = adj.select(
+        F.explode(sorted_array_pairs(F.col("nbrs"), "a", "b")).alias("_e"), "w"
+    ).select(F.col("_e.a").alias("a"), F.col("_e.b").alias("b"), "w")
     cand = wedges.groupBy("a", "b").agg(
         F.count("*").alias("common_neighbors"),
         r6(F.sum("w")).alias("score"),

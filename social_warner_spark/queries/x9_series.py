@@ -343,19 +343,18 @@ def x81_triangle_count(spark, sf_dir):
     order are adjacent): operators/graph.py:triangle_count with
     compact-forward degree orientation, so the wedge self-join is
     quadratic in out-degree (≤ O(√E) by construction), never in a hub
-    part's raw degree."""
-    from social_warner_spark.operators.graph import triangle_count
+    part's raw degree.
+
+    r10: edge construction is within_group_pairs (one groupBy on the
+    order key + narrow per-basket combination explode) instead of the
+    lineitem self-join — same distinct pair set, one fewer
+    lineitem-scale Exchange (basket sizes bound the collect at O(10))."""
+    from social_warner_spark.operators.graph import triangle_count, within_group_pairs
 
     li = T(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
     )
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
-        .distinct()
-    )
-    return triangle_count(edges)
+    return triangle_count(within_group_pairs(li, "ok", "pk"))
 
 
 #: x82 — robust z threshold (|0.6745·(x−med)/MAD| > 3.5 ⇔ |x−med| > 3.5·MAD/0.6745).
