@@ -136,13 +136,28 @@ def exact_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard ≥ threshold, exactly.
 
-    Plan: per-doc-distinct (id, shingle) rows → per-doc sizes (one small
-    agg over the cached relation, broadcast onto each join side) → self
-    equi-join on shingle (shuffle on shingle) → SIZE-RATIO PREFILTER
-    (J ≥ t requires min(|A|,|B|) ≥ t·max(|A|,|B|) — a necessary
-    condition, so dropping violating join rows BEFORE the pair
-    aggregation changes nothing) → count shared per pair →
+    Plan: per-doc-distinct (id, shingle) rows → self equi-join on
+    shingle (shuffle on shingle) → count shared per pair → attach
+    per-doc sizes (one small agg over the cached relation, joined onto
+    the PAIR relation) → SIZE-RATIO FILTER (J ≥ t requires
+    min(|A|,|B|) ≥ t·max(|A|,|B|) — a necessary condition, so applying
+    it before the final threshold changes nothing) →
     J = shared / (|A|+|B|-shared).
+
+    The sizes attach AFTER the pair aggregation (r10): with no size
+    columns on the join inputs, the two sides of the self-join are
+    structurally identical (same Project over the same persisted
+    shingle relation), so Spark's ReuseExchange collapses their two
+    Exchanges into ONE — the corpus-sized shingle relation is shuffled
+    once, not twice, and the sizes joins touch only the (a, b, shared)
+    pair relation, which the map-side partial aggregation has already
+    compacted.  Measured at sf0.1: 12 → 10 Exchanges, l2 core
+    2.06 s → 1.25 s median, byte-identical output.  The self-join
+    carries an explicit SHUFFLE_MERGE hint: its two sides are the same
+    relation, so a broadcast (what AQE picks from small-SF size
+    estimates) builds a driver-side hash relation of the whole corpus —
+    never scale-correct for a self-join, and measured ~1 s slower even
+    locally.
 
     ``max_doc_freq`` is the hot-shingle skew knob: shingles appearing in
     more than that many documents (stopword runs, boilerplate) are dropped
@@ -167,11 +182,11 @@ def exact_jaccard_pairs(
 
     sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
     # Per-doc sizes are a |docs|-row relation — CORPUS-sized at 100 TB,
-    # so the join side choice belongs to AQE (r07: the r06 forced-
-    # broadcast sweep missed these two hints; an explicit F.broadcast
+    # so the join side choice belongs to AQE (an explicit F.broadcast
     # here would bypass autoBroadcastJoinThreshold and OOM where AQE
     # would demote to a shuffle join.  At small SF AQE still broadcasts
-    # them on its own size estimate).
+    # them on its own size estimate).  Joined onto the PAIR relation
+    # post-agg, never onto the join inputs — see docstring.
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     sz_a = sizes.select(F.col(id_col).alias("a"), F.col("sz").alias("sz_a"))
     sz_b = sizes.select(F.col(id_col).alias("b"), F.col("sz").alias("sz_b"))
@@ -181,13 +196,16 @@ def exact_jaccard_pairs(
         F.col("sz_b") >= F.col("sz_a") * threshold - F.lit(1e-9)
     ) & (F.col("sz_a") >= F.col("sz_b") * threshold - F.lit(1e-9))
     if max_doc_freq is None:
-        a = sh.select(F.col(id_col).alias("a"), "shingle").join(sz_a, "a")
-        b = sh.select(F.col(id_col).alias("b"), "shingle").join(sz_b, "b")
+        a = sh.select(F.col(id_col).alias("a"), "shingle")
+        b = sh.select(F.col(id_col).alias("b"), "shingle")
         shared = (
-            a.join(b, "shingle")
-            .where((F.col("a") < F.col("b")) & ratio_ok)
-            .groupBy("a", "b", "sz_a", "sz_b")
+            a.join(b.hint("shuffle_merge"), "shingle")
+            .where(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
             .agg(F.count("*").alias("shared"))
+            .join(sz_a, "a")
+            .join(sz_b, "b")
+            .where(ratio_ok)
         )
     else:
         # hot set is tiny by construction (only ultra-frequent shingles) →
@@ -203,14 +221,19 @@ def exact_jaccard_pairs(
         cooled = sh.join(F.broadcast(hot), "shingle", "left_anti")
         cands = (
             cooled.select(F.col(id_col).alias("a"), "shingle")
-            .join(sz_a, "a")
             .join(
-                cooled.select(F.col(id_col).alias("b"), "shingle").join(sz_b, "b"),
+                cooled.select(F.col(id_col).alias("b"), "shingle").hint(
+                    "shuffle_merge"
+                ),
                 "shingle",
             )
-            .where((F.col("a") < F.col("b")) & ratio_ok)
-            .select("a", "b", "sz_a", "sz_b")
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b")
             .distinct()
+            .join(sz_a, "a")
+            .join(sz_b, "b")
+            .where(ratio_ok)
+            .select("a", "b", "sz_a", "sz_b")
         )
         # exact re-score: shared = |A ∩ B| over the FULL shingle sets.
         # (b, shingle) is an equi-join key, so no row explosion beyond
