@@ -54,6 +54,19 @@ def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot(a, b) / (na * nb))
 
 
+def scoring_vec(v: Column) -> Column:
+    """Stage a vector column for a pair-join side select: promote to
+    array<double> ONCE PER VECTOR.  `dot`'s internal promotion then
+    becomes a no-op cast the optimizer removes (SimplifyCasts), so the
+    per-PAIR fold no longer allocates two fresh double arrays per
+    evaluation — on an n-vector/m-pair scorer that moves 2·m array
+    casts to n.  float→double promotion is exact, so results are
+    bit-identical (r10: proven on the x7 candidate scorer, 1.1M pairs).
+    Use on join-internal aliases (va/vb/vc/vp) only, never on columns
+    that reach an output schema — the declared type would widen."""
+    return v.cast("array<double>")
+
+
 def sign_bits(vec: Column, start: int, n: int, flip: int | None = None) -> Column:
     """'1'/'0' concat of the sign bits of dimensions [start+1 .. start+n]
     (1-indexed), optionally with bit `flip` (0-based within the slice)

@@ -680,16 +680,16 @@ def embedding_neardup_pairs(
     BroadcastNestedLoopJoin scoring all n² pairs).
     """
     if bands is None:
-        from social_warner_spark.functions.vectors import cosine_prenormed
+        from social_warner_spark.functions.vectors import cosine_prenormed, scoring_vec
 
         a = df.select(
             F.col(id_col).alias("a"),
-            F.col(vec_col).alias("va"),
+            scoring_vec(F.col(vec_col)).alias("va"),
             l2_norm(F.col(vec_col)).alias("na"),
         )
         b = df.select(
             F.col(id_col).alias("b"),
-            F.col(vec_col).alias("vb"),
+            scoring_vec(F.col(vec_col)).alias("vb"),
             l2_norm(F.col(vec_col)).alias("nb"),
         )
         joined = a.join(F.broadcast(b), F.col("a") < F.col("b"))
@@ -722,14 +722,16 @@ def embedding_neardup_pairs(
         # per-pair work is the dot product alone.  dot/(na·nb) evaluates the
         # identical float expression tree as cosine(), so oracle rounding is
         # unaffected.
+        from social_warner_spark.functions.vectors import scoring_vec
+
         va = df.select(
             F.col(id_col).alias("a"),
-            F.col(vec_col).alias("va"),
+            scoring_vec(F.col(vec_col)).alias("va"),
             l2_norm(F.col(vec_col)).alias("na"),
         )
         vb = df.select(
             F.col(id_col).alias("b"),
-            F.col(vec_col).alias("vb"),
+            scoring_vec(F.col(vec_col)).alias("vb"),
             l2_norm(F.col(vec_col)).alias("nb"),
         )
         scored = (
@@ -791,18 +793,18 @@ def semantic_dedup(
     assigned = register_persisted(
         ivf_assign(corpus, centroids, vec_col, id_col).persist()
     )
-    from social_warner_spark.functions.vectors import cosine_prenormed
+    from social_warner_spark.functions.vectors import cosine_prenormed, scoring_vec
 
     a = assigned.select(
         F.col(id_col).alias("a"),
         "cluster",
-        F.col(vec_col).alias("va"),
+        scoring_vec(F.col(vec_col)).alias("va"),
         l2_norm(F.col(vec_col)).alias("na"),
     )
     b = assigned.select(
         F.col(id_col).alias("b"),
         "cluster",
-        F.col(vec_col).alias("vb"),
+        scoring_vec(F.col(vec_col)).alias("vb"),
         l2_norm(F.col(vec_col)).alias("nb"),
     )
     dupes = (

@@ -50,16 +50,16 @@ def cosine_topk(
     Norms are staged per VECTOR (not per pair): the fold lambdas run
     interpreted, so the pair expression is one dot fold via
     cosine_prenormed — bit-identical to the inline form, 3× cheaper."""
-    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm, scoring_vec
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vc"),
+        scoring_vec(F.col(vec_col)).alias("vc"),
         l2_norm(F.col(vec_col)).alias("nc"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("vp"),
+        scoring_vec(F.col(vec_col)).alias("vp"),
         l2_norm(F.col(vec_col)).alias("np"),
     )
     scored = c.join(F.broadcast(p), F.col("probe_id") != F.col("neighbor_id")).withColumn(
@@ -113,17 +113,17 @@ def cosine_topk_bucketed(
     for the recall lost to hyperplane-boundary neighbors.  Recall vs the
     exact variant is tested by tolerance.
     """
-    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm, scoring_vec
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vc"),
+        scoring_vec(F.col(vec_col)).alias("vc"),
         l2_norm(F.col(vec_col)).alias("nc"),
         sign_bucket(F.col(vec_col), planes).alias("bk"),
     )
     p = probes.select(
         F.col(id_col).alias("probe_id"),
-        F.col(vec_col).alias("vp"),
+        scoring_vec(F.col(vec_col)).alias("vp"),
         l2_norm(F.col(vec_col)).alias("np"),
         F.explode(sign_bucket_variants(F.col(vec_col), planes, multiprobe)).alias("bk"),
     )
@@ -156,14 +156,24 @@ def ivf_assign(
     makes ties resolve to the lowest cluster id, matching the SQL oracle's
     `row_number() ... ORDER BY ccos DESC, cluster` exactly.
     """
-    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm, scoring_vec
 
+    # _vd: the double-promoted scoring copy (cast n times, not n·nlist —
+    # see scoring_vec); the original vec_col rides through untouched so
+    # the output schema keeps its declared type.
     scored = (
-        corpus.select(id_col, vec_col, l2_norm(F.col(vec_col)).alias("_vn"))
+        corpus.select(
+            id_col,
+            vec_col,
+            scoring_vec(F.col(vec_col)).alias("_vd"),
+            l2_norm(F.col(vec_col)).alias("_vn"),
+        )
         .join(
             F.broadcast(
                 centroids.select(
-                    "cluster", "cvec", l2_norm(F.col("cvec")).alias("_cn")
+                    "cluster",
+                    scoring_vec(F.col("cvec")).alias("cvec"),
+                    l2_norm(F.col("cvec")).alias("_cn"),
                 )
             ),
             how="cross",
@@ -172,7 +182,7 @@ def ivf_assign(
             "ccos",
             F.round(
                 cosine_prenormed(
-                    F.col(vec_col), F.col("cvec"), F.col("_vn"), F.col("_cn")
+                    F.col("_vd"), F.col("cvec"), F.col("_vn"), F.col("_cn")
                 ),
                 6,
             ),
@@ -262,13 +272,13 @@ def cosine_topk_ivf(
     )
     assigned = ivf_assign(corpus, centroids, vec_col, id_col)
 
-    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm, scoring_vec
 
     wp = Window.partitionBy("probe_id").orderBy(F.desc("ccos"), F.asc("cluster"))
     probe_clusters = (
         probes.select(
             F.col(id_col).alias("probe_id"),
-            F.col(vec_col).alias("vp"),
+            scoring_vec(F.col(vec_col)).alias("vp"),
             l2_norm(F.col(vec_col)).alias("np"),
         )
         .join(F.broadcast(centroids), how="cross")
@@ -288,7 +298,7 @@ def cosine_topk_ivf(
     scored = (
         assigned.select(
             F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("vc"),
+            scoring_vec(F.col(vec_col)).alias("vc"),
             l2_norm(F.col(vec_col)).alias("nc"),
             "cluster",
         )

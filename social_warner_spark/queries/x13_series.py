@@ -481,7 +481,7 @@ def x224_hard_negative_mining(spark, sf_dir):
     inequality is a post-join filter on already-joined rows, never a
     join condition that would degrade to a nested loop.
     """
-    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm, scoring_vec
     from social_warner_spark.operators.similarity import (
         sign_bucket,
         sign_bucket_variants,
@@ -495,14 +495,14 @@ def x224_hard_negative_mining(spark, sf_dir):
     c = base.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("lang").alias("neg_lang"),
-        F.col("embedding").alias("vc"),
+        scoring_vec(F.col("embedding")).alias("vc"),
         l2_norm(F.col("embedding")).alias("nc"),
         sign_bucket(F.col("embedding"), HN_PLANES).alias("bk"),
     )
     p = base.where(F.col("vec_id") < HN_PROBES).select(
         F.col("vec_id").alias("probe_id"),
         F.col("lang").alias("probe_lang"),
-        F.col("embedding").alias("vp"),
+        scoring_vec(F.col("embedding")).alias("vp"),
         l2_norm(F.col("embedding")).alias("np"),
         F.explode(
             sign_bucket_variants(F.col("embedding"), HN_PLANES, multiprobe=1)
@@ -951,7 +951,7 @@ def x229_margin_bitext_mining(spark, sf_dir):
     equi-join on the (src, tgt) pair.
     """
     from social_warner_spark.caching import register_persisted
-    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm
+    from social_warner_spark.functions.vectors import cosine_prenormed, l2_norm, scoring_vec
     from pyspark.sql import Window
 
     emb = T(spark, sf_dir, "embeddings")
@@ -965,12 +965,12 @@ def x229_margin_bitext_mining(spark, sf_dir):
     # sqrt(dot(v,v)) here is bit-identical to the oracle's inline form.
     a = base.where(F.col("lang") == MARGIN_SRC).select(
         F.col("vec_id").alias("fr_id"),
-        F.col("embedding").alias("va"),
+        scoring_vec(F.col("embedding")).alias("va"),
         l2_norm(F.col("embedding")).alias("na"),
     )
     b = base.where(F.col("lang") == MARGIN_TGT).select(
         F.col("vec_id").alias("en_id"),
-        F.col("embedding").alias("vb"),
+        scoring_vec(F.col("embedding")).alias("vb"),
         l2_norm(F.col("embedding")).alias("nb"),
     )
     pair_cos = cosine_prenormed(
