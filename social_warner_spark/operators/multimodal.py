@@ -379,18 +379,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
-    """Decode a PNG to (width, height, channels, flat sample list).
-
-    Pure stdlib: walks the chunk stream, inflates the concatenated IDAT
-    data with zlib, then reverses the per-row filter (types 0–4: None,
-    Sub, Up, Average, Paeth).  Supports bit depth 8, color types
-    0/2/4/6 (gray, RGB, gray+alpha, RGBA), no interlace — the slice a
-    training pipeline's synthetic/screenshot imagery lives in.  Raises
-    ValueError on anything else so callers fall back to the env-gated
-    codec stub rather than silently mis-decoding.
-    """
+def _decode_png_array(payload: bytes):
+    """decode_png's engine: returns (width, height, channels, flat int64
+    numpy array) so batch consumers (pixel stats, aHash) can reduce with
+    exact vectorized integer sums instead of per-byte Python loops
+    (guide-§4.2 shape: the Python boundary hands whole batches to native
+    code).  Filter reversal is vectorized per ROW where the filter has
+    no intra-row dependency (None, Up) or a cumulative-sum form (Sub:
+    out[k] = Σ raw over the channel lane, mod 256 — exact in int64);
+    Average/Paeth keep the per-byte loop, their floor-div/predictor
+    recurrences are inherently sequential along the row.  All arithmetic
+    is integer, so results are bit-identical to the scalar form (pinned
+    by test_decode_png_full_roundtrip)."""
     import zlib
+
+    import numpy as np
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG")
@@ -419,41 +422,68 @@ def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError("IDAT length mismatch")
-    out: list[int] = []
-    prior = bytes(stride)
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = mat[:, 0]
+    rows = mat[:, 1:].astype(np.int64)
+    out = np.empty((height, stride), dtype=np.int64)
+    prior = np.zeros(stride, dtype=np.int64)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        row = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ftype == 1:  # Sub
-            for k in range(channels, stride):
-                row[k] = (row[k] + row[k - channels]) & 0xFF
+        ftype = int(ftypes[y])
+        r = rows[y]
+        if ftype == 0:
+            o = r
+        elif ftype == 1:  # Sub: per-channel-lane prefix sum mod 256
+            o = r.reshape(width, channels).cumsum(axis=0).reshape(stride) & 0xFF
         elif ftype == 2:  # Up
-            for k in range(stride):
-                row[k] = (row[k] + prior[k]) & 0xFF
-        elif ftype == 3:  # Average
-            for k in range(stride):
-                left = row[k - channels] if k >= channels else 0
-                row[k] = (row[k] + (left + prior[k]) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
+            o = (r + prior) & 0xFF
+        elif ftype == 3:  # Average (sequential: depends on decoded left)
+            row = r.tolist()
+            pl = prior.tolist()
             for k in range(stride):
                 left = row[k - channels] if k >= channels else 0
-                ul = prior[k - channels] if k >= channels else 0
-                row[k] = (row[k] + _paeth(left, prior[k], ul)) & 0xFF
-        elif ftype != 0:
+                row[k] = (row[k] + (left + pl[k]) // 2) & 0xFF
+            o = np.array(row, dtype=np.int64)
+        elif ftype == 4:  # Paeth (sequential: depends on decoded left)
+            row = r.tolist()
+            pl = prior.tolist()
+            for k in range(stride):
+                left = row[k - channels] if k >= channels else 0
+                ul = pl[k - channels] if k >= channels else 0
+                row[k] = (row[k] + _paeth(left, pl[k], ul)) & 0xFF
+            o = np.array(row, dtype=np.int64)
+        else:
             raise ValueError(f"bad filter type {ftype}")
-        out.extend(row)
-        prior = bytes(row)
-    return width, height, channels, out
+        out[y] = o
+        prior = out[y]
+    return width, height, channels, out.reshape(height * stride)
 
 
-def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
-    """Decode integer-PCM WAV to (sample_rate, n_channels, flat samples).
+def decode_png(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """Decode a PNG to (width, height, channels, flat sample list).
 
-    Pure stdlib chunk walk + int.from_bytes: PCM (format tag 1) at 8
-    (unsigned), 16 or 32 (signed little-endian) bits, interleaved
-    channel order preserved.  Raises ValueError on compressed/float
-    formats — those stay behind the codec gate.
+    Pure stdlib(+numpy): walks the chunk stream, inflates the
+    concatenated IDAT data with zlib, then reverses the per-row filter
+    (types 0–4: None, Sub, Up, Average, Paeth) — see _decode_png_array
+    for the vectorized reversal.  Supports bit depth 8, color types
+    0/2/4/6 (gray, RGB, gray+alpha, RGBA), no interlace — the slice a
+    training pipeline's synthetic/screenshot imagery lives in.  Raises
+    ValueError on anything else so callers fall back to the env-gated
+    codec stub rather than silently mis-decoding.
     """
+    width, height, channels, arr = _decode_png_array(payload)
+    return width, height, channels, arr.tolist()
+
+
+def _decode_wav_array(payload: bytes):
+    """decode_wav_samples' engine: (sample_rate, n_channels, int64 numpy
+    array) so batch consumers reduce with exact vectorized integer sums.
+    Sample extraction is one np.frombuffer view per clip (guide §4.2)
+    instead of an int.from_bytes Python loop; μ-law expands through a
+    precomputed 256-entry table of the identical _mulaw_expand values.
+    Integer-exact, pinned by test_decode_wav_samples_roundtrip_and_gates.
+    """
+    import numpy as np
+
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     i, fmt_tag, n_channels, sample_rate, bits = 12, None, None, None, None
@@ -473,19 +503,42 @@ def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
     if fmt_tag == 7 and bits == 8 and n_channels and data is not None:
         # G.711 μ-law (companded 8-bit — a genuinely LOSSY audio format
         # with an exact integer expansion, ITU-T G.711 Table 2a/2b)
-        samples = [_mulaw_expand(b) for b in data]
+        samples = _mulaw_table()[np.frombuffer(data, dtype=np.uint8)]
         return sample_rate, n_channels, samples
     if fmt_tag != 1 or bits not in (8, 16, 32) or not n_channels or data is None:
         raise ValueError(
             "unsupported WAV variant (need integer PCM or 8-bit mu-law)"
         )
     step = bits // 8
-    signed = bits != 8
-    samples = [
-        int.from_bytes(data[j : j + step], "little", signed=signed)
-        for j in range(0, len(data) - len(data) % (step * n_channels), step)
-    ]
+    dtype = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}[bits]
+    usable = len(data) - len(data) % (step * n_channels)
+    samples = np.frombuffer(data[:usable], dtype=dtype).astype(np.int64)
     return sample_rate, n_channels, samples
+
+
+def _mulaw_table():
+    """256-entry int64 lookup of _mulaw_expand (built once per process)."""
+    global _MULAW_LUT
+    if _MULAW_LUT is None:
+        import numpy as np
+
+        _MULAW_LUT = np.array([_mulaw_expand(c) for c in range(256)], dtype=np.int64)
+    return _MULAW_LUT
+
+
+_MULAW_LUT = None
+
+
+def decode_wav_samples(payload: bytes) -> tuple[int, int, list[int]]:
+    """Decode integer-PCM WAV to (sample_rate, n_channels, flat samples).
+
+    Chunk walk + one numpy buffer view (see _decode_wav_array): PCM
+    (format tag 1) at 8 (unsigned), 16 or 32 (signed little-endian)
+    bits, interleaved channel order preserved.  Raises ValueError on
+    compressed/float formats — those stay behind the codec gate.
+    """
+    sample_rate, n_channels, samples = _decode_wav_array(payload)
+    return sample_rate, n_channels, samples.tolist()
 
 
 def _mulaw_expand(code: int) -> int:
@@ -504,8 +557,10 @@ def synth_mulaw_wav_content(doc_id: int, n_chars: int) -> bytes:
     k = (7·doc_id + 11·k) mod 256, mono, 8 kHz — the companded telephony
     format whose decode is the simplest legitimately-lossy audio
     codec."""
+    import numpy as np
+
     n = 80 + n_chars % 128
-    codes = bytes((7 * doc_id + 11 * k) % 256 for k in range(n))
+    codes = ((7 * doc_id + 11 * np.arange(n)) % 256).astype(np.uint8).tobytes()
     fmt_body = (
         (7).to_bytes(2, "little") + (1).to_bytes(2, "little")
         + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
@@ -1160,21 +1215,46 @@ def synth_png_content(doc_id: int) -> bytes:
     """
     import zlib
 
+    import numpy as np
+
     width = 16 + doc_id % 32
     height = 9 + doc_id % 17
     channels = 3
-    stream = bytearray()
-    prior = bytes(width * channels)
-    for y in range(height):
-        row = bytes(
-            (7 * doc_id + 31 * y + 13 * x + 5 * c) % 256
-            for x in range(width)
-            for c in range(channels)
-        )
-        ftype = y % 5
-        stream.append(ftype)
-        stream += _png_filter_row(ftype, row, prior, channels)
-        prior = row
+    stride = width * channels
+    # Vectorized encoder (r10, guide §4.2): the pixel formula and every
+    # filter PREDICTION depend only on ORIGINAL sample values (encode
+    # side has no output recurrence, unlike decode), so all five
+    # filtered variants compute as whole-image integer array ops and
+    # each row picks its y%5 variant.  Bit-identical to the per-byte
+    # _png_filter_row loop (pinned by test_decode_png_full_roundtrip).
+    yv = np.arange(height).reshape(-1, 1, 1)
+    xv = np.arange(width).reshape(1, -1, 1)
+    cv = np.arange(channels).reshape(1, 1, -1)
+    rows = ((7 * doc_id + 31 * yv + 13 * xv + 5 * cv) % 256).reshape(height, stride)
+    zc = np.zeros((height, channels), dtype=rows.dtype)
+    prior = np.vstack([np.zeros((1, stride), dtype=rows.dtype), rows[:-1]])
+    left = np.concatenate([zc, rows[:, :-channels]], axis=1)
+    ul = np.concatenate([zc, prior[:, :-channels]], axis=1)
+    pa = np.abs(prior - ul)  # |p - left|  with p = left + prior - ul
+    pb = np.abs(left - ul)  # |p - prior|
+    pc = np.abs(left + prior - 2 * ul)  # |p - ul|
+    paeth = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul))
+    variants = np.stack(
+        [
+            rows,  # 0 None
+            (rows - left) & 0xFF,  # 1 Sub
+            (rows - prior) & 0xFF,  # 2 Up
+            (rows - (left + prior) // 2) & 0xFF,  # 3 Average
+            (rows - paeth) & 0xFF,  # 4 Paeth
+        ]
+    )
+    ftypes = np.arange(height) % 5
+    filtered = variants[ftypes, np.arange(height)]
+    stream = (
+        np.concatenate([ftypes.reshape(-1, 1), filtered], axis=1)
+        .astype(np.uint8)
+        .tobytes()
+    )
     ihdr_body = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big")
         + bytes([8, 2, 0, 0, 0])
@@ -1205,11 +1285,15 @@ def synth_wav_content(doc_id: int, n_chars: int) -> bytes:
     block_align = n_channels * bits // 8
     byte_rate = sample_rate * block_align
     n_samples = 100 + n_chars % 256
-    frames = bytearray()
-    for k in range(n_samples):
-        for c in range(n_channels):
-            v = ((31 * doc_id + 7 * k + 3 * c) % 2001) - 1000
-            frames += v.to_bytes(2, "little", signed=True)
+    import numpy as np
+
+    kv = np.arange(n_samples).reshape(-1, 1)
+    cv = np.arange(n_channels).reshape(1, -1)
+    frames = (
+        (((31 * doc_id + 7 * kv + 3 * cv) % 2001) - 1000)
+        .astype("<i2")
+        .tobytes()  # row-major = interleaved frames, little-endian signed
+    )
     fmt_body = (
         (1).to_bytes(2, "little") + n_channels.to_bytes(2, "little")
         + sample_rate.to_bytes(4, "little") + byte_rate.to_bytes(4, "little")
@@ -1248,14 +1332,17 @@ def png_pixel_stats(
         for pdf in batches:
             rows: dict[str, list] = {k.split()[0]: [] for k in PNG_STATS_SCHEMA.split(", ")}
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, ch, vals = decode_png(payload)
+                # _decode_png_array: the reductions below run as exact
+                # int64 numpy ops over the whole image, not per-byte
+                # Python (r10, guide §4.2)
+                w, h, ch, arr = _decode_png_array(payload)
                 rows["item_id"].append(int(item_id))
                 rows["width"].append(w)
                 rows["height"].append(h)
-                rows["n_values"].append(len(vals))
-                rows["value_sum"].append(sum(vals))
-                rows["value_min"].append(min(vals))
-                rows["value_max"].append(max(vals))
+                rows["n_values"].append(int(arr.size))
+                rows["value_sum"].append(int(arr.sum()))
+                rows["value_min"].append(int(arr.min()))
+                rows["value_max"].append(int(arr.max()))
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=PNG_STATS_SCHEMA)
@@ -1272,15 +1359,16 @@ def wav_sample_stats(
         for pdf in batches:
             rows: dict[str, list] = {k.split()[0]: [] for k in WAV_STATS_SCHEMA.split(", ")}
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                rate, nch, samples = decode_wav_samples(payload)
+                # exact int64 numpy reductions over the whole clip (r10)
+                rate, nch, samples = _decode_wav_array(payload)
                 rows["item_id"].append(int(item_id))
                 rows["sample_rate"].append(rate)
                 rows["n_channels"].append(nch)
-                rows["n_samples"].append(len(samples) // nch)
-                rows["sample_sum"].append(sum(samples))
-                rows["sample_sq_sum"].append(sum(v * v for v in samples))
-                rows["sample_min"].append(min(samples))
-                rows["sample_max"].append(max(samples))
+                rows["n_samples"].append(int(samples.size) // nch)
+                rows["sample_sum"].append(int(samples.sum()))
+                rows["sample_sq_sum"].append(int((samples * samples).sum()))
+                rows["sample_min"].append(int(samples.min()))
+                rows["sample_max"].append(int(samples.max()))
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=WAV_STATS_SCHEMA)
@@ -1320,15 +1408,18 @@ def png_ahash(
         for pdf in batches:
             rows: dict[str, list] = {k.split()[0]: [] for k in AHASH_SCHEMA.split(", ")}
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                w, h, ch, vals = decode_png(payload)
-                total = sum(vals)
+                # decode once to an int64 array; the 16 probe sums stay
+                # scalar (bounded count), the image-total sum is one
+                # vectorized exact reduction (r10)
+                w, h, ch, arr = _decode_png_array(payload)
+                total = int(arr.sum())
                 n_px = w * h
                 phash = 0
                 for k in range(AHASH_BITS):
                     x = (_AHASH_XSTRIDE * k) % w
                     y = (_AHASH_YSTRIDE * k) % h
                     base = (y * w + x) * ch
-                    psum = sum(vals[base : base + ch])
+                    psum = int(arr[base : base + ch].sum())
                     # gray(p) > mean-gray  ⟺  psum·n_px > total (integers)
                     if psum * n_px > total:
                         phash |= 1 << k
@@ -1363,14 +1454,21 @@ def wav_frame_rms_cells(
             rows: dict[str, list] = {
                 k.split()[0]: [] for k in FRAME_RMS_SCHEMA.split(", ")
             }
+            import numpy as np
+
             for item_id, payload in zip(pdf[id_col], pdf[payload_col]):
-                _, _, samples = decode_wav_samples(payload)
-                for f0 in range(0, len(samples), frame):
-                    chunk = samples[f0 : f0 + frame]
+                _, _, samples = _decode_wav_array(payload)
+                # per-frame exact int64 Σv² via one reduceat over the
+                # squared stream (r10); frame boundaries every `frame`
+                # interleaved samples, identical to the k//frame oracle
+                sq = samples * samples
+                starts = np.arange(0, samples.size, frame)
+                sq_sums = np.add.reduceat(sq, starts) if samples.size else []
+                for fi, f0 in enumerate(starts.tolist()):
                     rows["item_id"].append(int(item_id))
-                    rows["frame_idx"].append(f0 // frame)
-                    rows["n_in_frame"].append(len(chunk))
-                    rows["sq_sum"].append(sum(v * v for v in chunk))
+                    rows["frame_idx"].append(fi)
+                    rows["n_in_frame"].append(int(min(frame, samples.size - f0)))
+                    rows["sq_sum"].append(int(sq_sums[fi]))
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(run, schema=FRAME_RMS_SCHEMA)
