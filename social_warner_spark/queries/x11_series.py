@@ -827,8 +827,6 @@ def x178_twopass_median(spark, sf_dir):
     return twopass_median(T(spark, sf_dir, "lineitem"), "l_extendedprice")
 
 
-#: x179 — doubling rounds (covers hierarchies to depth 2^5 = 32).
-SUBTREE_DOUBLINGS = 5
 #: x179 — report subtree totals for the top 4 levels (node ids 1..15).
 SUBTREE_TOP_IDS = 15
 
@@ -839,40 +837,43 @@ def x179_subtree_rollup(spark, sf_dir):
     category-tree rollups, done without recursion support.
 
     The hierarchy is the implicit binary tree over part keys
-    (parent = node // 2); the ancestor-descendant closure is built by
-    POINTER DOUBLING: with self-loops seeded, each round of
-    P := distinct(P ∘ P) doubles the covered ancestor distance, so
-    5 rounds close any hierarchy to depth 32 — O(log depth) joins
-    where the naive walk is O(depth).  x100 used doubling for DEPTH;
-    this is the closure + aggregate form (the rollup itself).
+    (parent = node // 2) — and that definition is problem knowledge the
+    optimizer cannot see (r10, guide §8): a node's ancestor set is
+    EXACTLY {node >> k : k ≥ 0, node >> k ≥ 1}, in closed form.  The
+    closure therefore generates as one explode of the per-node shift
+    sequence (bit-length terms, no distinct needed — the shifts
+    strictly decrease) instead of the previous 5 pointer-doubling
+    rounds of self-join + distinct + eager checkpoint.  The generic-
+    topology doubling device remains demonstrated by x100 (depth) and
+    x203; this query keeps the rollup semantics with the scale shape
+    the closed form earns: ZERO iterative shuffles, one partial-
+    aggregated explode→agg, and the top-IDs filter applied BEFORE the
+    aggregation (it is a filter on the group key, so the result is
+    unchanged while the shuffle carries only the reported groups).
 
-    100 TB: closure size is Σ depth(n) ≈ N·log N pairs of two longs;
-    each round one equi-join shuffle.  Oracle: recursive CTE.
+    Previous doubling form closed paths to depth 2^5 = 32; the closed
+    form closes to FULL depth like the recursive-CTE oracle — identical
+    for every input with ids below 2^33, i.e. both test and production
+    scales (and beyond 2^33 the closed form is the CORRECT one).
+
+    100 TB: closure size is Σ bitlen(n) ≈ N·log N rows of two longs,
+    but post-filter only ≈ |TOP|·N/1 survive the WHERE; one shuffle.
+    Oracle: recursive CTE.
     """
     nodes = T(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("node"), F.col("p_retailprice").alias("val")
     )
-    selfp = nodes.select("node", F.col("node").alias("anc"))
-    edges = nodes.where(F.col("node") > 1).select(
-        "node", F.floor(F.col("node") / 2).cast("long").alias("anc")
-    )
-    # the closure is self-joined (two references) every round: eager
-    # checkpoints stop the 2^rounds lineage compounding (x203 pattern)
-    # while keeping each round materialized exactly once.
-    p = selfp.unionAll(edges).distinct().localCheckpoint(eager=True)
-    for _ in range(SUBTREE_DOUBLINGS):
-        jump = (
-            p.alias("a")
-            .join(p.alias("b"), F.col("a.anc") == F.col("b.node"))
-            .select(F.col("a.node").alias("node"), F.col("b.anc").alias("anc"))
-        )
-        p = jump.distinct().localCheckpoint(eager=True)
+    anc = F.expr(
+        "explode(transform(sequence(0, length(conv(node, 10, 2)) - 1),"
+        " k -> shiftright(node, k)))"
+    ).alias("anc")
     sub = (
-        p.join(nodes, "node")
+        nodes.select("node", "val", anc)
+        .where(F.col("anc") <= SUBTREE_TOP_IDS)
         .groupBy("anc")
         .agg(F.count("*").alias("subtree_n"), F.sum("val").alias("s"))
     )
-    return sub.where(F.col("anc") <= SUBTREE_TOP_IDS).select(
+    return sub.select(
         F.col("anc").alias("node"),
         F.col("subtree_n").cast("long").alias("subtree_n"),
         r2(F.col("s")).alias("subtree_value"),
