@@ -240,3 +240,18 @@ def test_stratified_sample_window_group_limit(spark, sf_smoke):
     assert "WindowGroupLimit" in p, p
     assert ", Partial" in p, p  # the map-side heap, upstream of the shuffle
     assert ", Final" in p, p
+
+
+def test_jaccard_self_join_never_broadcasts(spark, sf_smoke):
+    """r10: exact_jaccard_pairs' shingle self-join must be a SHUFFLE join
+    with both sides planned from ONE reusable exchange — a broadcast here
+    hash-builds a whole side of a SELF-join (the corpus at 100 TB) on
+    the driver.  The SHUFFLE_MERGE hint pins the strategy; this test
+    pins the hint."""
+    import re
+
+    p = plan_of(spark, sf_smoke, "l2_jaccard_pairs")
+    # the pair-generating self-join is the one whose residual condition
+    # is (a < b); it must be the sort-merge join the hint pinned
+    assert "SortMergeJoin" in p, p
+    assert re.search(r"Join condition: \(a#\d+L? < b#\d+L?\)", p), p
