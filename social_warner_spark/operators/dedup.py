@@ -328,10 +328,22 @@ def propagate_min_labels(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     # Both directions are present, so src alone covers every incident node.
+    # r10: label initialization FOLDS ROUND 1.  With lab₀ = id, the first
+    # round's update is lab₁ = least(id, min over neighbors of their id)
+    # = least(src, min(dst)) — one aggregate over the edge relation, no
+    # join needed.  The old init (distinct src, lab = id) spent a full
+    # join+agg+checkpoint+probe round deriving exactly these values.
+    # Same monotone fixpoint, identical output, one fewer round per run
+    # (and at 100 TB, one fewer edges⋈labels shuffle of the whole edge
+    # relation).  The distinct() is absorbed too: groupBy(src) IS the
+    # dedup of incident nodes.
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("lab", F.col("id"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("_mndst"))
+        .select(
+            F.col("src").alias("id"),
+            F.least(F.col("src"), F.col("_mndst")).alias("lab"),
+        )
         .localCheckpoint(eager=True)
     )
 

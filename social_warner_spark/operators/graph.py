@@ -197,12 +197,25 @@ def lpa_fixed(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
 
     ed = register_persisted(edges.persist())
     labels = nodes.select("node", F.col("node").alias("lbl"))
-    for _ in range(iters):
-        votes = (
-            ed.join(labels.withColumnRenamed("node", "dst"), "dst")
-            .groupBy(F.col("src").alias("node"), "lbl")
-            .agg(F.count("*").alias("c"))
-        )
+    for i in range(iters):
+        if i == 0:
+            # r10: ROUND-1 FOLD — with lab₀(v) = v, a neighbor's label IS
+            # its id, so round 1's edges⋈labels join is an identity lookup
+            # and the vote relation is the edge relation re-keyed
+            # ((src, dst) → (node, lbl)), no join at all.  Precondition
+            # (already the operator contract — the reference replay in
+            # tests/test_hot_key_skew.py indexes labels[dst] directly):
+            # every edge endpoint appears in ``nodes``.  One fewer |E|-row
+            # join shuffle per run; identical output.
+            votes = ed.groupBy(
+                F.col("src").alias("node"), F.col("dst").alias("lbl")
+            ).agg(F.count("*").alias("c"))
+        else:
+            votes = (
+                ed.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"), "lbl")
+                .agg(F.count("*").alias("c"))
+            )
         # top-1 per node as a hash aggregation, not a window: min over the
         # (-count, label) struct = max count with min-label tie-break —
         # saves the per-round partition sort.  (An isolated-node-set-

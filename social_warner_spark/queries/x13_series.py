@@ -1168,13 +1168,23 @@ def x231_hits_scores(spark, sf_dir):
         .distinct()
         .persist()
     )
-    hubs = edges.select("src").distinct().select("src", F.lit(1.0).alias("h"))
-    for _ in range(HITS_ITERS):
-        araw = (
-            edges.join(hubs, "src")
-            .groupBy("dst")
-            .agg(F.sum("h").alias("ar"))
-        )
+    for i in range(HITS_ITERS):
+        if i == 0:
+            # r10: ROUND-1 FOLD — h₀ ≡ 1.0 for every incident src, so the
+            # first edges⋈hubs join is an identity filter (hubs is defined
+            # as distinct src of these same edges) and SUM(h) per dst is
+            # the dst in-degree.  One aggregate over the persisted edge
+            # relation, no hubs relation, no join; exact (integer counts
+            # are exact doubles), identical trajectory.
+            araw = edges.groupBy("dst").agg(
+                F.count("*").cast("double").alias("ar")
+            )
+        else:
+            araw = (
+                edges.join(hubs, "src")
+                .groupBy("dst")
+                .agg(F.sum("h").alias("ar"))
+            )
         asum = araw.agg(F.sum("ar").alias("s"))
         auths = (
             araw.crossJoin(F.broadcast(asum))
