@@ -182,9 +182,16 @@ def lpa_fixed(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
     (node, lbl) after ``iters`` rounds.
 
     nodes: (node).  edges: (src, dst) — directed; pass both directions
-    for an undirected graph.  Fixed rounds + the deterministic tie-break
-    are what make the operator oracle-checkable (the DuckDB oracle
-    unrolls the identical rounds as chained CTEs).
+    for an undirected graph.  PRECONDITION: every edge endpoint (src and
+    dst) must appear in ``nodes`` — the r10 round-1 fold treats a
+    neighbor's id as its label, which is only the identity lookup the
+    unfolded join computed when dst is a known node (out-of-contract
+    dangling dst would now vote with lbl=dst instead of being silently
+    dropped by the join).  Both in-repo callers build nodes/edges from
+    the same FK-joined relations, so the contract holds by construction.
+    Fixed rounds + the deterministic tie-break are what make the
+    operator oracle-checkable (the DuckDB oracle unrolls the identical
+    rounds as chained CTEs).
 
     Scale: the edge relation is persisted once and re-read by every
     round; each round is one equi-join (edges ⋈ labels on dst), one

@@ -398,17 +398,21 @@ def pq_codebooks(
     books = seeds
     for _ in range(iters):
         assigned = _pq_assign(subs, books, sublen)
-        books = (
-            assigned.select("sub", "code", F.posexplode("sv"))
-            .groupBy("sub", "code", "pos")
-            .agg(F.round(F.avg("col"), 6).alias("mv"))
-            .groupBy("sub", "code")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-                    lambda x: x["mv"],
-                ).alias("cw")
-            )
+        # r11: the per-position means are `sublen` independent avg
+        # aggregates over the SAME (sub, code) grouping, so they compute
+        # in ONE map-side-combined hash aggregate with the codeword
+        # assembled positionally — the old posexplode →
+        # groupBy(sub, code, pos) → groupBy(sub, code) collect_list chain
+        # paid two extra Exchanges plus an ObjectHashAggregate pair per
+        # Lloyd round for the identical values (avg over the same
+        # multiset, same 6dp rounding as the oracle's ROUND(AVG(sv[i]))).
+        books = assigned.groupBy("sub", "code").agg(
+            F.array(
+                *[
+                    F.round(F.avg(F.element_at("sv", i + 1)), 6)
+                    for i in range(sublen)
+                ]
+            ).alias("cw")
         )
     return books
 
@@ -444,13 +448,32 @@ def pq_encode(
 ) -> DataFrame:
     """Encode every vector as its m-byte PQ code array: (id, codes:
     array<int>).  This is the 100 TB storage form — m small ints instead
-    of `dim` floats (16× smaller than float32 at m=4, sublen=16)."""
+    of `dim` floats (16× smaller than float32 at m=4, sublen=16).
+
+    r11: the per-subspace argmin and the code-array assembly fuse into
+    ONE groupBy(id) hash aggregate — `min(CASE WHEN sub=s THEN
+    struct(d, code) END)` per subspace s is exactly the (rounded-distance,
+    lowest-code) argmin the old `_pq_assign → groupBy(id, sub) min_by →
+    groupBy(id) collect_list` pair computed, because `min` ignores the
+    NULLs from other subspaces and orders the struct lexicographically —
+    same tie-break, one Exchange instead of two, and a plain
+    HashAggregate instead of the ObjectHashAggregate collect_list."""
     subs = _subvectors(corpus, m, sublen, vec_col, id_col, id_col)
-    assigned = _pq_assign(subs, books, sublen)
-    return assigned.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "code"))), lambda x: x["code"]
-        ).alias("codes")
+    scored = subs.join(F.broadcast(books), "sub").withColumn(
+        "d", F.round(_l2sq(F.col("sv"), F.col("cw"), sublen), 6)
+    )
+    per_sub = [
+        F.min(
+            F.when(F.col("sub") == s, F.struct(F.col("d"), F.col("code")))
+        )["code"].alias(f"_c{s}")
+        for s in range(m)
+    ]
+    return (
+        scored.groupBy(id_col)
+        .agg(*per_sub)
+        .select(
+            id_col, F.array(*[F.col(f"_c{s}") for s in range(m)]).alias("codes")
+        )
     )
 
 

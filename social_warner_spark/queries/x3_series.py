@@ -388,20 +388,24 @@ def x31_full_pipeline(spark, sf_dir):
 
     BUDGET = 512
     docs = T(spark, sf_dir, "documents")
-    # prepared feeds two consumers (the packing output and the survivor
-    # semi-join for decontamination shingling) — without the persist the
-    # whole gate+dedup+prune lineage would evaluate twice.
-    prepared = register_persisted(prepare_corpus(docs).persist())
+    # r11: the near-dup prune (3-grams) and the decontamination check
+    # (4-grams) share ONE tokenize+explode pass over the exact-dedup
+    # survivor set (prepare_corpus's decon_shingle_n mode) — the old
+    # shape re-scanned documents and re-split every surviving text a
+    # second time just to build the 4-gram relation.  surv4 covers the
+    # exact-dedup survivors, a superset of prepared's docs; the left_anti
+    # below keys on prepared's doc_ids, so the extra rows are inert and
+    # the result is unchanged (oracle-mirrored at three scales).
+    prepared, surv4 = prepare_corpus(docs, decon_shingle_n=4)
+    prepared = register_persisted(prepared.persist())
 
     probe_sh = (
         doc_shingles(docs.where(F.col("doc_id") < 5), n=4)
         .select("shingle")
         .distinct()
     )
-    surv_docs = docs.join(prepared.select("doc_id"), "doc_id", "left_semi")
     contaminated = (
-        doc_shingles(surv_docs, n=4)
-        .join(F.broadcast(probe_sh), "shingle")
+        surv4.join(F.broadcast(probe_sh), "shingle")
         .select("doc_id")
         .distinct()
     )

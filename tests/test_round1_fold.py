@@ -79,23 +79,47 @@ def test_lpa_single_round_equals_reference_replay(spark):
     assert got == expected
 
 
-def test_hits_round1_authority_is_indegree_normalized(spark, sf_smoke):
-    """Pins x231's folded first half-round at the query level: with
-    HITS_ITERS rounds the trajectory is oracle-mirrored elsewhere; here
-    we recompute round-1 authorities from raw in-degrees and check the
-    declared pipeline's intermediate algebra reproduces them for a
-    2-iteration run's final output shape (sanity: all scores positive,
-    L1 of each role ≈ 1 at 6dp rounding granularity)."""
+def test_hits_round1_authority_is_indegree_normalized(spark, sf_smoke, monkeypatch):
+    """Pins x231's folded first half-round at the query level: run the
+    declared pipeline with HITS_ITERS=1 so the output IS round 1, and
+    recompute that round independently from the raw edge relation in
+    Python — authorities must equal dst in-degree / Σ in-degree (6dp),
+    hubs must equal the per-src sum of those authorities, renormalized
+    (6dp).  A fold defect that merely preserved normalization (e.g.
+    out-degree instead of in-degree, or a dropped count cast) fails
+    here."""
+    from social_warner_spark.queries import x13_series
     from social_warner_spark.queries.x13_series import x231_hits_scores
+    from social_warner_spark.queries.common import T
 
-    out = x231_hits_scores(spark, sf_smoke)
-    sums = (
-        out.groupBy("role")
-        .agg(F.sum("score").alias("s"), F.min("score").alias("mn"))
+    monkeypatch.setattr(x13_series, "HITS_ITERS", 1)
+    out = {(r.node, r.role): r.score for r in x231_hits_scores(spark, sf_smoke).collect()}
+
+    orders = T(spark, sf_smoke, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_smoke, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = {
+        (r.src, r.dst)
+        for r in orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_suppkey").alias("dst"))
+        .distinct()
         .collect()
-    )
-    assert {r.role for r in sums} == {"hub", "authority"}
-    for r in sums:
-        assert r.mn > 0
-        # per-round 6dp rounding leaves the L1 norm within n·5e-7 of 1
-        assert abs(r.s - 1.0) < 5e-3
+    }
+    indeg: dict[int, int] = {}
+    for _, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    tot = float(sum(indeg.values()))
+    auth = {d: round(c / tot, 6) for d, c in indeg.items()}
+    hraw = {}
+    for s, d in edges:
+        hraw[s] = hraw.get(s, 0.0) + auth[d]
+    hsum = sum(hraw.values())
+    hub = {s: round(v / hsum, 6) for s, v in hraw.items()}
+
+    expected = {(f"s{d}", "authority"): a for d, a in auth.items()}
+    expected.update({(f"c{s}", "hub"): h for s, h in hub.items()})
+    assert out.keys() == expected.keys()
+    for k, v in expected.items():
+        # the engine's float sum order may differ from Python's at the
+        # last ulp before rounding; 6dp-rounded values can then differ
+        # by exactly one grid step on a knife edge — allow that only.
+        assert abs(out[k] - v) <= 1e-6 + 1e-12, (k, out[k], v)
