@@ -129,6 +129,7 @@ _RUN_KEYS = frozenset(
         "metric", "value", "unit", "queries", "sf", "runs",
         "queries_all_runs", "loadavg", "queries_loadavg",
         "isolated_rechecks", "load_polluted", "queries_steal",
+        "cpus", "recorded_at",
     )
 )
 
@@ -175,15 +176,38 @@ def load_guard(
     return la > threshold, round(la, 2)
 
 
+#: How many full run records the history ring keeps.  Each is ~10 KB of
+#: per-query arrays; 12 covers a round's worth of builder sweeps plus
+#: the driver's multi-cpu runs without growing the artifact unboundedly.
+HISTORY_MAX = 12
+
+
 def merge_detail(existing: object, record: dict) -> dict:
     """Overlay this run's ``record`` on ``existing``, keeping every key a
     bench run does not itself produce (read-modify-write, not truncate).
-    A missing/corrupt existing file degrades to just the new record."""
+    A missing/corrupt existing file degrades to just the new record.
+
+    r11 (r10 verdict task 7): the anonymous top-level record used to be
+    the ONLY copy of a run, so the driver's 8-core scaling run clobbered
+    the 32-core run's per-query steal — exactly the evidence needed to
+    adjudicate its 29 apparent regressions.  Every merge now ALSO appends
+    the record to the ``runs_history`` ring (most recent last, each entry
+    self-describing via its ``cpus``/``recorded_at``/``attempt`` fields),
+    so consecutive runs at different ``$SPARK_GRAFT_CPUS`` stay
+    individually recoverable."""
     merged: dict = {}
     if isinstance(existing, dict):
         merged.update(
             (k, v) for k, v in existing.items() if k not in _RUN_KEYS
         )
+    history = merged.get("runs_history")
+    if not isinstance(history, list):
+        history = []
+    entry = dict(record)
+    entry["attempt"] = 1 + max(
+        (h.get("attempt", 0) for h in history if isinstance(h, dict)), default=0
+    )
+    merged["runs_history"] = (history + [entry])[-HISTORY_MAX:]
     merged.update(record)
     return merged
 
@@ -311,6 +335,10 @@ def main() -> None:
                 "metric": "headline_queries_wall_clock",
                 "value": total,
                 "unit": "sec",
+                "cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+                "recorded_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
                 "queries": medians,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "runs": n_runs,

@@ -193,16 +193,24 @@ def lpa_fixed(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
     operator oracle-checkable (the DuckDB oracle unrolls the identical
     rounds as chained CTEs).
 
-    Scale: the edge relation is persisted once and re-read by every
-    round; each round is one equi-join (edges ⋈ labels on dst), one
-    (node,label) count, and one per-node top-1 window partitioned by
-    node — all key-partitioned shuffles of at most |E| rows.  The label
-    relation (one row per node) is persisted per round so round k joins
-    a materialisation, not round k-1's lineage.
+    Scale: the edge relation is persisted once, PRE-PARTITIONED on dst
+    (r11) so every round's edges ⋈ labels join reuses the cached
+    partitioning instead of re-exchanging |E| rows per round; each round
+    is then that join plus ONE |E|-row exchange — the vote relation is
+    re-keyed to its destination node up front, and the (node,label)
+    count, the per-node top-1, and the labels update all reuse that same
+    HashPartitioning(node) (hash on a prefix of the grouping keys
+    satisfies the clustered distributions — guide §2.4 "two operations
+    keyed the same way can share one exchange").  The r10 shape paid
+    three keyed shuffles per round ((src,lbl) votes, node top-1, node
+    join); measured interleaved on x239's graph: 4.0 → 3.2 s at sf0.1
+    (plans/r11/ab_lpa.out), identical output.  The label relation (one
+    row per node) is persisted per round so round k joins a
+    materialisation, not round k-1's lineage.
     """
     from social_warner_spark.caching import register_persisted
 
-    ed = register_persisted(edges.persist())
+    ed = register_persisted(edges.repartition("dst").persist())
     labels = nodes.select("node", F.col("node").alias("lbl"))
     for i in range(iters):
         if i == 0:
@@ -218,9 +226,15 @@ def lpa_fixed(nodes: DataFrame, edges: DataFrame, iters: int = 3) -> DataFrame:
                 F.col("src").alias("node"), F.col("dst").alias("lbl")
             ).agg(F.count("*").alias("c"))
         else:
+            # re-key the raw votes to their destination node BEFORE
+            # aggregating: the explicit repartition("node") is the
+            # round's only exchange — groupBy(node, lbl), the per-node
+            # top-1, and the labels join below all reuse it.
             votes = (
                 ed.join(labels.withColumnRenamed("node", "dst"), "dst")
-                .groupBy(F.col("src").alias("node"), "lbl")
+                .select(F.col("src").alias("node"), "lbl")
+                .repartition("node")
+                .groupBy("node", "lbl")
                 .agg(F.count("*").alias("c"))
             )
         # top-1 per node as a hash aggregation, not a window: min over the

@@ -121,92 +121,94 @@ NO_ORACLE = frozenset()
 #: iteration order (a bounded window), so the dict is emitted with the
 #: 50 queries that most need a driver CORRECTNESS row first.
 #:
-#: Round-10 rotation (per the round-9 verdict task 1; backlog after
-#: r09 = 29 never-checked of 445 declared):
-#: - TWO rechecks forced by this round's code moves (the r05 discipline —
-#:   hard rows land the same round the code moves): x10_asof_join (the
-#:   asof operator now carries the value columns as ONE struct through
-#:   the carry-forward window — row atomicity: a matched row's NULL
-#:   columns stay NULL instead of per-column bridging from older rows,
-#:   ADVICE r9 — and the oracle pins the duplicate-(key, ts) tie by
-#:   pre-aggregating purchases to MAX(value) per (user_id, ts)), and
-#:   x318_sequence_pattern (SEQ_CAP per-user state bound, the x365
-#:   BU_CAP device, mirrored in the oracle; listed at the tail in
-#:   c12_having's slot).
-#: - The final 29 never-checked ids in x-number order, x339 → x376 —
-#:   this window FINISHES the corpus: cumulative driver coverage after
-#:   it is 445/445 (100%).  x365 is in this set and its code+oracle
-#:   moved this round too (the BU_CAP=512 per-user state cap, mirrored
-#:   in the oracle; r9 verdict task 5), so its first driver row checks
-#:   the capped contract.
-#: - The remaining 20 slots re-confirm the OLDEST driver rows (r01-era,
-#:   in their r01 order) per the documented fallback: no other code
-#:   moved this round, so there are no further forced rechecks.
+#: Round-11 rotation (r10 verdict task 2): cumulative driver coverage
+#: reached 445/445 in r10, so the policy switches from "oldest /
+#: never-checked first" to "TOUCHED-THIS-ROUND-OR-LAST first" — the r10
+#: window was frozen before r10's optimization commits landed, so none
+#: of the ~45 queries whose construction those commits rewrote (round-1
+#: folds, jaccard post-agg sizes, codec vectorization, x179 closed form,
+#: bounded-array graph edges, scoring_vec hoist) has a post-change
+#: driver row yet.  This window front-loads ALL of them, plus the
+#: queries r11's own changes touch (x31 shared survivor-set shingles,
+#: x220 fused PQ aggregates, x239/x307 single-exchange LPA rounds).
+#: Slot accounting (50 total):
+#: - r10 round-1 fold consumers (11): x27, x77, x119, x138, x155, x256,
+#:   x330, x362 (propagate_min_labels); x239, x307 (lpa_fixed — ALSO
+#:   r11's single-exchange round); x231 (HITS).
+#: - r10 codec vectorization + closed form (6): x215-x218, x236, x179.
+#: - r10 jaccard-core consumers (14): l2, x16, x31 (ALSO r11's shingle
+#:   share), x51, x77 (counted above), x99, x111, x119/x138 (above),
+#:   x120, x151, x211, x277, x312, x319, x336, x341.
+#: - r10 scoring_vec consumers (9): x7, x8, l3, x24, x61, x224, x226,
+#:   x229, x269.
+#: - r10 bounded-array graph rewrites (2): x81, x259.
+#: - r11-only code moves (1): x220 (fused PQ fit/encode aggregates).
 #: Everything previously verified stays green via the local DuckDB
-#: mirror (tests/test_correctness.py, all queries, serialization-strict
-#: like the driver's hash).  Queries not listed follow in stable module
-#: order; total set is 445 (query-count freeze HELD per verdict task 6:
-#: the freeze lifts only for queries that pin an uncovered operator
-#: class, not for count).
+#: mirror (tests/test_correctness.py `-m ""`, all queries,
+#: serialization-strict like the driver's hash) — and the DEFAULT pytest
+#: tier mirrors exactly this window (pytest.ini, r10 verdict task 1).
+#: Queries not listed follow in stable module order; total set is 445
+#: (query-count freeze HELD).
 CHECK_PRIORITY = (
-    # recheck (operator + oracle changed this round, previously checked):
-    "x10_asof_join",
-    # the final 29 never-checked ids, x-number order — corpus completion:
-    "x339_positivity_check",
-    "x340_subsequence_mining",
-    "x342_rank_aggregation",
-    "x343_term_burstiness",
-    "x344_histogram_design",
-    "x345_session_gap_planner",
-    "x348_design_effect",
-    "x349_fpc_ci",
-    "x350_knn_ood",
-    "x351_quantile_effects",
-    "x353_salt_planner",
-    "x354_ivm_merge",
-    "x355_join_order_advisor",
-    "x356_bloom_planner",
-    "x357_randomized_response",
+    # round-1 fold consumers (r10 635868b; x239/x307 also carry r11's
+    # single-exchange LPA round):
+    "x27_neardup_clusters",
+    "x77_cluster_survivors",
+    "x119_split_leakage",
+    "x138_cluster_size_histogram",
+    "x155_effective_tokens",
+    "x256_bcubed_dedup_eval",
+    "x330_medoid_canonicals",
+    "x362_dedup_waterfall",
+    "x239_label_propagation",
+    "x307_modularity",
+    "x231_hits_scores",
+    # codec vectorization (r10 0971685) + x179 closed form (c6ab8b3):
+    "x215_png_pixels",
+    "x216_wav_samples",
+    "x217_image_ahash",
+    "x218_wav_frames",
+    "x236_mulaw_audio",
+    "x179_subtree_rollup",
+    # jaccard-core consumers (r10 9fbaf95; x31 also carries r11's shared
+    # survivor-set shingle pass):
+    "l2_jaccard_pairs",
+    "x16_corpus_prep",
+    "x31_full_pipeline",
+    "x51_incremental_dedup",
+    "x99_dedup_policy_report",
+    "x111_jaccard_threshold_sweep",
+    "x120_cross_source_dups",
+    "x151_triplet_mining",
+    "x211_dedup_lm_impact",
+    "x277_rouge_pairs",
+    "x312_lsh_planner",
+    "x319_simhash_audit",
+    "x336_crosssource_dups",
+    "x341_ensemble_dedup_eval",
     "x358_weighted_jaccard",
-    "x361_churn_sweep",
-    "x363_chunking_planner",
-    "x364_temperature_scaling",
-    "x365_behavioral_unicity",
-    "x366_winnowing_density",
-    "x367_rank_movers",
-    "x369_doc_typicality",
-    "x370_stopword_discovery",
-    "x371_label_budget_curve",
-    "x372_lww_vs_arrival",
-    "x373_ratio_bridge",
-    "x374_birthday_audit",
-    "x376_raking",
-    # oldest-row re-confirmations (r01-era, r01 order):
-    "r1_scrub_project",
-    "r2_cast_fill",
-    "r3_pivot",
-    "r4_datefmt",
-    "r5_datemacro",
-    "r6_in_between_agg",
-    "r7_meta_dimensions",
-    "r8_union_pages",
-    "c1_scan_filter",
-    "c2_inner_join",
-    "c3_star_join",
-    "c4_left_outer",
-    "c5_semi_join",
-    "c6_anti_join",
-    "c7_range_join",
-    "c8_hash_agg",
-    "c9_count_distinct",
-    "c10_rollup",
-    "c11_cube",
-    # second forced recheck (r05 discipline — hard rows land the same
-    # round the code moves): x318 gained the SEQ_CAP per-user state
-    # bound (the x365 BU_CAP device), mirrored in its oracle; it takes
-    # the oldest-row slot c12_having held (c12 stays green via the
-    # local mirrors and rotates back next round).
-    "x318_sequence_pattern",
+    "x262_winnowing_overlap",
+    "x164_dup_spans",
+    # scoring_vec consumers (r10 7bab210):
+    "x7_embed_neardup",
+    "x8_ann_bucketed",
+    "l3_topk_cosine",
+    "x61_semantic_dedup",
+    "x24_ann_ivf",
+    "x224_hard_negative_mining",
+    "x226_d4_prune",
+    "x229_margin_bitext_mining",
+    "x269_cluster_quality",
+    # bounded-array graph rewrites (r10 6801725):
+    "x81_triangle_count",
+    "x259_adamic_adar",
+    # r11 code moves without an r10 slot above:
+    "x220_pq_ann",
+    # composite pipelines that ride the jaccard/dedup core:
+    "x54_segment_dedup",
+    "l1_exact_dedup",
+    "x100_hierarchy_depth",
+    "x176_source_set_cover",
 )
 
 #: The driver verifies a window of this size in iteration order; the

@@ -35,9 +35,10 @@ def test_auxiliary_keys_survive_a_run():
 
 def test_missing_or_corrupt_existing_degrades_to_record():
     record = {"metric": "m", "queries": {}}
-    assert merge_detail(None, record) == record
-    assert merge_detail("not a dict", record) == record
-    assert merge_detail([1, 2], record) == record
+    for existing in (None, "not a dict", [1, 2]):
+        merged = merge_detail(existing, record)
+        assert merged["metric"] == "m" and merged["queries"] == {}
+        assert [h["queries"] for h in merged["runs_history"]] == [{}]
 
 
 def test_run_keys_cover_everything_a_run_writes():
@@ -47,7 +48,49 @@ def test_run_keys_cover_everything_a_run_writes():
         "metric", "value", "unit", "queries", "sf", "runs",
         "queries_all_runs", "loadavg", "queries_loadavg",
         "isolated_rechecks", "load_polluted", "queries_steal",
+        "cpus", "recorded_at",
     }
+
+
+def test_consecutive_runs_at_different_cpus_both_recoverable():
+    """r10 verdict task 7: the driver's 8-core run clobbered the 32-core
+    run's per-query steal.  Two consecutive merges must leave BOTH runs
+    readable from the artifact, each self-describing via ``cpus``."""
+    r32 = {
+        "metric": "m", "cpus": "32",
+        "queries": {"q": 1.0}, "queries_steal": {"q": 7376},
+    }
+    r8 = {
+        "metric": "m", "cpus": "8",
+        "queries": {"q": 2.0}, "queries_steal": {"q": 3},
+    }
+    merged = merge_detail(merge_detail({}, r32), r8)
+    # top level = most recent run (back-compat for existing readers)
+    assert merged["cpus"] == "8" and merged["queries"] == {"q": 2.0}
+    by_cpus = {h["cpus"]: h for h in merged["runs_history"]}
+    assert by_cpus["32"]["queries_steal"] == {"q": 7376}
+    assert by_cpus["8"]["queries"] == {"q": 2.0}
+    assert [h["attempt"] for h in merged["runs_history"]] == [1, 2]
+
+
+def test_history_ring_is_bounded():
+    from bench import HISTORY_MAX
+
+    merged: dict = {}
+    for i in range(HISTORY_MAX + 5):
+        merged = merge_detail(merged, {"metric": "m", "value": i})
+    hist = merged["runs_history"]
+    assert len(hist) == HISTORY_MAX
+    # most recent last; attempts keep counting past evictions
+    assert hist[-1]["value"] == HISTORY_MAX + 4
+    assert hist[-1]["attempt"] == HISTORY_MAX + 5
+
+
+def test_history_survives_a_merge_as_auxiliary_state():
+    # runs_history is NOT a run key: a merge must extend it, never reset.
+    first = merge_detail({}, {"metric": "m", "value": 1})
+    second = merge_detail(first, {"metric": "m", "value": 2})
+    assert [h["value"] for h in second["runs_history"]] == [1, 2]
 
 
 def test_steal_ticks_parses_proc_stat(tmp_path):

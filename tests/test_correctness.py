@@ -23,7 +23,23 @@ def test_every_query_has_oracle():
     assert not stale, f"NO_ORACLE entries stale or oracled after all: {stale}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - NO_ORACLE))
+#: Default (driver-facing) tier mirrors EXACTLY the driver's current
+#: CHECK_PRIORITY window — the 50 queries whose CORRECTNESS rows this
+#: round produces — so a default `pytest tests/` run proves the window
+#: green in ~2 min.  Every other declared query keeps its mirror in the
+#: `slow` tier (`-m ""` runs all 445; the builder's pre-close gate).
+from social_warner_spark.queries import CHECK_PRIORITY
+
+_WINDOW = set(CHECK_PRIORITY)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=[] if n in _WINDOW else [pytest.mark.slow])
+        for n in sorted(set(QUERIES) - NO_ORACLE)
+    ],
+)
 def test_query_matches_oracle(spark, sf_correct, name):
     sdf = QUERIES[name](spark, sf_correct)
     con = duck_connection(sf_correct)

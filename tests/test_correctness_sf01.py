@@ -14,6 +14,11 @@ import os
 
 import pytest
 
+#: Bench-scale (sf0.1) mirrors are the heaviest suite; they run in the
+#: builder's full-tier gate (`-m ""`), not the driver-facing default
+#: (see pytest.ini — r10 verdict task 1).
+pytestmark = pytest.mark.slow
+
 from social_warner_spark.queries import all_oracles, all_queries
 
 from tests.oracle_harness import compare, duck_connection

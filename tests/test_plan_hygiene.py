@@ -7,13 +7,15 @@ from __future__ import annotations
 import json
 import os
 
+import pytest
+
 from social_warner_spark.planaudit import SHAPE_KEYS, plan_shape_counts
-from social_warner_spark.queries import all_queries
+from social_warner_spark.queries import CHECK_PRIORITY, all_queries
 
 BASELINE_PATH = os.path.join(os.path.dirname(__file__), "plan_shapes_baseline.json")
 
 
-def test_plan_shapes_do_not_regress(spark, sf_smoke):
+def _assert_no_regressions(spark, sf_smoke, names):
     with open(BASELINE_PATH) as f:
         baseline = json.load(f)
 
@@ -23,7 +25,7 @@ def test_plan_shapes_do_not_regress(spark, sf_smoke):
         "plans and regenerate (python -m social_warner_spark.planaudit)"
     )
 
-    counts = plan_shape_counts(spark, sf_smoke)
+    counts = plan_shape_counts(spark, sf_smoke, names)
     regressions = []
     for name, got in counts.items():
         base = baseline.get(name)
@@ -36,6 +38,20 @@ def test_plan_shapes_do_not_regress(spark, sf_smoke):
         "plan-shape regressions (new shuffles / nested loops):\n"
         + "\n".join(regressions)
     )
+
+
+def test_plan_shapes_do_not_regress_in_window(spark, sf_smoke):
+    """Default-tier ratchet: the driver's CHECK_PRIORITY window — the 50
+    queries whose code moved this round or last — is plan-audited on
+    every default run (~40 s).  The full 445-query ratchet lives in the
+    slow tier below (explaining every plan takes ~5 min, a third of the
+    whole driver-facing tier — r10 verdict task 1)."""
+    _assert_no_regressions(spark, sf_smoke, sorted(CHECK_PRIORITY))
+
+
+@pytest.mark.slow
+def test_plan_shapes_do_not_regress(spark, sf_smoke):
+    _assert_no_regressions(spark, sf_smoke, None)
 
 
 def test_unpartitioned_window_classifier():
