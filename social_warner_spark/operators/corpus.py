@@ -69,8 +69,8 @@ def prepare_corpus(
         # replaces the caller's corpus re-scan + survivor semi-join +
         # re-tokenize.  Deliberately NOT a combined (3, 4)-width shingle
         # relation shared with the prune below: that variant was built
-        # and measured 0.5-0.7 s SLOWER at sf0.1 (doc_shingles_multi
-        # remains in dedup.py) — persisting the 4-gram rows next to the
+        # and measured 0.5-0.7 s SLOWER at sf0.1 (OPTIMIZATION_r11.md,
+        # x31 section) — persisting the 4-gram rows next to the
         # 3-gram ones doubles the cached relation that the prune's
         # self-join + sizes re-read, and at 100 TB materializing a
         # single-consumer n-gram relation costs more than streaming it

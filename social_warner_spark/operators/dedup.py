@@ -126,48 +126,16 @@ def doc_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", 
     )
 
 
-def doc_shingles_multi(
-    df: DataFrame,
-    ns: tuple[int, ...],
-    text_col: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """(id, n, shingle) distinct-per-(id, n) rows for SEVERAL shingle
-    widths from ONE tokenize+explode pass — the r11 x31 device: the
-    near-dup prune (n=3) and the decontamination check (n=4) consume the
-    same corpus, so splitting each document once and exploding both
-    widths together halves the text-splitting work and lets one persisted
-    relation feed both stages.
-
-    Same load-bearing shape as :func:`doc_shingles` (see its docstring):
-    the whole per-n ``array_distinct(shingles_from_tokens(...))``
-    expression lives inside the Generate node with ``_toks`` staged in
-    the projection below, so ``tokens()`` runs once per document.
-    Widths never collide across n (a k-token space-joined shingle is
-    distinct from a j-token one), but rows are tagged with ``n`` anyway
-    so consumers filter structurally rather than by parsing strings."""
-    from social_warner_spark.functions.text import shingles_from_tokens
-
-    def _tagger(width: int):
-        # single-parameter lambda only: PySpark binds a second lambda
-        # parameter to the ARRAY INDEX (the (element, index) transform
-        # form), so a `lambda s, _n=n:` closure would tag rows with the
-        # element position instead of the shingle width.
-        return lambda s: F.struct(F.lit(width).alias("n"), s.alias("shingle"))
-
-    staged = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-    tagged = F.concat(
-        *[
-            F.transform(
-                F.array_distinct(shingles_from_tokens(F.col("_toks"), n)),
-                _tagger(n),
-            )
-            for n in ns
-        ]
-    )
-    return staged.select(F.col(id_col), F.explode(tagged).alias("_x")).select(
-        id_col, F.col("_x.n").alias("n"), F.col("_x.shingle").alias("shingle")
-    )
+# r11 note: a multi-width variant (one tokenize+explode pass tagging
+# both 3- and 4-gram shingles, shared between x31's near-dup prune and
+# its decontamination check) was built and MEASURED SLOWER at sf0.1
+# (5.2-5.9 s vs 4.7-5.4 s baseline): persisting the single-consumer
+# 4-gram rows alongside the 3-gram ones doubles the cached relation the
+# prune's self-join + sizes re-read.  Rejected and removed; evidence in
+# OPTIMIZATION_r11.md (x31 section).  Porting hazard discovered there,
+# recorded for the next attempt: a two-parameter Python lambda passed to
+# F.transform is bound as (element, INDEX) — a `lambda s, _n=n:` closure
+# tags rows with the array position, not the captured width.
 
 
 def exact_jaccard_pairs(
@@ -177,18 +145,8 @@ def exact_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     max_doc_freq: int | None = None,
-    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs (a < b) with shingle-Jaccard ≥ threshold, exactly.
-
-    ``shingles`` (r11): a caller-provided per-doc-distinct (id_col,
-    shingle) relation to use instead of building one from ``df`` —
-    lets a composite pipeline (x31) share one multi-width shingle pass
-    between this operator and its other shingle consumers.  The caller
-    OWNS its materialization (this operator reads it several times:
-    both self-join sides + the per-doc sizes), so pass something
-    persisted or derived from a persisted relation; ``df``/``text_col``
-    /``n`` are ignored when it is given.
 
     Plan: per-doc-distinct (id, shingle) rows → self equi-join on
     shingle (shuffle on shingle) → count shared per pair → attach
@@ -234,10 +192,7 @@ def exact_jaccard_pairs(
     """
     from social_warner_spark.caching import register_persisted
 
-    if shingles is not None:
-        sh = shingles
-    else:
-        sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
+    sh = register_persisted(doc_shingles(df, text_col, id_col, n).persist())
     # Per-doc sizes are a |docs|-row relation — CORPUS-sized at 100 TB,
     # so the join side choice belongs to AQE (an explicit F.broadcast
     # here would bypass autoBroadcastJoinThreshold and OOM where AQE
