@@ -136,13 +136,15 @@ NO_ORACLE = frozenset()
 #:   x330, x362 (propagate_min_labels); x239, x307 (lpa_fixed — ALSO
 #:   r11's single-exchange round); x231 (HITS).
 #: - r10 codec vectorization + closed form (6): x215-x218, x236, x179.
-#: - r10 jaccard-core consumers (14): l2, x16, x31 (ALSO r11's shingle
-#:   share), x51, x77 (counted above), x99, x111, x119/x138 (above),
-#:   x120, x151, x211, x277, x312, x319, x336, x341.
-#: - r10 scoring_vec consumers (9): x7, x8, l3, x24, x61, x224, x226,
+#: - r10 jaccard-core / shingle-path consumers (17): l2, x16, x31 (ALSO
+#:   r11's survivor-set decon shingles), x51, x99, x111, x120, x151,
+#:   x211, x277, x312, x319, x336, x341, x358, x262, x164.
+#: - r10 scoring_vec consumers (9): x7, x8, l3, x61, x24, x224, x226,
 #:   x229, x269.
 #: - r10 bounded-array graph rewrites (2): x81, x259.
 #: - r11-only code moves (1): x220 (fused PQ fit/encode aggregates).
+#: - composite/dedup anchors filling the window (4): x54, l1, x100,
+#:   x176.
 #: Everything previously verified stays green via the local DuckDB
 #: mirror (tests/test_correctness.py `-m ""`, all queries,
 #: serialization-strict like the driver's hash) — and the DEFAULT pytest
